@@ -1,13 +1,646 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators._
+import graft.functions._
+import graft.sources.{Readers, PagedSource}
+import graft.sinks.Writers
+import graft.plans._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the north-star LLM-pipeline operators), each with an
+  * ANSI-SQL DuckDB oracle in [[oracleSql]] where SQL can express it.
+  *
+  * Conventions for oracle parity:
+  *  - every aggregate / computed column is aliased identically on both sides;
+  *  - results carry an ORDER BY on a unique key on both sides;
+  *  - money sums go through `DECIMAL(18,2)` so addition is exact (double
+  *    summation order differs between engines);
+  *  - double-valued scores are computed with the same operation order on
+  *    both sides and rounded to 4 digits.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read the raw int64 nanos and convert via integer
+      // division so the value is micros-exact (double math would lose
+      // precision at 1e18 ns).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Scratch dir for queries that exercise writer→reader roundtrips. */
+  private def tmp(name: String, dir: String): String = {
+    val p = s"/tmp/graft_q/${name}_${math.abs(dir.hashCode)}"
+    new java.io.File(p).getParentFile.mkdirs()
+    p
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_h1_joiner")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------------
+  // Convertors C1–C9
+  // -------------------------------------------------------------------------
+
+  private def qC1Filter(s: SparkSession, dir: String): DataFrame =
+    CoreOps.filterOp(t(s, dir, "lineitem"), col("l_quantity") > 45 && col("l_discount") < 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qC2Mapper(s: SparkSession, dir: String): DataFrame =
+    CoreOps.mapper(t(s, dir, "orders"),
+      "o_orderkey" -> col("o_orderkey"),
+      "o_year" -> year(col("o_orderdate")),
+      "status_prio" -> concat_ws("-", col("o_orderstatus"), col("o_orderpriority")),
+      // integer-cents via floor(x+0.5): pure IEEE ops, bit-identical in any
+      // engine (round()/decimal-cast semantics differ between engines)
+      "commission_cents" -> floor(col("o_totalprice") * 0.1 * 100 + 0.5).cast("long"))
+      .orderBy("o_orderkey")
+
+  private def qC3Thru(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+    val exploded = CoreOps.flatMapExplode(part, split(col("p_name"), " "), "word")
+    val synthetic = Seq((-1L, "__header__")).toDF("p_partkey", "word")
+    CoreOps.injectRows(exploded.select(col("p_partkey"), col("word")), synthetic)
+      .orderBy("p_partkey", "word")
+  }
+
+  private def qC4Reducer(s: SparkSession, dir: String): DataFrame =
+    CoreOps.reducer(
+      CoreOps.filterOp(t(s, dir, "lineitem"), col("l_shipdate") <= lit("1998-09-02")),
+      keys = Seq(col("l_returnflag"), col("l_linestatus")),
+      aggs = Seq(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5))
+          .as("sum_disc_cents"),
+        count(lit(1)).as("count_order")))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qC5Sorter(s: SparkSession, dir: String): DataFrame =
+    CoreOps.sorter(t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+      col("c_acctbal").desc, col("c_custkey").asc).limit(100)
+
+  private def qC6Uniquer(s: SparkSession, dir: String): DataFrame =
+    CoreOps.uniquerKeepFirst(t(s, dir, "orders"), key = Seq("o_custkey"), order = Seq("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey").as("first_order"),
+              col("o_orderstatus").as("first_status"))
+      .orderBy("o_custkey")
+
+  private def qC7C8MapRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // per-user event_type counts → array<struct> → map (C7 w/ collapse rule)
+    // → back to array (C8) → exploded rows; oracle is the plain GROUP BY.
+    val counts = t(s, dir, "events").groupBy("user_id", "event_type").count()
+    val arr = counts.groupBy("user_id")
+      .agg(collect_list(struct(col("event_type").as("id"), col("count").as("cnt"))).as("arr"))
+    val asMap = CoreOps.array2map(arr, "arr", "m", idKey = "id")
+    val back = CoreOps.map2array(asMap, "m", "entries", idKey = "id", valueKey = "value")
+    back.select(col("user_id"), explode(col("entries")).as("e"))
+      .select(col("user_id"), col("e.id").as("event_type"), col("e.value").as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // -------------------------------------------------------------------------
+  // Hi-order H1–H4
+  // -------------------------------------------------------------------------
+
+  private def qH1Joiner(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val part = t(s, dir, "part")
+    Joins.enrich(li, part, li("l_partkey"), part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(dec(col("l_extendedprice"))).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  private def qH2JoinDetail(s: SparkSession, dir: String): DataFrame =
+    Joins.joinDetail(t(s, dir, "orders"), t(s, dir, "lineitem"), "o_orderkey", "l_orderkey")
+      .select(col("o_orderkey"), size(col("details")).as("n_details"),
+        round(aggregate(col("details"), lit(0.0), (acc, x) => acc + x.getField("l_quantity")), 2)
+          .as("qty"))
+      .orderBy("o_orderkey")
+
+  private def qH3Splitter(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("h3_split", dir)
+    Splitter.routedWrite(t(s, dir, "orders"), pmod(col("o_orderkey"), lit(3)),
+      out, validRoutes = 3)
+    s.read.parquet(out).groupBy(col("route").cast("int").as("route"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sum_price"))
+      .orderBy("route")
+  }
+
+  private def qH4Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val spec = PipelineSpec(nodes = Seq(
+      "li"       -> SourceSpec("parquet", "{%dir%}/lineitem.parquet"),
+      "filtered" -> FilterSpec(RefSpec("li"), "l_quantity > 10"),
+      "part"     -> SourceSpec("parquet", "{%dir%}/part.parquet"),
+      "joined"   -> JoinSpec(RefSpec("filtered"), RefSpec("part"), "l_partkey", "p_partkey"),
+      "agg"      -> AggSpec(RefSpec("joined"), keys = Seq("p_type"), aggs = Seq(
+                      "n" -> "count(1)",
+                      "sum_price" -> "sum(cast(l_extendedprice as decimal(18,2)))")),
+      "sorted"   -> SortSpec(RefSpec("agg"), Seq("p_type"))),
+      out = "sorted")
+    PipelineCompiler.compile(spec, s, Map("dir" -> dir))
+  }
+
+  // -------------------------------------------------------------------------
+  // Sources R1–R5, parsers P1–P5, writers W1–W2
+  // -------------------------------------------------------------------------
+
+  private def qR1ReaderFile(s: SparkSession, dir: String): DataFrame =
+    Readers.read(s, s"file:$dir/nation.parquet", "parquet")
+      .orderBy("n_nationkey")
+
+  private def qR2JsonRootNode(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "region").orderBy("r_regionkey").toJSON.collect()
+    val file = tmp("r2_doc", dir) + ".json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file),
+      rows.mkString("""{"meta":{"v":1},"data":[""", ",", "]}"))
+    Readers.json(s, file, rootNode = "data")
+      .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+
+  private def qR3NdjsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("r3_ndjson", dir)
+    Writers.ndjson(t(s, dir, "nation"), out)
+    Readers.jsons(s, out)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+              col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  private def qR4Paged(s: SparkSession, dir: String): DataFrame = {
+    // Synthetic paginated API: pages 0-2 and 4 carry 100 records each, page 3
+    // is empty once (streak resets), pages 5+ empty → terminates via the
+    // empty-page×2 rule. Oracle reproduces the id set with range().
+    def page(p: Int): String =
+      (0 until 100).map(j => s"""{"id":${p * 100 + j},"grp":${(p * 100 + j) % 7}}""").mkString("\n")
+    val fetch: PagedSource.PageState => Option[String] = st =>
+      if (st.page > 8) None
+      else if (st.page == 3 || st.page >= 5) Some("")
+      else Some(page(st.page))
+    PagedSource.read(s, fetch, PagedSource.parseNdjson _)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+      .orderBy("grp")
+  }
+
+  private def qR5Folder(s: SparkSession, dir: String): DataFrame = {
+    val folder = tmp("r5_folder", dir)
+    new java.io.File(folder).mkdirs()
+    val sup = t(s, dir, "supplier")
+    (0 until 3).foreach { i =>
+      val lines = sup.filter(pmod(col("s_suppkey"), lit(3)) === i).orderBy("s_suppkey")
+        .toJSON.collect().mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$folder/src_$i.jsons"), lines)
+    }
+    Readers.folder(s, folder, "*.jsons", "json",
+        fileNamePredicate = Some(f => !f.contains("src_2")))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private def qP1Csv(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("p1_csv", dir)
+    t(s, dir, "part").coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    Readers.csv(s, out, headers = true)
+      .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size").cast("int").as("p_size"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  private def qP4Xml(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("p4_xml", dir)
+    t(s, dir, "nation").write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "item").format("xml").save(out)
+    Readers.xml(s, out, xmlNode = "item")
+      .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+              col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  private def qP5TreeFlatten(s: SparkSession, dir: String): DataFrame = {
+    // P5 semantics on a literal document (the reference parses one buffered
+    // doc, job-tree-parser.js:68-71). Roundtrip with W3 is property-tested
+    // in TreeOpsSpec; no SQL oracle (driver rows-only check).
+    val json =
+      """{"id":"root","name":"All","children":[
+           {"id":"a","name":"A","children":[{"id":"a1","name":"A1"},{"id":"a2","name":"A2"}]},
+           {"id":"b","name":"B","children":[{"id":"b1","name":"B1"}]}]}"""
+    TreeOps.flattenJson(s, json).orderBy("mpath")
+  }
+
+  private def qW1JsonArray(s: SparkSession, dir: String): DataFrame = {
+    val file = tmp("w1_array", dir) + ".json"
+    Writers.jsonArray(t(s, dir, "region").orderBy("r_regionkey"), file)
+    Readers.json(s, file)
+      .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+
+  // -------------------------------------------------------------------------
+  // Relational capabilities beyond the reference (SURVEY §2.8)
+  // -------------------------------------------------------------------------
+
+  private def qXWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private def qXAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o95 = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+    c.join(o95, c("c_custkey") === o95("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private def qXSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  private def qXRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation"); val reg = t(s, dir, "region")
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("sum_price"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+              coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+              col("n"), col("sum_price"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  private def qXIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    y95.intersect(y96).orderBy("o_custkey")
+  }
+
+  private def qXExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    y95.except(y96).orderBy("o_custkey")
+  }
+
+  // -------------------------------------------------------------------------
+  // Events: windowing + sessionization (streaming-capable transforms)
+  // -------------------------------------------------------------------------
+
+  private def qETumbling(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.tumblingAgg(t(s, dir, "events"), "ts", "1 hour",
+      keys = Seq(col("event_type")),
+      aggs = Seq(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value")))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+              col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  private def qESessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)
+      .groupBy("user_id")
+      .agg(max(col("session_seq")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  // -------------------------------------------------------------------------
+  // North-star: dedup / similarity / text / multimodal
+  // -------------------------------------------------------------------------
+
+  private def qNDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val doubled = docs.unionByName(docs) // plant exact duplicates
+    Dedup.exact(doubled, "text", "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("dup_count")).as("n_total"))
+      .orderBy("lang")
+  }
+
+  private def qNDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.7, shingleLen = 5, numHashes = 128, bands = 16)
+      .orderBy("id_a", "id_b")
+
+  private def qNDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  private def qNJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 64), "doc_id", "text",
+      n = 2, threshold = 0.01)
+      .orderBy("id_a", "id_b")
+
+  private def qNEmbDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.2, bands = 8, bits = 8)
+      .orderBy("id_a", "id_b")
+
+  private def qNAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def qNAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorOps.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5, dim = 64,
+      bands = 8, bits = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  private def qNVectorStats(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb.select(col("vec_id"),
+        round(VectorOps.l2Norm(col("embedding")), 4).as("l2_norm"),
+        round(VectorOps.dot(col("embedding"), col("embedding")), 4).as("self_dot"))
+      .orderBy("vec_id")
+  }
+
+  private def qNTextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextOps.tokens(col("text")))).as("n_distinct"),
+        TextOps.subwordCount(col("text")).as("n_subwords"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private def qNMultimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.asMedia(
+      t(s, dir, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "text")
+      .as[Multimodal.MediaRecord]
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("byte_len"), col("digest"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .orderBy("media_id")
+  }
+
+  private def qSStreamWindow(s: SparkSession, dir: String): DataFrame = {
+    // The tumbling aggregation executed through Structured Streaming
+    // (parquet stage → readStream → memory sink); oracle identical to batch.
+    val stage = tmp("stream_stage", dir)
+    val result = graft.streaming.Streams.runAsStream(
+      s, t(s, dir, "events"), stage, s"win_${math.abs(dir.hashCode)}", "ts", "1 minute") { df =>
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+    }
+    result
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+              col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  // -------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_c1_filter"        -> (qC1Filter _),
+    "q_c2_mapper"        -> (qC2Mapper _),
+    "q_c3_thru"          -> (qC3Thru _),
+    "q_c4_reducer"       -> (qC4Reducer _),
+    "q_c5_sorter"        -> (qC5Sorter _),
+    "q_c6_uniquer"       -> (qC6Uniquer _),
+    "q_c7c8_map_roundtrip" -> (qC7C8MapRoundtrip _),
+    "q_h1_joiner"        -> (qH1Joiner _),
+    "q_h2_join_detail"   -> (qH2JoinDetail _),
+    "q_h3_splitter"      -> (qH3Splitter _),
+    "q_h4_pipeline"      -> (qH4Pipeline _),
+    "q_r1_reader_file"   -> (qR1ReaderFile _),
+    "q_r2_json_rootnode" -> (qR2JsonRootNode _),
+    "q_r3_ndjson"        -> (qR3NdjsonRoundtrip _),
+    "q_r4_paged"         -> (qR4Paged _),
+    "q_r5_folder"        -> (qR5Folder _),
+    "q_p1_csv"           -> (qP1Csv _),
+    "q_p4_xml"           -> (qP4Xml _),
+    "q_p5_tree_flatten"  -> (qP5TreeFlatten _),
+    "q_w1_json_array"    -> (qW1JsonArray _),
+    "q_x_window_topn"    -> (qXWindowTopN _),
+    "q_x_anti_join"      -> (qXAntiJoin _),
+    "q_x_semi_join"      -> (qXSemiJoin _),
+    "q_x_rollup"         -> (qXRollup _),
+    "q_x_intersect"      -> (qXIntersect _),
+    "q_x_except"         -> (qXExcept _),
+    "q_e_tumbling"       -> (qETumbling _),
+    "q_e_sessionize"     -> (qESessionize _),
+    "q_s_stream_window"  -> (qSStreamWindow _),
+    "q_n_dedup_exact"    -> (qNDedupExact _),
+    "q_n_dedup_minhash"  -> (qNDedupMinhash _),
+    "q_n_dedup_simhash"  -> (qNDedupSimhash _),
+    "q_n_jaccard_pairs"  -> (qNJaccardPairs _),
+    "q_n_emb_dups"       -> (qNEmbDups _),
+    "q_n_ann_cosine"     -> (qNAnnCosine _),
+    "q_n_ann_lsh"        -> (qNAnnLsh _),
+    "q_n_vector_stats"   -> (qNVectorStats _),
+    "q_n_text_stats"     -> (qNTextStats _),
+    "q_n_multimodal"     -> (qNMultimodal _))
+
+  // --- DuckDB oracle SQL ----------------------------------------------------
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_c1_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_c2_mapper" ->
+      """SELECT o_orderkey, year(o_orderdate) AS o_year,
+                o_orderstatus || '-' || o_orderpriority AS status_prio,
+                CAST(floor(o_totalprice * 0.1 * 100 + 0.5) AS BIGINT) AS commission_cents
+         FROM orders ORDER BY o_orderkey""",
+    "q_c3_thru" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+         UNION ALL SELECT -1 AS p_partkey, '__header__' AS word
+         ORDER BY p_partkey, word""",
+    "q_c4_reducer" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_c5_sorter" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 100""",
+    "q_c6_uniquer" ->
+      """SELECT o_custkey, min(o_orderkey) AS first_order,
+                min_by(o_orderstatus, o_orderkey) AS first_status
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_c7c8_map_roundtrip" ->
+      """SELECT user_id, event_type, count(*) AS n FROM events
+         GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "q_h1_joiner" ->
+      """SELECT p_brand, count(*) AS n_items,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_h2_join_detail" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_details,
+                round(coalesce(sum(l_quantity), 0), 2) AS qty
+         FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "q_h3_splitter" ->
+      """SELECT CAST(o_orderkey % 3 AS INT) AS route, count(*) AS n,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY route""",
+    "q_h4_pipeline" ->
+      """SELECT p_type, count(*) AS n,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_quantity > 10 GROUP BY p_type ORDER BY p_type""",
+    "q_r1_reader_file" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_r2_json_rootnode" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_r3_ndjson" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_r4_paged" ->
+      """SELECT i % 7 AS grp, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_id
+         FROM (SELECT range AS i FROM range(0, 500)) WHERE i < 300 OR i >= 400
+         GROUP BY 1 ORDER BY grp""",
+    "q_r5_folder" ->
+      """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 3 != 2
+         ORDER BY s_suppkey""",
+    "q_p1_csv" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+         FROM part ORDER BY p_partkey""",
+    "q_p4_xml" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_w1_json_array" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_x_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_x_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                           AND year(o.o_orderdate) = 1995)
+         ORDER BY c_custkey""",
+    "q_x_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_x_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+                coalesce(n_name, 'ALL') AS nation_name,
+                count(*) AS n, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name) ORDER BY region_name, nation_name""",
+    "q_x_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q_x_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q_e_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+                event_type, count(*) AS n,
+                sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "q_e_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_s_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+                event_type, count(*) AS n,
+                sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "q_n_dedup_exact" ->
+      s"""WITH u AS (SELECT * FROM documents UNION ALL SELECT * FROM documents),
+          f AS (SELECT *, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+                FROM u),
+          kept AS (SELECT min_by(lang, doc_id) AS lang, count(*) AS dup_count
+                   FROM f GROUP BY fp)
+          SELECT lang, count(*) AS n_kept, CAST(sum(dup_count) AS BIGINT) AS n_total
+          FROM kept GROUP BY lang ORDER BY lang""",
+    "q_n_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+              c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+              s AS (SELECT query_id, neighbor_id,
+                    round(
+                      list_sum(list_transform(range(1, len(qv)+1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                      4) AS cos_sim
+                    FROM c, q WHERE query_id != neighbor_id),
+              r AS (SELECT query_id, neighbor_id, cos_sim,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+                    FROM s)
+         SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "q_n_vector_stats" ->
+      """SELECT vec_id,
+                round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+                round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot
+         FROM embeddings ORDER BY vec_id""",
+    "q_n_text_stats" -> {
+      val en = """len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b'))"""
+      val fr = """len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une|est|dans)\b'))"""
+      val de = """len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit|ein)\b'))"""
+      val es = """len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|en|una|por)\b'))"""
+      s"""WITH base AS (
+            SELECT doc_id, text,
+                   len($toksSql) AS n_tokens,
+                   len(list_distinct($toksSql)) AS n_distinct,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_subwords,
+                   CAST(len(text) - len(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                     / len(text) AS punct_ratio,
+                   $en AS en_n, $fr AS fr_n, $de AS de_n, $es AS es_n,
+                   md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+            FROM documents)
+          SELECT doc_id, n_tokens, n_distinct, n_subwords,
+                 round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4
+                       + (1.0 - punct_ratio) * 0.2, 4) AS quality,
+                 CASE WHEN greatest(en_n, fr_n, de_n, es_n) = 0 THEN 'und'
+                      WHEN en_n = greatest(en_n, fr_n, de_n, es_n) THEN 'en'
+                      WHEN fr_n = greatest(en_n, fr_n, de_n, es_n) THEN 'fr'
+                      WHEN de_n = greatest(en_n, fr_n, de_n, es_n) THEN 'de'
+                      ELSE 'es' END AS lang_pred,
+                 fp
+          FROM base ORDER BY doc_id"""
+    })
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis function surface for large-scale corpus pipelines.
+  *
+  * The reference has no scalar-function library — every per-record
+  * computation is user JavaScript (`/root/reference/jobs/job.js:137-150`).
+  * Here the same idioms are pure Catalyst `Column` expressions so they stay
+  * inside whole-stage codegen and push down to the scan — no UDF in the hot
+  * path, which is what keeps a 100 TB corpus pass shuffle-free and CPU-bound.
+  *
+  * All functions are deterministic and have exact ANSI-SQL equivalents
+  * (used by the DuckDB oracle in [[graft.SparkEntry.oracleSql]]).
+  */
+object TextOps {
+
+  /** Lower-cased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count: word tokens + digit runs + punctuation marks
+    * each count as one unit — a cheap, deterministic proxy for an LLM
+    * tokenizer's behavior on ASCII text.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  // Marker stopwords per language for the n-gram/stopword language-ID
+  // heuristic. Deliberately small so the identical regex runs in the oracle.
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|for)\\b",
+    "fr" -> "\\b(le|la|les|et|des|une|est|dans)\\b",
+    "de" -> "\\b(der|die|und|das|ist|nicht|mit|ein)\\b",
+    "es" -> "\\b(el|los|las|y|es|en|una|por)\\b")
+
+  private def markerHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  /** Heuristic language ID: count stopword-marker hits per language, pick the
+    * max (ties resolved in [[langMarkers]] declaration order), `und` when no
+    * marker fires. O(1) per row, codegen'd, no dictionary broadcast needed.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, p) => l -> markerHits(text, p) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), other) =>
+      when(best > 0 && s === best, lit(l)).otherwise(other)
+    }
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", ""))).cast("double")
+        / length(text))
+
+  /** Type/token ratio — fraction of distinct tokens (repetition detector). */
+  def distinctTokenRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(size(array_distinct(tokens(text))).cast("double") / n)
+  }
+
+  /** Composite document quality score in [0,1]:
+    * length saturation + lexical diversity + low punctuation noise.
+    * Mirrors the usual pretraining-corpus quality gates; weights are fixed so
+    * the oracle SQL reproduces the value bit-for-bit (then rounded).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    round(lenScore * 0.4 + distinctTokenRatio(text) * 0.4 + (lit(1.0) - punctRatio(text)) * 0.2, 4)
+  }
+
+  /** Canonical-form document fingerprint: md5 over the sorted distinct token
+    * set. Word-order / duplication insensitive — the standard "same bag of
+    * words" exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Character n-gram shingles (distinct, for MinHash / Jaccard). */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    when(length(norm) < n, array(norm)).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), length(norm) - n),
+        i => norm.substr(i + 1, lit(n)))))
+  }
+
+  /** Word n-gram shingles (distinct), joined with '\u0001'. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws("\u0001", toks))).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws("\u0001", slice(toks, i + 1, lit(n))))))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, expressed as Catalyst
+  * higher-order functions (`transform`/`zip_with`/`aggregate`) so everything
+  * stays codegen'd and columnar — no UDF serialization per row.
+  *
+  * Arithmetic is done in DOUBLE with strict left-to-right accumulation so the
+  * DuckDB oracle (`list_sum(list_transform(...))`) reproduces results exactly.
+  */
+object VectorOps {
+
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Pre-normalize embeddings once (`vec / ||vec||`) so that cosine becomes a
+    * plain dot product — at 100 TB you normalize at ingest, not per-pair.
+    */
+  def normalized(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(d(a), x => x / n)
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k most similar
+    * rows of `corpus` (self-matches excluded).
+    *
+    * Scale path: `queries` is broadcast (it is the small side by
+    * construction), so the corpus is scanned exactly once with no shuffle —
+    * the only wide operation is the per-query top-k, which AQE handles as an
+    * aggregation over `numQueries × corpusPartitions` partial heaps.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH, seeded so plans are
+    * reproducible across runs/executors.
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: `bits` random hyperplanes → one int bucket key.
+    * Built from literal arrays + `zip_with`, so the signature is computed
+    * by codegen'd expressions, and the subsequent candidate join is a plain
+    * shuffle-on-bucket equi-join — the 100 TB-safe ANN layout (IVF-style:
+    * compare only within buckets).
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      val proj = aggregate(zip_with(d(vec), planeCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k. Multi-probe via several independent
+    * bucket functions (bands); a candidate pair is scored iff the two vectors
+    * share at least one band bucket. Recall/cost tradeoff = bands × bits.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      bands: Int = 4, bits: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bandPlanes = (0 until bands).map(b => hyperplanes(dim, bits, seed = 42L + b))
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
+      val bucketed = bandPlanes.zipWithIndex.foldLeft(df) { case (acc, (planes, i)) =>
+        acc.withColumn(s"b_$i", lshBucket(col(vec), planes))
+      }
+      bucketed.select(
+        col(id), col(vec),
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("band"), col(s"b_$i").as("bucket"))): _*)).as("bb"))
+        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+    }
+    val q = withBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")), "query_id", "q_vec")
+    val c = withBuckets(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")), "neighbor_id", "c_vec")
+    val candidates = c.join(q, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_vec", "neighbor_id", "c_vec")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+}

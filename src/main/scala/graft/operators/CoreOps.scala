@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's convertor jobs (SURVEY §2.3, C1–C9) re-expressed as
+  * declarative DataFrame transformations.
+  *
+  * Design stance: each operator is a *plan fragment*, not a stream stage.
+  * The reference pipes record-at-a-time JS through a single thread
+  * (`/root/reference/jobs/convertors/`); here each op contributes to one
+  * Catalyst plan, so filters commute with projections, predicates push to
+  * the scan, and blocking ops (sort/agg/distinct) run distributed with
+  * spill — behaviors the reference's in-heap buffers can't provide
+  * (`/root/reference/jobs/convertors/job-sorter.js:47-49`).
+  */
+object CoreOps {
+
+  /** C1 `Filter` (`job-filter.js:10-16`): predicate expressed as a Column
+    * (or SQL string) so Catalyst can push it into the scan.
+    */
+  def filterOp(df: DataFrame, predicate: Column): DataFrame = df.filter(predicate)
+  def filterOp(df: DataFrame, predicate: String): DataFrame = df.filter(expr(predicate))
+
+  /** C2 `Mapper` (`job-mapper.js:15-17`): 1:1 projection/transform. */
+  def mapper(df: DataFrame, projections: (String, Column)*): DataFrame =
+    df.select(projections.map { case (n, c) => c.as(n) }: _*)
+
+  /** C3 `Thru` — stateless 1:N case (`job-thru.js:17-53` used as a flatMap,
+    * e.g. unnesting `data.mapping[]`, `examples/bor-dwc.js:91-100`):
+    * explode an array-valued expression into rows.
+    */
+  def flatMapExplode(df: DataFrame, arrayExpr: Column, as: String): DataFrame =
+    df.withColumn(as, explode(arrayExpr))
+
+  /** C3 `Thru` — inject-synthetic-rows case (`examples/bor-dwc.js:45-63`
+    * pushes hand-built parent/category records ahead of the stream):
+    * a union of a derived/literal DataFrame. Order is irrelevant in a
+    * relational plan; consumers that need the synthetic rows "first"
+    * declare an order column.
+    */
+  def injectRows(df: DataFrame, synthetic: DataFrame): DataFrame = df.unionByName(synthetic)
+
+  /** C4 `Reducer` (`job-reducer.js:17-59`): keyed fold → one output row per
+    * key. The reference mutates one in-heap dictionary on a single thread;
+    * here it is hash aggregation with map-side partials and spill.
+    */
+  def reducer(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** C5 `Sorter` (`job-sorter.js:17-58`): total order by sort keys.
+    * The reference buffers the entire stream in heap; this is a distributed
+    * range-partitioned sort. Arbitrary comparator functions are deliberately
+    * unsupported (SURVEY §2.3 C5) — callers declare sort-key expressions.
+    */
+  def sorter(df: DataFrame, keys: Column*): DataFrame = df.orderBy(keys: _*)
+
+  /** C6 `Uniquer` (`job-uniquer.js:15-26`): distinct by derived key.
+    * The reference's keep-FIRST is defined by single-threaded arrival order
+    * (and is O(n²)); distributed keep-first requires an explicit order
+    * (SURVEY §7.4.2), so this variant takes order columns and keeps, per
+    * key, the row minimal under that order — via `min_by` on a packed
+    * struct, one hash aggregation, no window shuffle.
+    */
+  def uniquerKeepFirst(df: DataFrame, key: Seq[String], order: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(order.map(col): _*)
+    df.groupBy(key.map(col): _*)
+      .agg(min_by(payload, ord).as("__first"))
+      .select(col("__first.*"))
+  }
+
+  /** C6 `Uniquer`, order-insensitive variant: plain distinct on the key. */
+  def uniquer(df: DataFrame, key: String*): DataFrame = df.dropDuplicates(key)
+
+  /** C7 `Array2Map` (`job-array2map.js:22-52`): array<struct> field → map
+    * keyed by `idKey`, with the reference's value-collapse rule
+    * (`:34-43`): zero non-id fields → null, one → that scalar, else the
+    * remaining struct. The collapse arity is static in the schema, so it is
+    * resolved at plan time, not per row.
+    */
+  def array2map(df: DataFrame, field: String, as: String, idKey: String = "id"): DataFrame = {
+    val elemType = df.schema(field).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val others = elemType.fieldNames.filterNot(_ == idKey)
+    val valueOf: Column => Column = others.toSeq match {
+      case Seq()  => _ => lit(null)
+      case Seq(f) => x => x.getField(f)
+      case fs     => x => struct(fs.map(f => x.getField(f).as(f)): _*)
+    }
+    df.withColumn(as, map_from_entries(
+      transform(col(field), x => struct(x.getField(idKey), valueOf(x)))))
+  }
+
+  /** C8 `Map2Array` (`job-map2array.js:23-44`): map field → array of
+    * `{idKey, valueKey}` structs.
+    */
+  def map2array(df: DataFrame, field: String, as: String,
+                idKey: String = "id", valueKey: String = "value"): DataFrame =
+    df.withColumn(as, transform(map_entries(col(field)),
+      e => struct(e.getField("key").as(idKey), e.getField("value").as(valueKey))))
+
+  /** C9 `Nothing` (`job-nothing.js:10-12`): black-hole terminal — the plan
+    * is fully executed (useful for benchmarks/side-effect observation)
+    * but nothing is materialized.
+    */
+  def nothing(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+
+  /** Spy (`jobs/job.js:202-210`): observe row count + named metrics without
+    * a second pass, via `Dataset.observe` — the metric is collected by a
+    * QueryExecutionListener or `Observation` on the driver.
+    */
+  def spy(df: DataFrame, name: String, metrics: Seq[Column] = Nil): DataFrame =
+    df.observe(name, count(lit(1)).as("rows"), metrics: _*)
+}

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Corpus deduplication at pretraining scale — the north-star extension of
+  * the reference's `Uniquer` (SURVEY §7.5). Five tiers, cheapest first:
+  *
+  *  1. exact       — hash-groupBy on a canonical fingerprint
+  *  2. MinHash/LSH — shingle → minhash signature → banded buckets →
+  *                   candidate join → exact-Jaccard verify
+  *  3. SimHash     — 64-bit signature, near-dups by Hamming distance
+  *  4. n-gram Jaccard — exact set similarity on candidate pairs
+  *  5. embedding cosine — semantic near-dups via sign-LSH buckets
+  *
+  * Every tier is expressions + one keyed shuffle; nothing collects to the
+  * driver, so each scales linearly with executors. Signatures/bands are
+  * computed with Spark's codegen'd `hash`/`xxhash64` — no UDFs.
+  */
+object Dedup {
+
+  /** Spread a small-file input across the cluster before CPU-heavy narrow
+    * compute (signatures). A single parquet file arrives as one partition;
+    * the shuffle is pennies next to the per-row kernel work. No-op when the
+    * source is already split (the 100 TB case).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Tier 1: exact dedup on a canonical text fingerprint; keeps the row with
+    * the smallest `orderCol` per duplicate group (deterministic keep-first,
+    * cf. SURVEY §7.4.2).
+    */
+  def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val all = struct(df.columns.map(col) :+ col("__fp"): _*)
+    keyed.groupBy(col("__fp"))
+      .agg(min_by(all, col(orderCol)).as("__keep"), count(lit(1)).as("dup_count"))
+      .select(col("__keep.*"), col("dup_count"))
+      .drop("__fp")
+  }
+
+  // --- Tier 2: MinHash + LSH ------------------------------------------------
+
+  /** MinHash signature over murmur3 shingle hashes. The string hashes are a
+    * single `transform` pass; the `numHashes` permutations + minima run in
+    * the native [[graft.functions.MinHashSig]] kernel (a
+    * `array(k × array_min(transform(...)))` formulation re-evaluates the
+    * lambda pipeline k times interpreted — measured minutes vs. seconds).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.MinHashSig.minhashSig(
+      transform(shingles, s => hash(s).cast("long")), numHashes, seed)
+
+  /** Candidate near-duplicate pairs by banded LSH over minhash signatures.
+    * bands×rows = numHashes; a pair is a candidate iff some band matches.
+    * Returns (id_a, id_b, jaccard_est ∈ [0,1]) with id_a < id_b, where
+    * jaccard_est is the fraction of matching minhashes — the unbiased
+    * Jaccard estimator.
+    *
+    * Plan shape at scale (the 100 TB-safe layout):
+    *  1. signatures are a narrow per-row projection;
+    *  2. only (band, bandHash, id) triples — never the signature arrays —
+    *     go through the wide bucket aggregation, so shuffle volume is
+    *     O(rows × bands × 16 bytes);
+    *  3. buckets larger than `maxBucketSize` are *dropped* (a bucket that
+    *     big means boilerplate/degenerate content whose pair set is
+    *     quadratic; standard practice is to skip, not explode);
+    *  4. candidate pairs are generated inside each bucket and deduped, and
+    *     only then are the two signatures joined back for the estimate.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 5, numHashes: Int = 128,
+                        bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    // the signature relation feeds three plan branches (banding + both pair
+    // sides); persist so the kernel runs once per row, not once per branch
+    val sig = spread(df).select(
+      col(idCol).as("id"),
+      minhashSignature(TextOps.charShingles(col(textCol), shingleLen), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val pairs = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sigA = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+                  lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .select("id_a", "id_b", "jaccard_est")
+  }
+
+  /** Tier 2 end-to-end: candidates whose *exact* shingle-set Jaccard clears
+    * `threshold` (LSH proposes, exact verifies — no false positives). The
+    * estimate pre-filters candidates (est ≥ threshold − 0.15) so the
+    * expensive shingle-set join only sees plausible pairs.
+    */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleLen: Int = 5,
+                        numHashes: Int = 128, bands: Int = 16,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes, bands, maxBucketSize)
+      .filter(col("jaccard_est") >= threshold - 0.15)
+    val sh = spread(df).select(col(idCol).as("id"), TextOps.charShingles(col(textCol), shingleLen).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", ngramJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard", "jaccard_est")
+  }
+
+  // --- Tier 3: SimHash ------------------------------------------------------
+
+  /** 64-bit SimHash over the token set, pure expressions: per token take
+    * xxhash64, then for each bit accumulate ±1 across tokens and keep the
+    * sign. One explode + one hash aggregation (64 sums) per document set.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val sums = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using the
+    * pigeonhole trick: split the 64-bit signature into `maxHamming+1` blocks;
+    * any pair within distance must agree on ≥1 block → block equality is the
+    * LSH bucket key (single equi-join shuffle, no O(n²) compare).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sig = simhash64(df, idCol, textCol)
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until blocks).map { b =>
+        struct(lit(b).as("blk"),
+          col("simhash").cast("long") // stable
+            .bitwiseAND(lit(((1L << width) - 1) << (b * width))).as("key"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.blk"), col("bb.key"))
+    val l = banded.select(col("blk"), col("key"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("blk"), col("key"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // --- Tier 4: exact n-gram Jaccard ----------------------------------------
+
+  /** Exact Jaccard similarity of two (distinct) shingle arrays. */
+  def ngramJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    round(when(union === 0, 0.0).otherwise(inter / union), 4)
+  }
+
+  /** Pairwise n-gram Jaccard over a *bounded candidate set* (e.g. the output
+    * of [[minhashCandidates]], or a blocked subset). Exposed standalone for
+    * small-N exact audits; at scale always feed LSH candidates instead of
+    * the cross join.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                        threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), n).as("sh"))
+    val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("jaccard", ngramJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- Tier 5: embedding cosine near-dup -----------------------------------
+
+  /** Semantic near-dup pairs: cosine ≥ threshold, candidates from sign-LSH
+    * buckets (see [[graft.functions.VectorOps.lshBucket]]) so the join is
+    * bucket-equi, not O(n²).
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double, bands: Int = 6, bits: Int = 10): DataFrame = {
+    import graft.functions.VectorOps
+    val bandPlanes = (0 until bands).map(b => VectorOps.hyperplanes(dim, bits, 42L + b))
+    val withB = bandPlanes.zipWithIndex.foldLeft(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))) {
+      case (acc, (planes, i)) => acc.withColumn(s"b_$i", VectorOps.lshBucket(col("vec"), planes))
+    }
+    // ids-only through the bucket aggregation (see minhashCandidates);
+    // vectors are joined back per deduped pair, not shuffled per bucket row
+    val banded = withB.select(col("id"),
+      explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"), col(s"b_$i").as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 10000))
+    val pairs = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos_sim", round(VectorOps.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's hi-order join operators (SURVEY §2.4) as Catalyst joins.
+  */
+object Joins {
+
+  /** H1 `Joiner` (`/root/reference/jobs/hi-order/job-joiner.js:35-102`):
+    * enrich each record from one or more small "vocab" datasets.
+    *
+    * The reference drains every vocab into an in-heap JS map and does a
+    * per-record lookup; the Spark-native equivalent is a broadcast hash
+    * left-outer join — same left-outer pass-through semantics (a miss keeps
+    * the record, `job-joiner.js:93-97`), but the build side is shipped once
+    * per executor instead of living on one thread, and Catalyst may also
+    * choose shuffled-hash if a "vocab" turns out huge.
+    */
+  def enrich(df: DataFrame, vocab: DataFrame, leftKey: Column, vocabKey: Column,
+             select: Seq[Column] = Nil): DataFrame = {
+    val joined = df.join(broadcast(vocab), leftKey === vocabKey, "left")
+    if (select.isEmpty) joined else joined.select(select: _*)
+  }
+
+  /** H1 with several vocabs: chained broadcast joins (the reference exposes
+    * N vocab maps in one context, `job-joiner.js:49-68`).
+    */
+  def enrichAll(df: DataFrame, vocabs: Seq[(DataFrame, Column)]): DataFrame =
+    vocabs.foldLeft(df) { case (acc, (v, cond)) => acc.join(broadcast(v), cond, "left") }
+
+  /** H2 `JoinDetail` (`/root/reference/jobs/hi-order/job-join-detail.js:55-117`)
+    * for relational detail sources: attach to each master row the full set of
+    * matching detail rows.
+    *
+    * The reference re-executes the detail source once per master row,
+    * sequentially. Here the detail side is aggregated once
+    * (`collect_list(struct(*))`) and joined — one shuffle on the key instead
+    * of N correlated scans; a master with no details gets an empty array
+    * (mirrors the reference's pass-through on detail error,
+    * `job-join-detail.js:92-96`).
+    */
+  def joinDetail(master: DataFrame, detail: DataFrame,
+                 masterKey: String, detailKey: String,
+                 as: String = "details"): DataFrame = {
+    val packed = detail
+      .groupBy(col(detailKey))
+      .agg(collect_list(struct(detail.columns.map(col): _*)).as(as))
+    master
+      .join(packed, master(masterKey) === packed(detailKey), "left")
+      .drop(packed(detailKey))
+      .withColumn(as, coalesce(col(as), array()))
+  }
+
+  /** H2 for *external* (per-row API) detail sources: a distributed correlated
+    * fetch. `fetchDetails` runs once per master row inside `mapPartitions`,
+    * so connections/rate-limiters are amortized per partition (the
+    * scale-safe shape for the reference's per-row HTTP fetches,
+    * `examples/trud.js:55`). The transport is injected — tests use a local
+    * function; production would use an HTTP client pool.
+    */
+  def joinDetailExternal[K, M, D](
+      master: org.apache.spark.sql.Dataset[M],
+      keyOf: M => K,
+      fetchDetails: K => Seq[D])(
+      implicit enc: org.apache.spark.sql.Encoder[(M, Seq[D])])
+      : org.apache.spark.sql.Dataset[(M, Seq[D])] =
+    master.mapPartitions { rows =>
+      // one client / rate-limit domain per partition
+      rows.map(m => (m, fetchDetails(keyOf(m))))
+    }
+}

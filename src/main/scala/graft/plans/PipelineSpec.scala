@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative pipeline specs — the engine's equivalent of the reference's
+  * persisted Job documents and Pipeline chains
+  * (`/root/reference/jobs/job.js:21-39`,
+  * `/root/reference/jobs/hi-order/job-pipeline.js:16-20`).
+  *
+  * A `PipelineSpec` is a DAG of named nodes; each node is one `OpSpec` (the
+  * sealed-trait analogue of the reference's `type` discriminator). Row logic
+  * is SQL expression strings compiled by Catalyst — never an embedded
+  * interpreter (the reference `vm`-evals user JS,
+  * `/root/reference/jobs/job.js:124-150`; we deliberately replace that with
+  * expressions so the optimizer can see through every op).
+  *
+  * Parameters: `{%name%}` placeholders inside expression/path strings are
+  * substituted at compile time from the run's arg map — the reference's
+  * template mechanism (`/root/reference/utils.js:145-172`).
+  *
+  * Compilation builds ONE DataFrame chain per sink, so Catalyst optimizes the
+  * whole pipeline globally — filters written late in a spec still push down
+  * to the scan, which the reference could never do (SURVEY §4).
+  */
+sealed trait OpSpec
+
+/** Sources. `format`: parquet|json|ndjson|csv|xml. */
+case class SourceSpec(format: String, path: String,
+                      options: Map[String, String] = Map.empty,
+                      rootNode: String = "") extends OpSpec
+/** Reference a previously-defined node by name (sub-pipeline / side input). */
+case class RefSpec(name: String) extends OpSpec
+/** C1: SQL predicate. */
+case class FilterSpec(input: OpSpec, predicate: String) extends OpSpec
+/** C2: projections as (outputName, sqlExpr). */
+case class MapSpec(input: OpSpec, projections: Seq[(String, String)]) extends OpSpec
+/** Add/replace single columns, keep the rest. */
+case class WithColumnsSpec(input: OpSpec, columns: Seq[(String, String)]) extends OpSpec
+/** C3 (stateless): explode arrayExpr into `as`. */
+case class ExplodeSpec(input: OpSpec, arrayExpr: String, as: String) extends OpSpec
+/** C4: groupBy + aggregate, both as SQL exprs (aggs are (name, expr)). */
+case class AggSpec(input: OpSpec, keys: Seq[String], aggs: Seq[(String, String)]) extends OpSpec
+/** C5: ORDER BY exprs ("col desc" supported). */
+case class SortSpec(input: OpSpec, keys: Seq[String]) extends OpSpec
+/** C6: distinct by key; keep-first under `order` when given. */
+case class DistinctSpec(input: OpSpec, keys: Seq[String], order: Seq[String] = Nil) extends OpSpec
+/** Limit (the reference's spy-driven early stop, `jobs/job.js:202-210`). */
+case class LimitSpec(input: OpSpec, n: Int) extends OpSpec
+/** H1: left-broadcast enrich join on an equality key pair. */
+case class JoinSpec(input: OpSpec, vocab: OpSpec, leftKey: String, rightKey: String,
+                    joinType: String = "left", broadcastVocab: Boolean = true) extends OpSpec
+/** H2 (relational): attach matching detail rows as an array column. */
+case class JoinDetailSpec(master: OpSpec, detail: OpSpec,
+                          masterKey: String, detailKey: String,
+                          as: String = "details") extends OpSpec
+/** Union of branches (reference: folder concat / injected rows). */
+case class UnionSpec(inputs: Seq[OpSpec]) extends OpSpec
+
+/** A named-node pipeline: `nodes` define the DAG, `out` names the result. */
+case class PipelineSpec(nodes: Seq[(String, OpSpec)], out: String)
+
+object PipelineCompiler {
+
+  /** `{%name%}` template substitution (reference `utils.js:145-172`). */
+  def substitute(s: String, params: Map[String, String]): String =
+    params.foldLeft(s) { case (acc, (k, v)) => acc.replace(s"{%$k%}", v) }
+
+  def compile(spec: PipelineSpec, spark: SparkSession,
+              params: Map[String, String] = Map.empty): DataFrame = {
+    val resolved = scala.collection.mutable.Map.empty[String, DataFrame]
+    def sub(s: String) = substitute(s, params)
+
+    def build(op: OpSpec): DataFrame = op match {
+      case SourceSpec(format, path, options, rootNode) =>
+        val p = sub(path)
+        format match {
+          case "parquet" => spark.read.options(options).parquet(p)
+          case "ndjson"  => graft.sources.Readers.jsons(spark, p)
+          case "json"    => graft.sources.Readers.json(spark, p, rootNode)
+          case "csv"     => spark.read.options(options).csv(p)
+          case "xml"     => spark.read.options(options).format("xml").load(p)
+          case other     => spark.read.options(options).format(other).load(p)
+        }
+      case RefSpec(name) =>
+        resolved.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"broken chain: node '$name' not defined before use")) // cf. job-pipeline.js:159
+      case FilterSpec(in, pred) => build(in).filter(expr(sub(pred)))
+      case MapSpec(in, projs) =>
+        build(in).select(projs.map { case (n, e) => expr(sub(e)).as(n) }: _*)
+      case WithColumnsSpec(in, cols) =>
+        cols.foldLeft(build(in)) { case (df, (n, e)) => df.withColumn(n, expr(sub(e))) }
+      case ExplodeSpec(in, arr, as) => build(in).withColumn(as, explode(expr(sub(arr))))
+      case AggSpec(in, keys, aggs) =>
+        val aggCols = aggs.map { case (n, e) => expr(sub(e)).as(n) }
+        build(in).groupBy(keys.map(k => expr(sub(k))): _*).agg(aggCols.head, aggCols.tail: _*)
+      case SortSpec(in, keys) =>
+        build(in).orderBy(keys.map(k => expr(sub(k))): _*)
+      case DistinctSpec(in, keys, order) =>
+        val df = build(in)
+        if (order.isEmpty) df.dropDuplicates(keys)
+        else graft.operators.CoreOps.uniquerKeepFirst(df, keys, order)
+      case LimitSpec(in, n) => build(in).limit(n)
+      case JoinSpec(in, vocab, lk, rk, jt, bcast) =>
+        val l = build(in); val r0 = build(vocab)
+        val r = if (bcast) broadcast(r0) else r0
+        l.join(r, l(sub(lk)) === r(sub(rk)), jt)
+      case JoinDetailSpec(m, d, mk, dk, as) =>
+        graft.operators.Joins.joinDetail(build(m), build(d), sub(mk), sub(dk), as)
+      case UnionSpec(ins) => ins.map(build).reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+    spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }
+    resolved.getOrElse(spec.out,
+      throw new IllegalArgumentException(s"broken chain: output node '${spec.out}' undefined"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Sink connectors (SURVEY §2.5). The reference writes to `file:`/`http:`/
+  * `mongodb:` URLs (`/root/reference/utils.js:15-59`); here file-system
+  * sinks are Spark-native writers (distributed, atomic via job commit) and
+  * push-style sinks (HTTP/Mongo-like) are `foreachPartition` with an
+  * injected transport — one connection per partition, the scale-safe shape.
+  */
+object Writers {
+
+  /** W2 `WriterJSONS` (`job-writer-jsons.js:17-38`): NDJSON out. The
+    * reference strips embedded newlines per record (`:33`); Spark's JSON
+    * writer never emits raw newlines inside a record (they are escaped),
+    * so semantics hold by construction.
+    */
+  def ndjson(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "error").json(path)
+
+  /** W1 `WriterJSON` (`job-writer-json.js:19-45`): the whole result as ONE
+    * JSON array in ONE file. Single-file output is inherently a 1-writer
+    * operation — acceptable for vocab-sized results (the reference's use);
+    * large results should use [[ndjson]]/parquet. Records are concatenated
+    * in the order of `orderBy` if the caller sorted, else partition order.
+    */
+  def jsonArray(df: DataFrame, file: String): Unit = {
+    val json = df.toJSON.coalesce(1)
+    val it = json.toLocalIterator()
+    val w = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.FileWriter(file)))
+    try {
+      w.print("[")
+      var first = true
+      while (it.hasNext) {
+        if (!first) w.print(", ")
+        w.print(it.next()); first = false
+      }
+      w.print("]")
+    } finally w.close()
+  }
+
+  /** Parquet sink — the engine's preferred at-scale format (columnar,
+    * predicate-pushdown-able, splittable); optional partition columns for
+    * downstream partition pruning.
+    */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Push sink (HTTP POST / Mongo insert / ...): batches of serialized
+    * records handed to an injected `post` transport, per partition. Batches
+    * bound memory; the transport owns retry/auth. Offline tests inject an
+    * accumulator-backed poster.
+    */
+  def push(df: DataFrame, batchSize: Int, post: Seq[String] => Unit): Unit =
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      it.grouped(batchSize).foreach(post)
+    }
+
+  /** Noop sink (C9 `Nothing`, `job-nothing.js:10-12`) — executes the full
+    * plan, materializes nothing; used by benchmarks.
+    */
+  def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** R4 `ReaderPaged` (`/root/reference/jobs/readers/job-reader-paged.js:80-217`):
+  * a paginated source with mutable pagination state and engine-level
+  * termination rules:
+  *   - the URL/processor may end pagination by returning None (`:128-134`);
+  *   - a page yielding 0 rows twice in a row ends pagination (`:156-170`);
+  *   - state tracks page/offset/rows/totalRowsProcessed (`:92`).
+  *
+  * Spark shape: pagination is inherently sequential *control flow* but the
+  * *data* need not be — each fetched page parses into a DataFrame partition
+  * and pages union together, so downstream processing is fully distributed.
+  * For transports that support it (`fetchBatch`), N pages are pulled
+  * concurrently via a parallelized page index, which is the 1000-executor
+  * shape: the driver only issues page *numbers*, executors fetch bytes.
+  *
+  * The transport is injected (`fetch: PageState => Option[String]`), so unit
+  * tests and offline runs use local functions; an HTTP transport plugs in
+  * without touching the pagination semantics.
+  */
+object PagedSource {
+
+  /** Mutable pagination state, mirroring `job-reader-paged.js:92`. */
+  case class PageState(page: Int, offset: Long, limit: Int,
+                       lastPageRows: Long, totalRowsProcessed: Long)
+
+  /** Sequential paged read (faithful semantics).
+    *
+    * @param fetch    returns the raw payload for the state's page, or None to
+    *                 terminate (the "processor returned falsy URL" rule)
+    * @param parse    payload → DataFrame (the attached parser sub-job)
+    * @param maxPages hard safety bound
+    */
+  def read(spark: SparkSession,
+           fetch: PageState => Option[String],
+           parse: (SparkSession, String) => DataFrame,
+           limit: Int = 1000, maxPages: Int = 10000): DataFrame = {
+    var state = PageState(0, 0L, limit, -1L, 0L)
+    var emptyStreak = 0
+    var out: Option[DataFrame] = None
+    var done = false
+    while (!done && state.page < maxPages) {
+      fetch(state) match {
+        case None => done = true
+        case Some(payload) =>
+          val page = parse(spark, payload)
+          val rows = page.count()
+          if (rows == 0) {
+            emptyStreak += 1
+            if (emptyStreak >= 2) done = true // empty-page ×2 rule
+          } else {
+            emptyStreak = 0
+            out = Some(out.map(_.unionByName(page, allowMissingColumns = true)).getOrElse(page))
+          }
+          state = state.copy(page = state.page + 1, offset = state.offset + rows,
+                             lastPageRows = rows, totalRowsProcessed = state.totalRowsProcessed + rows)
+      }
+    }
+    out.getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Distributed paged read for random-access transports (page number →
+    * payload, total page count known or over-estimated): executors fetch
+    * pages in parallel with `spark.range`, empty/missing pages drop out.
+    * This is the scale path — the driver never touches payload bytes.
+    */
+  def readParallel(spark: SparkSession, numPages: Int,
+                   fetchPage: Int => Seq[String]): DataFrame = {
+    import spark.implicits._
+    val lines = spark.range(numPages.toLong)
+      .repartition(math.min(numPages, spark.sparkContext.defaultParallelism))
+      .as[Long]
+      .flatMap(p => fetchPage(p.toInt))
+    spark.read.option("mode", "DROPMALFORMED").json(lines)
+  }
+
+  /** Convenience NDJSON page parser (pages whose payload is NDJSON lines). */
+  def parseNdjson(spark: SparkSession, payload: String): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(payload.split("\n").toIndexedSeq.filter(_.nonEmpty))
+    spark.read.option("mode", "DROPMALFORMED").json(ds)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source connectors — the reference's reader/parser jobs (SURVEY §2.1–2.2)
+  * mapped onto Spark's native scan infrastructure so format decoding is
+  * vectorized and filters/projections push into the scan.
+  *
+  * URL model: the reference addresses everything by URL with `file:`,
+  * `http(s):`, `ftp:` schemes (`/root/reference/utils.js:78-121`). Here
+  * `file:` (and any Hadoop-FS scheme — `hdfs:`, `s3a:`, ...) goes straight
+  * to `spark.read`; non-FS transports (paginated HTTP) are handled by
+  * [[PagedSource]] with a pluggable transport.
+  */
+object Readers {
+
+  /** R1 `Reader` + format parsers: open a URL/path with an explicit format.
+    * `file:` URLs are normalized; glob patterns pass through (Spark lists
+    * them distributed).
+    */
+  def read(spark: SparkSession, url: String, format: String,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val path = if (url.startsWith("file:")) url.stripPrefix("file:") else url
+    spark.read.options(options).format(format).load(path)
+  }
+
+  /** R2 `ReaderJSON` (`job-reader-json.js:18-35`): JSON document(s) with a
+    * `rootNode` path selecting the record array, e.g. `data` or
+    * `results.vacancies`. Each element of the array becomes a row.
+    */
+  def json(spark: SparkSession, path: String, rootNode: String = ""): DataFrame = {
+    // multiLine handles "one big JSON document/array" files, the reference's
+    // input shape (vs NDJSON which is jsons()).
+    val raw = spark.read.option("multiLine", "true").json(path)
+    if (rootNode.isEmpty || rootNode == "*") raw
+    else {
+      val exploded = raw.select(explode(col(rootNode)).as("rec"))
+      exploded.select(col("rec.*"))
+    }
+  }
+
+  /** R3 `ReaderJSONS` (`job-reader-jsons.js:16-50`): NDJSON; malformed lines
+    * are skipped, mirroring the reference's warn-and-skip (`:42-44`).
+    */
+  def jsons(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mode", "DROPMALFORMED").json(path)
+
+  /** P1 `ParserCSV` (`job-parser-csv.js:18-27`): delimiter/escape/headers/
+    * encoding options, quote fixed to `"` like the reference (`:20`).
+    */
+  def csv(spark: SparkSession, path: String, delimiter: String = ",",
+          escape: String = "\"", headers: Boolean = false,
+          encoding: String = "UTF-8", inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("sep", delimiter).option("escape", escape).option("quote", "\"")
+      .option("header", headers.toString).option("encoding", encoding)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  /** P4 `ParserXML` (`job-parser-xml.js:15-17`): one row per `xmlNode`
+    * element — Spark 4 native XML source, `rowTag` ≡ the reference's
+    * `xmlNode` (default `item`).
+    */
+  def xml(spark: SparkSession, path: String, xmlNode: String = "item"): DataFrame =
+    spark.read.option("rowTag", xmlNode).format("xml").load(path)
+
+  /** R5 `ReaderFolder` (`job-reader-folder.js:72-206`): multi-file source =
+    * glob + optional filename predicate + a parser. Spark's distributed file
+    * listing replaces the sequential byte-concatenation; the filename
+    * predicate runs as an `input_file_name()` filter, which Spark can apply
+    * before decoding row groups.
+    */
+  def folder(spark: SparkSession, dir: String, glob: String, format: String,
+             options: Map[String, String] = Map.empty,
+             fileNamePredicate: Option[String => Boolean] = None): DataFrame = {
+    val base = spark.read.options(options)
+      .option("pathGlobFilter", glob).format(format).load(dir)
+    fileNamePredicate match {
+      case None => base
+      case Some(p) =>
+        val pred = udf((f: String) => p(f))
+        base.withColumn("__file", input_file_name())
+          .filter(pred(col("__file"))).drop("__file")
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Streaming capability extension (SURVEY §2.7). The reference is
+  * bounded-stream only; these transforms are written once and run on either
+  * a batch DataFrame or a `readStream` DataFrame — the batch run doubles as
+  * the exactness oracle for the streaming run.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregation. On a stream, add
+    * `withWatermark(tsCol, horizon)` upstream; the aggregation itself is
+    * identical (incremental state store vs. hash agg).
+    */
+  def tumblingAgg(df: DataFrame, tsCol: String, width: String,
+                  keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), width) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Run a batch DataFrame through Structured Streaming and return the
+    * result as a batch DataFrame: the input is staged to parquet, read back
+    * with `readStream`, transformed, run to completion against a memory
+    * sink. Proves the transform is streaming-legal (watermark + append
+    * mode) while staying locally testable.
+    */
+  def runAsStream(spark: SparkSession, input: DataFrame, stage: String,
+                  queryName: String, watermarkCol: String, watermarkDelay: String,
+                  outputMode: String = "complete")(
+                  transform: DataFrame => DataFrame): DataFrame = {
+    input.write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(input.schema).parquet(stage)
+      .withWatermark(watermarkCol, watermarkDelay)
+    // NB: bounded inputs + append mode would withhold windows the watermark
+    // never passes; "complete" emits the full result for oracle comparison.
+    val q = transform(stream).writeStream
+      .outputMode(outputMode).format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Sessionization (batch form): assign a session id per key where a gap
+    * of more than `gap` between consecutive events starts a new session.
+    * lag → new-session flag → running sum. Streaming form would use
+    * `session_window`; the batch form is the oracle-comparable one.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(byKey)
+    // micros-exact gap arithmetic (second-truncation would disagree with
+    // sub-second sources at the boundary)
+    val newSession = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("session_seq",
+      sum(newSession).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

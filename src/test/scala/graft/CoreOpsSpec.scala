@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Operator-level specs mirroring the reference's scenario list
+  * (`/root/reference/tests/jobs.js` — map/filter/uniq/sort/join/split/
+  * reduce/tree roundtrip), but with assertions.
+  */
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C1 filter keeps only matching rows") {
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "k")
+    val out = CoreOps.filterOp(df, col("k") === "a").collect()
+    assert(out.map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
+  test("C2 mapper projects and renames") {
+    val df = Seq((1, 10.0)).toDF("id", "v")
+    val out = CoreOps.mapper(df, "id2" -> (col("id") * 2), "v" -> col("v"))
+    assert(out.columns.toSeq == Seq("id2", "v"))
+    assert(out.head().getInt(0) == 2)
+  }
+
+  test("C4 reducer counts per key like the curator example") {
+    // tests/jobs.js:318-322 — count per curator
+    val df = Seq(("X", 1), ("X", 2), ("Y", 3)).toDF("curator", "v")
+    val out = CoreOps.reducer(df, Seq(col("curator")), Seq(count(lit(1)).as("n")))
+      .orderBy("curator").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("X", 2L), ("Y", 1L)))
+  }
+
+  test("C5 sorter total order") {
+    val df = Seq(3, 1, 2).toDF("id")
+    assert(CoreOps.sorter(df, col("id")).as[Int].collect().toSeq == Seq(1, 2, 3))
+  }
+
+  test("C6 uniquer keep-first picks row minimal under declared order") {
+    val df = Seq((1, 10, "first"), (1, 20, "second"), (2, 5, "only"))
+      .toDF("k", "ord", "tag")
+    val out = CoreOps.uniquerKeepFirst(df, Seq("k"), Seq("ord"))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("first", "only"))
+  }
+
+  test("C7/C8 array2map ∘ map2array roundtrips entries") {
+    val df = Seq((1, Seq(("a", 10), ("b", 20)))).toDF("id", "pairs")
+      .withColumn("pairs", expr("transform(pairs, x -> struct(x._1 as id, x._2 as value))"))
+    val m = CoreOps.array2map(df, "pairs", "m")
+    val back = CoreOps.map2array(m, "m", "arr")
+    val entries = back.select(explode(col("arr")).as("e"))
+      .select("e.id", "e.value").as[(String, Int)].collect().toMap
+    assert(entries == Map("a" -> 10, "b" -> 20))
+  }
+
+  test("C7 array2map collapse rule: zero other fields → null value") {
+    val df = Seq((1, Seq("x", "y"))).toDF("id", "ids")
+      .withColumn("ids", expr("transform(ids, x -> struct(x as id))"))
+    val m = CoreOps.array2map(df, "ids", "m")
+    val vals = m.select(expr("map_values(m)")).head().getSeq[Any](0)
+    assert(vals.forall(_ == null))
+  }
+
+  test("C7 array2map collapse rule: 2+ fields → struct value") {
+    val df = Seq((1, Seq(("k1", 1, "u")))).toDF("id", "xs")
+      .withColumn("xs", expr("transform(xs, x -> struct(x._1 as id, x._2 as a, x._3 as b))"))
+    val m = CoreOps.array2map(df, "xs", "m")
+    val v = m.select(expr("m['k1']")).head().getStruct(0)
+    assert(v.getInt(0) == 1 && v.getString(1) == "u")
+  }
+
+  test("H1 enrich join is left-outer (miss passes through)") {
+    val facts = Seq(("101", 1), ("999", 2)).toDF("kopuk", "v")
+    val vocab = Seq(("101", "Source 101")).toDF("aname", "adesc")
+    val out = Joins.enrich(facts, vocab, facts("kopuk"), vocab("aname"))
+    assert(out.count() == 2)
+    assert(out.filter(col("kopuk") === "999").head().isNullAt(2) ||
+           out.filter(col("kopuk") === "999").head().getAs[String]("adesc") == null)
+  }
+
+  test("H2 joinDetail attaches all details, empty array on miss") {
+    val master = Seq((1, "m1"), (2, "m2")).toDF("mk", "name")
+    val detail = Seq((1, "d1"), (1, "d2")).toDF("dk", "dname")
+    val out = Joins.joinDetail(master, detail, "mk", "dk")
+    val sizes = out.select(col("mk"), size(col("details")))
+      .as[(Int, Int)].collect().toMap
+    assert(sizes == Map(1 -> 2, 2 -> 0))
+  }
+
+  test("H3 routed split drops out-of-range routes like the reference") {
+    val dir = java.nio.file.Files.createTempDirectory("split").toString
+    val df = Seq(0, 1, 2, 3, 4, 5).toDF("id")
+    // route = id; validRoutes = 3 → ids 3..5 dropped (job-splitter.js:119-123)
+    Splitter.routedWrite(df, col("id"), dir, validRoutes = 3)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    assert(back.select("id").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("H3 multicast delivers every record to every receiver") {
+    val df = Seq(1, 2, 3).toDF("id")
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Splitter.multicast(df, Seq(d => counts += d.count(), d => counts += d.count()))
+    assert(counts.toSeq == Seq(3L, 3L))
+  }
+
+  test("spy observes row count without extra pass") {
+    val obs = new org.apache.spark.sql.Observation("spy_test")
+    val df = Seq(1, 2, 3).toDF("id").observe(obs, count(lit(1)).as("rows"))
+    df.write.format("noop").mode("overwrite").save()
+    assert(obs.get("rows") == 3L)
+  }
+}

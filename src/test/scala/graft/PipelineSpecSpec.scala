@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans._
+import graft.sources.PagedSource
+
+class PipelineSpecSpec extends SparkSpec {
+
+  test("spec compiles to one optimized plan with param substitution") {
+    val spec = PipelineSpec(nodes = Seq(
+      "li"  -> SourceSpec("parquet", "{%dir%}/lineitem.parquet"),
+      "f"   -> FilterSpec(RefSpec("li"), "l_quantity > {%minq%}"),
+      "agg" -> AggSpec(RefSpec("f"), Seq("l_returnflag"), Seq("n" -> "count(1)"))),
+      out = "agg")
+    val df = PipelineCompiler.compile(spec, spark, Map("dir" -> sf, "minq" -> "40"))
+    assert(df.columns.toSeq == Seq("l_returnflag", "n"))
+    assert(df.count() > 0)
+    // the filter must be pushed into the parquet scan by Catalyst
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"filter not pushed down:\n$physical")
+  }
+
+  test("broken chain (undefined ref) fails like job-pipeline.js:159") {
+    val spec = PipelineSpec(Seq("f" -> FilterSpec(RefSpec("nope"), "1=1")), "f")
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spec, spark)
+    }
+    assert(e.getMessage.contains("broken chain"))
+  }
+
+  test("join + keep-first distinct specs compose") {
+    val spec = PipelineSpec(nodes = Seq(
+      "o"    -> SourceSpec("parquet", s"$sf/orders.parquet"),
+      "c"    -> SourceSpec("parquet", s"$sf/customer.parquet"),
+      "j"    -> JoinSpec(RefSpec("o"), RefSpec("c"), "o_custkey", "c_custkey"),
+      "d"    -> DistinctSpec(RefSpec("j"), keys = Seq("o_custkey"), order = Seq("o_orderkey")),
+      "out"  -> MapSpec(RefSpec("d"), Seq("k" -> "o_custkey", "first" -> "o_orderkey"))),
+      out = "out")
+    val df = PipelineCompiler.compile(spec, spark)
+    assert(df.groupBy("k").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("paged source: empty-page-twice terminates, single empty resets") {
+    def page(p: Int, n: Int): String =
+      (0 until n).map(j => s"""{"id":${p * 10 + j}}""").mkString("\n")
+    var fetched = List.empty[Int]
+    val fetch: PagedSource.PageState => Option[String] = st => {
+      fetched = st.page :: fetched
+      st.page match {
+        case 0 | 1 => Some(page(st.page, 3))
+        case 2     => Some("")        // single empty: streak resets
+        case 3     => Some(page(3, 2))
+        case 4 | 5 => Some("")        // two in a row: terminate
+        case _     => Some(page(99, 5)) // must never be reached
+      }
+    }
+    val df = PagedSource.read(spark, fetch, PagedSource.parseNdjson _)
+    assert(df.count() == 8) // 3 + 3 + 2
+    assert(!fetched.contains(6), s"did not stop: $fetched")
+  }
+
+  test("paged source: fetch=None terminates immediately") {
+    val df = PagedSource.read(spark, _ => None, PagedSource.parseNdjson _)
+    assert(df.count() == 0)
+  }
+}

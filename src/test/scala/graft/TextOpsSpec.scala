@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Multimodal
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    Seq(text).toDF("t").select(c(col("t"))).head()
+
+  test("tokens drop empties, lowercase") {
+    val r = one("  Hello   WORLD  ", c => TextOps.tokens(c))
+    assert(r.getSeq[String](0) == Seq("hello", "world"))
+  }
+
+  test("langId picks marker-dominant language, und when none") {
+    assert(one("the cat and the dog is here", TextOps.langId(_)).getString(0) == "en")
+    assert(one("le chat et la maison est dans", TextOps.langId(_)).getString(0) == "fr")
+    assert(one("der hund und die katze ist", TextOps.langId(_)).getString(0) == "de")
+    assert(one("xyzzy plugh", TextOps.langId(_)).getString(0) == "und")
+  }
+
+  test("fingerprint is word-order and duplication insensitive") {
+    val a = one("b a c", TextOps.fingerprint(_)).getString(0)
+    val b = one("c  b  a a", TextOps.fingerprint(_)).getString(0)
+    val c = one("c b d", TextOps.fingerprint(_)).getString(0)
+    assert(a == b && a != c)
+  }
+
+  test("qualityScore in [0,1] for arbitrary strings (scalacheck gen)") {
+    val gen = org.scalacheck.Gen.listOfN(40,
+      org.scalacheck.Gen.frequency(
+        8 -> org.scalacheck.Gen.alphaNumChar,
+        2 -> org.scalacheck.Gen.oneOf(' ', '.', ',', '!', '\t', 'é', '漢')))
+      .map(_.mkString)
+    val samples = org.scalacheck.Gen.listOfN(50, gen)
+      .apply(org.scalacheck.Gen.Parameters.default,
+             org.scalacheck.rng.Seed(42L)).get.filter(_.trim.nonEmpty)
+    val qs = samples.toDF("t").select(TextOps.qualityScore(col("t")))
+      .collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0), qs.mkString(","))
+  }
+
+  test("charShingles covers the string with n-grams") {
+    val r = one("abcd", TextOps.charShingles(_, 3)).getSeq[String](0)
+    assert(r.toSet == Set("abc", "bcd"))
+  }
+
+  test("subwordCount counts words, digits, punct marks") {
+    // "it's 42!" → [it, ', s, 4, 2, !] = 6
+    assert(one("it's 42!", TextOps.subwordCount(_)).getInt(0) == 6)
+  }
+
+  test("multimodal: feature extraction preserves ids, stub features normalized") {
+    val media = Multimodal.asMedia(
+      Seq((7L, "hello world")).toDF("id", "txt")
+        .withColumn("bin", encode(col("txt"), "UTF-8")),
+      "id", "bin", "text").as[Multimodal.MediaRecord]
+    val f = Multimodal.extractFeatures(media).head()
+    assert(f.media_id == 7L)
+    assert(f.byte_len == 11)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-5)
+  }
+
+  test("multimodal: frame sampling produces stride-spaced frames") {
+    val df = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "bin")
+    val frames = Multimodal.sampleFrames(df, "id", "bin", frameBytes = 10, stride = 2)
+    val idxs = frames.select("frame_idx").as[Int].collect().sorted
+    assert(idxs.toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.select(length(col("frame"))).as[Int].collect().forall(_ == 10))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TreeOps
+
+/** P5/W3 tree flatten + rebuild (reference roundtrip test
+  * `/root/reference/tests/jobs.js:572-605`).
+  */
+class TreeOpsSpec extends SparkSpec {
+
+  val doc =
+    """{"id":"root","name":"All","children":[
+         {"id":"a","name":"A","children":[{"id":"a1","name":"A1"},{"id":"a2","name":"A2"}]},
+         {"id":"b","name":"B"}]}"""
+
+  test("flattenJson emits parent/level/mpath like job-tree-parser") {
+    val flat = TreeOps.flattenJson(spark, doc)
+    val rows = flat.select("id", "parent", "level", "mpath")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(rows == Set(
+      ("root", "", 0, "root"),
+      ("a", "root", 1, "root#a"),
+      ("a1", "a", 2, "root#a#a1"),
+      ("a2", "a", 2, "root#a#a2"),
+      ("b", "root", 1, "root#b")))
+  }
+
+  test("rebuildJson ∘ flattenJson preserves the id/parent structure") {
+    val flat = TreeOps.flattenJson(spark, doc)
+    val rebuilt = TreeOps.rebuildJson(flat)
+    val rootJson = rebuilt.filter(col("id") === "root").head().getString(1)
+    // reparse and reflatten: same node set
+    val reflat = TreeOps.flattenJson(spark, rootJson)
+    val a = flat.select("id", "parent", "level").collect().map(_.toSeq).toSet
+    val b = reflat.select("id", "parent", "level").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("rebuildJson: parentless nodes become roots (forward-ref tolerance)") {
+    import spark.implicits._
+    val flat = Seq(
+      ("x", "", 0, "x", """{"id":"x"}"""),
+      ("orphan", "missing", 0, "orphan", """{"id":"orphan"}"""))
+      .toDF("id", "parent", "level", "mpath", "payload")
+    val out = TreeOps.rebuildJson(flat)
+    assert(out.count() == 2) // both surface as roots at level 0
+  }
+}
