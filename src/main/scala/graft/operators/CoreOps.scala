@@ -41,6 +41,22 @@ object CoreOps {
     */
   def injectRows(df: DataFrame, synthetic: DataFrame): DataFrame = df.unionByName(synthetic)
 
+  /** C3 `Thru` — stateful sequential fidelity mode. The reference's Thru may
+    * keep cross-record mutable state and is order-dependent because it runs
+    * on one thread (`job-thru.js:17-53`; SURVEY §7.4.1). This variant
+    * reproduces those semantics exactly by folding a single partition —
+    * deliberately NOT distributed; callers at scale should reformulate as
+    * groupBy/window/union (see the other C3 mappings). The explicit
+    * `coalesce(1)` makes the sequential cost visible in the plan.
+    */
+  def thruStateful[T, S, U](ds: org.apache.spark.sql.Dataset[T], zero: S)(
+      step: (S, T) => (S, Seq[U]))(
+      implicit enc: org.apache.spark.sql.Encoder[U]): org.apache.spark.sql.Dataset[U] =
+    ds.coalesce(1).mapPartitions { it =>
+      var state = zero
+      it.flatMap { t => val (s2, out) = step(state, t); state = s2; out }
+    }
+
   /** C4 `Reducer` (`job-reducer.js:17-59`): keyed fold → one output row per
     * key. The reference mutates one in-heap dictionary on a single thread;
     * here it is hash aggregation with map-side partials and spill.
@@ -93,6 +109,12 @@ object CoreOps {
       transform(col(field), x => struct(x.getField(idKey), valueOf(x)))))
   }
 
+  /** C7 over several fields at once — the reference takes a comma-separated
+    * field list (`job-array2map.js:12-16`); each is converted in place.
+    */
+  def array2mapFields(df: DataFrame, fields: Seq[String], idKey: String = "id"): DataFrame =
+    fields.foldLeft(df)((acc, f) => array2map(acc, f, f, idKey))
+
   /** C8 `Map2Array` (`job-map2array.js:23-44`): map field → array of
     * `{idKey, valueKey}` structs.
     */
@@ -100,6 +122,13 @@ object CoreOps {
                 idKey: String = "id", valueKey: String = "value"): DataFrame =
     df.withColumn(as, transform(map_entries(col(field)),
       e => struct(e.getField("key").as(idKey), e.getField("value").as(valueKey))))
+
+  /** C8 over several fields in place (comma-list in the reference,
+    * `job-map2array.js`).
+    */
+  def map2arrayFields(df: DataFrame, fields: Seq[String],
+                      idKey: String = "id", valueKey: String = "value"): DataFrame =
+    fields.foldLeft(df)((acc, f) => map2array(acc, f, f, idKey, valueKey))
 
   /** C9 `Nothing` (`job-nothing.js:10-12`): black-hole terminal — the plan
     * is fully executed (useful for benchmarks/side-effect observation)

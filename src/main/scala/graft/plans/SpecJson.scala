@@ -1,0 +1,159 @@
+package graft.plans
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** JSON (de)serialization of pipeline specs — the analogue of the
+  * reference's persisted Job documents (`/root/reference/jobs/job.js:49-64`
+  * serialize/deserialize; mongoose storage). Specs are stored as plain JSON
+  * files/strings instead of MongoDB documents; the `op` field plays the
+  * reference's `type` discriminator role (`jobs/job.js:24`).
+  *
+  * Also exports the spec DAG as `{nodes, links}` for visualization — the
+  * reference's `getLinkedJobs` Sankey export
+  * (`/root/reference/jobs/hi-order/job-pipeline.js:108-151`).
+  */
+object SpecJson {
+
+  private val M = new ObjectMapper()
+
+  // --- serialization --------------------------------------------------------
+
+  private def pairs(n: ObjectNode, kvs: (String, String)*): Unit =
+    kvs.foreach { case (k, v) => n.put(k, v) }
+
+  private def opNode(op: OpSpec): ObjectNode = {
+    val n = M.createObjectNode()
+    op match {
+      case SourceSpec(format, path, options, root) =>
+        pairs(n, "op" -> "source", "format" -> format, "path" -> path, "rootNode" -> root)
+        val o = n.putObject("options"); options.foreach { case (k, v) => o.put(k, v) }
+      case RefSpec(name) => pairs(n, "op" -> "ref", "name" -> name)
+      case FilterSpec(in, p) => pairs(n, "op" -> "filter", "predicate" -> p); n.set[JsonNode]("input", opNode(in))
+      case MapSpec(in, projs) =>
+        n.put("op", "map"); n.set[JsonNode]("input", opNode(in))
+        val a = n.putArray("projections")
+        projs.foreach { case (k, e) => val o = a.addObject(); o.put("name", k); o.put("expr", e) }
+      case WithColumnsSpec(in, cols) =>
+        n.put("op", "withColumns"); n.set[JsonNode]("input", opNode(in))
+        val a = n.putArray("columns")
+        cols.foreach { case (k, e) => val o = a.addObject(); o.put("name", k); o.put("expr", e) }
+      case ExplodeSpec(in, arr, as) =>
+        pairs(n, "op" -> "explode", "arrayExpr" -> arr, "as" -> as); n.set[JsonNode]("input", opNode(in))
+      case AggSpec(in, keys, aggs) =>
+        n.put("op", "agg"); n.set[JsonNode]("input", opNode(in))
+        val k = n.putArray("keys"); keys.foreach(k.add)
+        val a = n.putArray("aggs")
+        aggs.foreach { case (nm, e) => val o = a.addObject(); o.put("name", nm); o.put("expr", e) }
+      case SortSpec(in, keys) =>
+        n.put("op", "sort"); n.set[JsonNode]("input", opNode(in))
+        val k = n.putArray("keys"); keys.foreach(k.add)
+      case DistinctSpec(in, keys, order) =>
+        n.put("op", "distinct"); n.set[JsonNode]("input", opNode(in))
+        val k = n.putArray("keys"); keys.foreach(k.add)
+        val o = n.putArray("order"); order.foreach(o.add)
+      case LimitSpec(in, m) => n.put("op", "limit"); n.put("n", m); n.set[JsonNode]("input", opNode(in))
+      case JoinSpec(in, vocab, lk, rk, jt, b) =>
+        pairs(n, "op" -> "join", "leftKey" -> lk, "rightKey" -> rk, "joinType" -> jt)
+        n.put("broadcastVocab", b); n.set[JsonNode]("input", opNode(in)); n.set[JsonNode]("vocab", opNode(vocab))
+      case JoinDetailSpec(m0, d, mk, dk, as) =>
+        pairs(n, "op" -> "joinDetail", "masterKey" -> mk, "detailKey" -> dk, "as" -> as)
+        n.set[JsonNode]("master", opNode(m0)); n.set[JsonNode]("detail", opNode(d))
+      case UnionSpec(ins) =>
+        n.put("op", "union"); val a = n.putArray("inputs"); ins.foreach(i => a.add(opNode(i)))
+    }
+    n
+  }
+
+  def toJson(spec: PipelineSpec): String = {
+    val root = M.createObjectNode()
+    val nodes = root.putArray("nodes")
+    spec.nodes.foreach { case (name, op) =>
+      val n = nodes.addObject(); n.put("name", name); n.set[JsonNode]("spec", opNode(op))
+    }
+    root.put("out", spec.out)
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  // --- deserialization ------------------------------------------------------
+
+  private def str(n: JsonNode, f: String, default: String = ""): String =
+    Option(n.get(f)).map(_.asText).getOrElse(default)
+  private def strs(n: JsonNode, f: String): Seq[String] =
+    Option(n.get(f)).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+  private def namedExprs(n: JsonNode, f: String): Seq[(String, String)] =
+    Option(n.get(f)).map(_.elements().asScala.map(e =>
+      str(e, "name") -> str(e, "expr")).toSeq).getOrElse(Nil)
+
+  private def parseOp(n: JsonNode): OpSpec = str(n, "op") match {
+    case "source" =>
+      val opts = Option(n.get("options")).map(o =>
+        o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+      SourceSpec(str(n, "format"), str(n, "path"), opts, str(n, "rootNode"))
+    case "ref"     => RefSpec(str(n, "name"))
+    case "filter"  => FilterSpec(parseOp(n.get("input")), str(n, "predicate"))
+    case "map"     => MapSpec(parseOp(n.get("input")), namedExprs(n, "projections"))
+    case "withColumns" => WithColumnsSpec(parseOp(n.get("input")), namedExprs(n, "columns"))
+    case "explode" => ExplodeSpec(parseOp(n.get("input")), str(n, "arrayExpr"), str(n, "as"))
+    case "agg"     => AggSpec(parseOp(n.get("input")), strs(n, "keys"), namedExprs(n, "aggs"))
+    case "sort"    => SortSpec(parseOp(n.get("input")), strs(n, "keys"))
+    case "distinct" => DistinctSpec(parseOp(n.get("input")), strs(n, "keys"), strs(n, "order"))
+    case "limit"   => LimitSpec(parseOp(n.get("input")), n.get("n").asInt)
+    case "join"    => JoinSpec(parseOp(n.get("input")), parseOp(n.get("vocab")),
+                        str(n, "leftKey"), str(n, "rightKey"), str(n, "joinType", "left"),
+                        Option(n.get("broadcastVocab")).forall(_.asBoolean))
+    case "joinDetail" => JoinDetailSpec(parseOp(n.get("master")), parseOp(n.get("detail")),
+                        str(n, "masterKey"), str(n, "detailKey"), str(n, "as", "details"))
+    case "union"   => UnionSpec(n.get("inputs").elements().asScala.map(parseOp).toSeq)
+    case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
+  }
+
+  def fromJson(json: String): PipelineSpec = {
+    val root = M.readTree(json)
+    val nodes = root.get("nodes").elements().asScala.map { n =>
+      str(n, "name") -> parseOp(n.get("spec"))
+    }.toSeq
+    PipelineSpec(nodes, str(root, "out"))
+  }
+
+  // --- DAG export -----------------------------------------------------------
+
+  /** `{nodes: [{id, type}], links: [{source, target}]}` — same consumer
+    * shape as the reference's d3/Sankey export (`tests/jobs.js:440-507`).
+    */
+  def dag(spec: PipelineSpec): String = {
+    val root = M.createObjectNode()
+    val nodes = root.putArray("nodes")
+    val links = root.putArray("links")
+    var anon = 0
+    def visit(op: OpSpec, selfId: String): Unit = {
+      def childId(child: OpSpec): String = child match {
+        case RefSpec(name) => name
+        case _ => { anon += 1; val id = s"${selfId}__in$anon"; visit(child, id); id }
+      }
+      def link(from: OpSpec): Unit = {
+        val l = links.addObject(); l.put("source", childId(from)); l.put("target", selfId)
+      }
+      val n = nodes.addObject(); n.put("id", selfId)
+      n.put("type", op.getClass.getSimpleName.stripSuffix("Spec").toLowerCase)
+      op match {
+        case _: SourceSpec | _: RefSpec =>
+        case FilterSpec(in, _) => link(in)
+        case MapSpec(in, _) => link(in)
+        case WithColumnsSpec(in, _) => link(in)
+        case ExplodeSpec(in, _, _) => link(in)
+        case AggSpec(in, _, _) => link(in)
+        case SortSpec(in, _) => link(in)
+        case DistinctSpec(in, _, _) => link(in)
+        case LimitSpec(in, _) => link(in)
+        case JoinSpec(in, vocab, _, _, _, _) => link(in); link(vocab)
+        case JoinDetailSpec(m, d, _, _, _) => link(m); link(d)
+        case UnionSpec(ins) => ins.foreach(link)
+      }
+    }
+    spec.nodes.foreach { case (name, op) => visit(op, name) }
+    root.put("out", spec.out)
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+}

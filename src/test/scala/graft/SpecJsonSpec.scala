@@ -1,0 +1,91 @@
+package graft
+
+import graft.plans._
+import graft.operators.CoreOps
+import graft.sinks.Writers
+import org.apache.spark.sql.functions._
+
+class SpecJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  val spec = PipelineSpec(nodes = Seq(
+    "li"   -> SourceSpec("parquet", "{%dir%}/lineitem.parquet"),
+    "f"    -> FilterSpec(RefSpec("li"), "l_quantity > 30"),
+    "part" -> SourceSpec("parquet", "{%dir%}/part.parquet"),
+    "j"    -> JoinSpec(RefSpec("f"), RefSpec("part"), "l_partkey", "p_partkey"),
+    "agg"  -> AggSpec(RefSpec("j"), Seq("p_brand"), Seq("n" -> "count(1)")),
+    "top"  -> LimitSpec(SortSpec(RefSpec("agg"), Seq("n desc")), 5)),
+    out = "top")
+
+  test("spec JSON roundtrip preserves the pipeline (persisted-job fidelity)") {
+    val json = SpecJson.toJson(spec)
+    val back = SpecJson.fromJson(json)
+    assert(back == spec)
+    // and the deserialized spec compiles + runs
+    val df = PipelineCompiler.compile(back, spark, Map("dir" -> sf))
+    assert(df.count() == 5)
+  }
+
+  test("unknown op discriminator fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      SpecJson.fromJson("""{"nodes":[{"name":"x","spec":{"op":"warp"}}],"out":"x"}""")
+    }
+    assert(e.getMessage.contains("warp"))
+  }
+
+  test("DAG export lists nodes and links like getLinkedJobs") {
+    val dag = SpecJson.dag(spec)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(dag)
+    val ids = m.get("nodes").elements()
+    val idSet = Iterator.continually(ids).takeWhile(_.hasNext).map(_.next.get("id").asText).toSet
+    assert(Set("li", "f", "part", "j", "agg", "top").subsetOf(idSet))
+    val links = m.get("links").elements()
+    val pairSet = Iterator.continually(links).takeWhile(_.hasNext)
+      .map(l => (l.next()))
+      .map(l => l.get("source").asText -> l.get("target").asText).toSet
+    assert(pairSet.contains("li" -> "f"))
+    assert(pairSet.contains("f" -> "j") && pairSet.contains("part" -> "j"))
+  }
+
+  test("thruStateful reproduces order-dependent cross-record state") {
+    import spark.implicits._
+    // running dictionary: emit each value with the count of distinct keys
+    // seen so far — inherently sequential (the reference's Thru idiom)
+    val ds = Seq(("a", 1), ("b", 2), ("a", 3)).toDS()
+    val out = CoreOps.thruStateful(ds, Set.empty[String]) { (seen, t) =>
+      val s2 = seen + t._1
+      (s2, Seq((t._2, s2.size)))
+    }.collect().toSeq
+    assert(out == Seq((1, 1), (2, 2), (3, 2)))
+  }
+
+  test("push sink delivers batched records through injected transport") {
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    // transports must be serializable-free: collect sizes via accumulator
+    val acc = spark.sparkContext.longAccumulator("pushed")
+    val batches = spark.sparkContext.longAccumulator("batches")
+    Writers.push(Seq(1, 2, 3, 4, 5).toDF("v").repartition(2), batchSize = 2, { batch =>
+      acc.add(batch.size); batches.add(1)
+    })
+    assert(acc.value == 5)
+    assert(batches.value >= 3) // 2 partitions, batch size 2
+  }
+
+  test("joinDetailExternal fetches per-master details inside partitions") {
+    import spark.implicits._
+    val masters = Seq(1, 2, 3).toDS()
+    val out = graft.operators.Joins.joinDetailExternal[Int, Int, String](
+      masters, identity, k => Seq.fill(k)(s"d$k"))
+    val sizes = out.collect().map { case (m, ds) => m -> ds.size }.toMap
+    assert(sizes == Map(1 -> 1, 2 -> 2, 3 -> 3))
+  }
+
+  test("multi-field array2map converts each listed field in place") {
+    val df = Seq((1, Seq(("a", 1)), Seq(("b", 2)))).toDF("id", "f1", "f2")
+      .withColumn("f1", expr("transform(f1, x -> struct(x._1 as id, x._2 as v))"))
+      .withColumn("f2", expr("transform(f2, x -> struct(x._1 as id, x._2 as v))"))
+    val out = CoreOps.array2mapFields(df, Seq("f1", "f2"))
+    assert(out.select(expr("f1['a']")).head().getInt(0) == 1)
+    assert(out.select(expr("f2['b']")).head().getInt(0) == 2)
+  }
+}

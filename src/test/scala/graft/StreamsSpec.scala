@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling agg (complete mode) matches the batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = events.groupBy(window(col("ts"), "1 hour")).count()
+      .select(col("window.start").as("ws"), col("count"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val stage = java.nio.file.Files.createTempDirectory("stream").toString
+    val streamed = Streams.runAsStream(spark, events, s"$stage/in", "t_complete", "ts", "1 minute") {
+      df => df.groupBy(window(col("ts"), "1 hour")).count()
+    }.select(col("window.start").as("ws"), col("count"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("append mode + watermark emits only closed windows (real streaming semantics)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val stage = java.nio.file.Files.createTempDirectory("stream2").toString
+    val appended = Streams.runAsStream(spark, events, s"$stage/in", "t_append", "ts",
+      "10 minutes", outputMode = "append") { df =>
+      df.groupBy(window(col("ts"), "1 hour")).count()
+    }
+    // windows whose end is beyond watermark (maxTs - 10min) must be withheld
+    val lastEmitted = appended.agg(max(col("window.end"))).head().getTimestamp(0)
+    assert(lastEmitted.getTime <= maxTs.getTime,
+      s"append mode leaked an unclosed window: $lastEmitted > $maxTs")
+    assert(appended.count() > 0)
+  }
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      (1L, at(0)), (1L, at(100)),        // session 1
+      (1L, at(2000)),                    // gap 1900s > 1800 → session 2
+      (1L, at(3800)),                    // gap 1800s, NOT > 1800 → still session 2
+      (2L, at(0))).toDF("user_id", "ts")
+    val out = Streams.sessionize(df, "user_id", "ts", 1800)
+      .groupBy("user_id").agg(max("session_seq").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+}
