@@ -150,7 +150,10 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
+    // both pair sides read the signature relation; persist so the
+    // explode+64-sum aggregation runs once
     val sig = simhash64(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), col("simhash"),
       explode(array((0 until blocks).map { b =>
         struct(lit(b).as("blk"),

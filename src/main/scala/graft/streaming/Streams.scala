@@ -44,6 +44,27 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup with custom keyed state
+    * (`flatMapGroupsWithState`): emits each key's record only the first time
+    * it is seen across the whole stream — the streaming form of the
+    * reference's Uniquer (C6). State per key is one boolean; with a real
+    * 100 TB stream you'd bound it with a state TTL
+    * (`GroupStateTimeout.ProcessingTimeTimeout`).
+    */
+  def streamingDedup[T](ds: org.apache.spark.sql.Dataset[T], key: T => String)(
+      implicit enc: org.apache.spark.sql.Encoder[T],
+      senc: org.apache.spark.sql.Encoder[String]): org.apache.spark.sql.Dataset[T] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, T](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+  }
+
   /** Sessionization (batch form): assign a session id per key where a gap
     * of more than `gap` between consecutive events starts a new session.
     * lag → new-session flag → running sum. Streaming form would use
