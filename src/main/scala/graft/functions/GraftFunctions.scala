@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.Bridge
+
+/** SQL registration of the engine's scalar function surface, so
+  * `spark.sql("SELECT lang_id(text) ...")` works alongside the Column API —
+  * the engine's equivalent of a built-in function library (the reference has
+  * none; every row computation is user JS, SURVEY §2.6).
+  *
+  * Implementation note: each SQL function is assembled by applying the
+  * existing Column-level builder to the call-site argument expressions via
+  * the Column↔Expression bridge — one definition serves both APIs.
+  */
+object GraftFunctions {
+
+  private def fn1(name: String, f: Column => Column): (String, Seq[Expression] => Expression) =
+    name -> { exprs => Bridge.expression(f(Bridge.column(exprs.head))) }
+  private def fn2(name: String, f: (Column, Column) => Column): (String, Seq[Expression] => Expression) =
+    name -> { exprs => Bridge.expression(f(Bridge.column(exprs(0)), Bridge.column(exprs(1)))) }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    fn1("token_count", TextOps.tokenCount),
+    fn1("subword_count", TextOps.subwordCount),
+    fn1("lang_id", TextOps.langId),
+    fn1("quality_score", TextOps.qualityScore),
+    fn1("doc_fingerprint", TextOps.fingerprint),
+    fn2("cosine_sim", VectorOps.cosine),
+    fn2("dot_product", VectorOps.dot),
+    fn1("l2_norm", VectorOps.l2Norm),
+    "char_shingles" -> { exprs =>
+      val n = exprs(1).eval(null).asInstanceOf[Number].intValue
+      Bridge.expression(TextOps.charShingles(Bridge.column(exprs.head), n))
+    },
+    "minhash_sig" -> { exprs =>
+      val k = exprs(1).eval(null).asInstanceOf[Number].intValue
+      MinHashSig(exprs.head, k, 42L)
+    })
+
+  /** Install all functions into the session's registry. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) => Bridge.registerFunction(spark, name, builder) }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.sources.Readers
+
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API") {
+    GraftFunctions.register(spark)
+    Seq((1, "the quick brown fox and the dog")).toDF("id", "text")
+      .createOrReplaceTempView("t_docs")
+    val row = spark.sql(
+      """SELECT token_count(text) tc, lang_id(text) lang,
+                quality_score(text) q, doc_fingerprint(text) fp,
+                size(minhash_sig(transform(char_shingles(text, 5), s -> cast(hash(s) as bigint)), 64)) sig_len
+         FROM t_docs""").head()
+    assert(row.getInt(0) == 7)
+    assert(row.getString(1) == "en")
+    assert(row.getDouble(2) > 0 && row.getDouble(2) <= 1.0)
+    assert(row.getString(3).length == 32)
+    assert(row.getInt(4) == 64)
+  }
+
+  test("vector SQL functions compute cosine over array columns") {
+    GraftFunctions.register(spark)
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("t_vecs")
+    val sims = spark.sql("SELECT cosine_sim(a, b) c FROM t_vecs ORDER BY c DESC")
+      .collect().map(_.getDouble(0))
+    assert(sims(0) == 1.0 && sims(1) == 0.0)
+  }
+
+  test("CSV reader decodes non-UTF8 encodings (reference iconv feature)") {
+    val dir = java.nio.file.Files.createTempDirectory("enc").toString
+    val content = "id;name\n1;Müller\n2;Garçon\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/latin1.csv"),
+      content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val df = Readers.csv(spark, s"$dir/latin1.csv", delimiter = ";",
+      headers = true, encoding = "ISO-8859-1")
+    val names = df.select("name").as[String].collect().sorted
+    assert(names.toSeq == Seq("Garçon", "Müller"))
+  }
+}
