@@ -78,22 +78,16 @@ object VectorOps {
   /** LSH-bucketed approximate top-k. Multi-probe via several independent
     * bucket functions (bands); a candidate pair is scored iff the two vectors
     * share at least one band bucket. Recall/cost tradeoff = bands × bits.
+    * Bucket keys come from the native [[SignLshBuckets]] kernel — one
+    * expression per row instead of bands×bits interpreted lambda pipelines.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bands: Int = 4, bits: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bandPlanes = (0 until bands).map(b => hyperplanes(dim, bits, seed = 42L + b))
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      val bucketed = bandPlanes.zipWithIndex.foldLeft(df) { case (acc, (planes, i)) =>
-        acc.withColumn(s"b_$i", lshBucket(col(vec), planes))
-      }
-      bucketed.select(
-        col(id), col(vec),
-        explode(array((0 until bands).map(i =>
-          struct(lit(i).as("band"), col(s"b_$i").as("bucket"))): _*)).as("bb"))
-        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
-    }
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        posexplode(SignLshBuckets.signLsh(col(vec), dim, bands, bits)).as(Seq("band", "bucket")))
     val q = withBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")), "query_id", "q_vec")
     val c = withBuckets(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")), "neighbor_id", "c_vec")
     val candidates = c.join(q, Seq("band", "bucket"))

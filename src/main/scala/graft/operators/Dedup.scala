@@ -204,18 +204,12 @@ object Dedup {
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double, bands: Int = 6, bits: Int = 10): DataFrame = {
-    import graft.functions.VectorOps
-    val bandPlanes = (0 until bands).map(b => VectorOps.hyperplanes(dim, bits, 42L + b))
-    val withB = bandPlanes.zipWithIndex.foldLeft(
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"))) {
-      case (acc, (planes, i)) => acc.withColumn(s"b_$i", VectorOps.lshBucket(col("vec"), planes))
-    }
+    import graft.functions.{SignLshBuckets, VectorOps}
     // ids-only through the bucket aggregation (see minhashCandidates);
     // vectors are joined back per deduped pair, not shuffled per bucket row
-    val banded = withB.select(col("id"),
-      explode(array((0 until bands).map(i =>
-        struct(lit(i).as("band"), col(s"b_$i").as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val banded = df.select(col(idCol).as("id"),
+      posexplode(SignLshBuckets.signLsh(col(vecCol), dim, bands, bits))
+        .as(Seq("band", "bucket")))
     val buckets = banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, 10000))
