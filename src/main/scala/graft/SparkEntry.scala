@@ -528,6 +528,34 @@ object SparkEntry {
     "q_r5_folder" ->
       """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 3 != 2
          ORDER BY s_suppkey""",
+    // golden expected output for the literal document flattened by P5
+    "q_p5_tree_flatten" ->
+      """SELECT * FROM (VALUES
+           ('root', '',     0, 'root',       '{"id":"root","name":"All"}'),
+           ('a',    'root', 1, 'root#a',     '{"id":"a","name":"A"}'),
+           ('a1',   'a',    2, 'root#a#a1',  '{"id":"a1","name":"A1"}'),
+           ('a2',   'a',    2, 'root#a#a2',  '{"id":"a2","name":"A2"}'),
+           ('b',    'root', 1, 'root#b',     '{"id":"b","name":"B"}'),
+           ('b1',   'b',    2, 'root#b#b1',  '{"id":"b1","name":"B1"}'))
+         AS t(id, parent, level, mpath, payload) ORDER BY mpath""",
+    "q_n_jaccard_pairs" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks)),
+                     i -> concat(toks[i], chr(1), toks[i+1]))) AS sh
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 64)),
+          p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01 ORDER BY id_a, id_b""",
+    "q_n_multimodal" ->
+      """SELECT doc_id AS media_id, strlen(text) AS byte_len, md5(text) AS digest,
+                round(CAST(CAST(len(list_filter(range(1, strlen(text) + 1),
+                                                i -> ord(text[i]) % 16 = 0)) AS REAL)
+                           / CAST(greatest(strlen(text), 1) AS REAL) AS DOUBLE), 4) AS f0
+         FROM documents ORDER BY media_id""",
     "q_p1_csv" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
          FROM part ORDER BY p_partkey""",
