@@ -77,10 +77,14 @@ object Dedup {
                         bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     // the signature relation feeds three plan branches (banding + both pair
-    // sides); persist so the kernel runs once per row, not once per branch
+    // sides); persist so the kernel runs once per row, not once per branch.
+    // Shingling + hashing is the rolling-hash kernel: O(len) per row, no
+    // per-window string allocation.
     val sig = spread(df).select(
       col(idCol).as("id"),
-      minhashSignature(TextOps.charShingles(col(textCol), shingleLen), numHashes).as("sig"))
+      graft.functions.MinHashSig.minhashSig(
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), shingleLen),
+        numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map(b =>
@@ -113,7 +117,15 @@ object Dedup {
                         maxBucketSize: Int = 1000): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes, bands, maxBucketSize)
       .filter(col("jaccard_est") >= threshold - 0.15)
-    val sh = spread(df).select(col(idCol).as("id"), TextOps.charShingles(col(textCol), shingleLen).as("sh"))
+    // exact verify on the hashed shingle sets (identical to string-shingle
+    // Jaccard up to 31-bit hash collisions), computed ONLY for docs that
+    // appear in a candidate pair — a semi-join keeps the shingling cost
+    // proportional to candidates, not corpus
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIds, "id") // join BEFORE the expensive projection
+      .select(col("id"),
+        graft.functions.ShingleHashes.shingleHashes(col("__text"), shingleLen).as("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
