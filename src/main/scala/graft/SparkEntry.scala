@@ -370,6 +370,12 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def qNAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorOps.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   private def qNVectorStats(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     emb.select(col("vec_id"),
@@ -455,6 +461,7 @@ object SparkEntry {
     "q_n_emb_dups"       -> (qNEmbDups _),
     "q_n_ann_cosine"     -> (qNAnnCosine _),
     "q_n_ann_lsh"        -> (qNAnnLsh _),
+    "q_n_ann_ivf"        -> (qNAnnIvf _),
     "q_n_vector_stats"   -> (qNVectorStats _),
     "q_n_text_stats"     -> (qNTextStats _),
     "q_n_multimodal"     -> (qNMultimodal _))

@@ -52,6 +52,52 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest centroids and scores only vectors in those cells.
+    * The classic trade: one small trained model broadcast everywhere, and
+    * the candidate join is an equi-join on cell id — at 100 TB the corpus
+    * is scanned once to assign cells (or cells are precomputed at ingest)
+    * and each query touches nprobe/nlist of the data.
+    *
+    * Training runs on (a sample of) the corpus; seed fixed for
+    * reproducibility.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val toVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(toVec)
+    val cells = model.clusterCenters.zipWithIndex // driver-side: nlist × dim doubles
+    // corpus side: one cell per vector (the model's transform)
+    val assigned = model.transform(toVec).withColumnRenamed("prediction", "cell")
+      .select("neighbor_id", "c_vec", "cell")
+    // query side: nprobe nearest cells, computed against the broadcast centroids
+    val centroidDf = queries.sparkSession.createDataFrame(
+      cells.map { case (c, i) => (i, c.toArray) }.toIndexedSeq).toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probed = q.crossJoin(broadcast(centroidDf))
+      .withColumn("dist", aggregate(
+        zip_with(transform(col("q_vec"), x => x.cast("double")), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("cell_rank") <= nprobe)
+      .select("query_id", "q_vec", "cell")
+    val scored = assigned.join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Deterministic random hyperplanes for sign-LSH, seeded so plans are
     * reproducible across runs/executors.
     */

@@ -136,22 +136,13 @@ object Dedup {
 
   // --- Tier 3: SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash over the token set, pure expressions: per token take
-    * xxhash64, then for each bit accumulate ±1 across tokens and keep the
-    * sign. One explode + one hash aggregation (64 sums) per document set.
+  /** 64-bit SimHash per document via the single-pass native kernel
+    * ([[graft.functions.SimHash64]]) — a narrow projection, no explode and
+    * no 64-column aggregation shuffle.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s_$b")
-    }
-    val sums = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("id"), sig.as("simhash"))
-  }
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(df).select(col(idCol).as("id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using the
     * pigeonhole trick: split the 64-bit signature into `maxHamming+1` blocks;

@@ -74,6 +74,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("IVF ANN recalls most of the brute-force top-k") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(VectorOps.bruteForceTopK(queries, emb, k = 5))
+    val ivf = pairs(VectorOps.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 3))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("brute-force ANN ranks the planted neighbor first") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(16)(rnd.nextGaussian().toFloat)
