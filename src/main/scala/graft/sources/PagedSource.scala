@@ -36,13 +36,29 @@ object PagedSource {
   def read(spark: SparkSession,
            fetch: PageState => Option[String],
            parse: (SparkSession, String) => DataFrame,
-           limit: Int = 1000, maxPages: Int = 10000): DataFrame = {
+           limit: Int = 1000, maxPages: Int = 10000,
+           maxRetries: Int = 2, settleMs: Long = 0L): DataFrame = {
     var state = PageState(0, 0L, limit, -1L, 0L)
     var emptyStreak = 0
     var out: Option[DataFrame] = None
     var done = false
+    // transient-failure retry with settle delay — the reference settles 1 s
+    // and retries before trusting an empty page (job-reader-paged.js:156-170)
+    def fetchWithRetry(st: PageState): Option[String] = {
+      var attempt = 0
+      while (true) {
+        try return fetch(st)
+        catch {
+          case e: Exception if attempt < maxRetries =>
+            attempt += 1
+            if (settleMs > 0) Thread.sleep(settleMs)
+          case e: Exception => throw e
+        }
+      }
+      None // unreachable
+    }
     while (!done && state.page < maxPages) {
-      fetch(state) match {
+      fetchWithRetry(state) match {
         case None => done = true
         case Some(payload) =>
           val page = parse(spark, payload)

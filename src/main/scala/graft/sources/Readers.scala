@@ -67,21 +67,26 @@ object Readers {
 
   /** R5 `ReaderFolder` (`job-reader-folder.js:72-206`): multi-file source =
     * glob + optional filename predicate + a parser. Spark's distributed file
-    * listing replaces the sequential byte-concatenation; the filename
-    * predicate runs as an `input_file_name()` filter, which Spark can apply
-    * before decoding row groups.
+    * listing replaces the sequential byte-concatenation.
+    *
+    * The filename predicate is applied at LISTING time (driver-side glob,
+    * like the reference's `glob` + name filter): pruned files are never
+    * opened, never decoded, never counted in splits — the row-level
+    * alternative (`input_file_name()` + UDF filter) reads every byte first
+    * and breaks whole-stage codegen.
     */
   def folder(spark: SparkSession, dir: String, glob: String, format: String,
              options: Map[String, String] = Map.empty,
-             fileNamePredicate: Option[String => Boolean] = None): DataFrame = {
-    val base = spark.read.options(options)
-      .option("pathGlobFilter", glob).format(format).load(dir)
+             fileNamePredicate: Option[String => Boolean] = None): DataFrame =
     fileNamePredicate match {
-      case None => base
+      case None =>
+        spark.read.options(options).option("pathGlobFilter", glob).format(format).load(dir)
       case Some(p) =>
-        val pred = udf((f: String) => p(f))
-        base.withColumn("__file", input_file_name())
-          .filter(pred(col("__file"))).drop("__file")
+        val hadoopPath = new org.apache.hadoop.fs.Path(dir, glob)
+        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = Option(fs.globStatus(hadoopPath)).getOrElse(Array.empty)
+          .map(_.getPath.toString).filter(p)
+        require(files.nonEmpty, s"no files match $glob under $dir after name predicate")
+        spark.read.options(options).format(format).load(files.toIndexedSeq: _*)
     }
-  }
 }

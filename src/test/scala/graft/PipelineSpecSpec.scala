@@ -64,4 +64,38 @@ class PipelineSpecSpec extends SparkSpec {
     val df = PagedSource.read(spark, _ => None, PagedSource.parseNdjson _)
     assert(df.count() == 0)
   }
+
+  test("paged source: transient fetch failures are retried (settle-retry rule)") {
+    var failures = 0
+    val fetch: PagedSource.PageState => Option[String] = st =>
+      if (st.page == 1 && failures < 2) { failures += 1; throw new RuntimeException("flaky") }
+      else if (st.page < 3) Some(s"""{"id":${st.page}}""")
+      else None
+    val df = PagedSource.read(spark, fetch, PagedSource.parseNdjson _, maxRetries = 2)
+    assert(df.count() == 3)
+    assert(failures == 2)
+  }
+
+  test("paged source: failures beyond maxRetries propagate") {
+    val e = intercept[RuntimeException] {
+      PagedSource.read(spark, _ => throw new RuntimeException("down"),
+        PagedSource.parseNdjson _, maxRetries = 1)
+    }
+    assert(e.getMessage == "down")
+  }
+
+  test("folder reader prunes files at listing time, not per-row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("folder").toString
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$n.jsons"),
+        s"""{"src":"$n"}""")
+    }
+    val df = graft.sources.Readers.folder(spark, dir, "*.jsons", "json",
+      fileNamePredicate = Some(f => !f.contains("b.jsons")))
+    assert(df.select("src").as[String].collect().toSeq == Seq("a"))
+    // listing-time pruning: the excluded file must not appear in the scan
+    val scanned = df.queryExecution.executedPlan.toString
+    assert(!scanned.contains("b.jsons"))
+  }
 }
