@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // 10 copies with distinct ids: 50k docs, every doc has 9 exact replicas →
+    // every bucket holds >= 10 ids; near-dup pairs explode to 45 per original
+    val big = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 10000)).as("doc_id"), col("text"))).reduce(_ union _)
+      .repartition(32).persist()
+    println(s"STRESS corpus=${big.count()}")
+    def time(n: String)(f: => Long) = { val t0 = System.nanoTime(); val r = f
+      println(f"STRESS $n ${(System.nanoTime()-t0)/1e9}%.2f s rows=$r") }
+    time("minhash_pairs")(Dedup.minhashDedupPairs(big, "doc_id", "text", 0.7).count())
+    time("simhash_pairs")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
+    time("exact_dedup")(Dedup.exact(big, "text", "doc_id").count())
+    spark.stop()
+  }
+}
