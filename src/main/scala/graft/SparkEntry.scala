@@ -25,15 +25,7 @@ import graft.plans._
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and convert via integer
-      // division so the value is micros-exact (double math would lose
-      // precision at 1e18 ns).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    Tables(spark, dir, name)
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 

@@ -30,13 +30,19 @@ object GraftFunctions {
     fn2("dot_product", VectorOps.dot),
     fn1("l2_norm", VectorOps.l2Norm),
     "char_shingles" -> { exprs =>
-      val n = exprs(1).eval(null).asInstanceOf[Number].intValue
-      Bridge.expression(TextOps.charShingles(Bridge.column(exprs.head), n))
+      Bridge.expression(TextOps.charShingles(Bridge.column(exprs.head), intLit(exprs, 1, "char_shingles")))
     },
     "minhash_sig" -> { exprs =>
-      val k = exprs(1).eval(null).asInstanceOf[Number].intValue
-      MinHashSig(exprs.head, k, 42L)
+      MinHashSig(exprs.head, intLit(exprs, 1, "minhash_sig"), 42L)
     })
+
+  /** Size-style arguments must be literal integers (they shape the plan). */
+  private def intLit(exprs: Seq[Expression], pos: Int, fn: String): Int = {
+    val e = exprs(pos)
+    require(e.foldable,
+      s"$fn: argument ${pos + 1} must be a literal integer, got ${e.sql}")
+    e.eval(null).asInstanceOf[Number].intValue
+  }
 
   /** Install all functions into the session's registry. */
   def register(spark: SparkSession): Unit =

@@ -30,6 +30,21 @@ object Dedup {
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
+  // Relations persisted by the LSH operators (they feed multiple plan
+  // branches). They stay cached for reuse across actions; long-lived
+  // sessions call [[unpersistCaches]] between corpora to release storage.
+  private val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private def cached(df: DataFrame): DataFrame = caches.synchronized {
+    caches += df
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Release every relation cached by dedup operators in this session. */
+  def unpersistCaches(): Unit = caches.synchronized {
+    caches.foreach(_.unpersist(blocking = false))
+    caches.clear()
+  }
+
   /** Tier 1: exact dedup on a canonical text fingerprint; keeps the row with
     * the smallest `orderCol` per duplicate group (deterministic keep-first,
     * cf. SURVEY §7.4.2).
@@ -80,12 +95,11 @@ object Dedup {
     // sides); persist so the kernel runs once per row, not once per branch.
     // Shingling + hashing is the rolling-hash kernel: O(len) per row, no
     // per-window string allocation.
-    val sig = spread(df).select(
+    val sig = cached(spread(df).select(
       col(idCol).as("id"),
       graft.functions.MinHashSig.minhashSig(
         graft.functions.ShingleHashes.shingleHashes(col(textCol), shingleLen),
-        numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        numHashes).as("sig")))
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
@@ -115,8 +129,11 @@ object Dedup {
                         threshold: Double, shingleLen: Int = 5,
                         numHashes: Int = 128, bands: Int = 16,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes, bands, maxBucketSize)
-      .filter(col("jaccard_est") >= threshold - 0.15)
+    // cands feeds two branches (id collection + the final join) — cache so
+    // the banding/bucketing/pair shuffles run once
+    val cands = cached(
+      minhashCandidates(df, idCol, textCol, shingleLen, numHashes, bands, maxBucketSize)
+        .filter(col("jaccard_est") >= threshold - 0.15))
     // exact verify on the hashed shingle sets (identical to string-shingle
     // Jaccard up to 31-bit hash collisions), computed ONLY for docs that
     // appear in a candidate pair — a semi-join keeps the shingling cost
@@ -153,10 +170,9 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    // both pair sides read the signature relation; persist so the
-    // explode+64-sum aggregation runs once
-    val sig = simhash64(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both pair sides read the signature relation; cache so the kernel
+    // projection runs once
+    val sig = cached(simhash64(df, idCol, textCol))
     val banded = sig.select(col("id"), col("simhash"),
       explode(array((0 until blocks).map { b =>
         struct(lit(b).as("blk"),

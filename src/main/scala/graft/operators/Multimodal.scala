@@ -56,12 +56,14 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord])(
       implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
-      // per-partition: init codec once (stub has no state, a real one would)
+      // per-partition init: one digest instance (and, in a real codec, one
+      // decoder) reused across the batch
+      val md5 = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         val feats = MediaCodec.decodeStub(m.payload)
+        md5.reset()
         MediaFeatures(m.media_id, m.modality, m.payload.length,
-          java.security.MessageDigest.getInstance("MD5").digest(m.payload)
-            .map("%02x".format(_)).mkString,
+          md5.digest(m.payload).map("%02x".format(_)).mkString,
           feats)
       }
     }

@@ -116,13 +116,15 @@ object TreeOps {
     out.get
   }
 
-  /** W3 rebuild: flat `{id, parent, payload-json}` rows → one nested JSON
-    * string per root. Distributed bottom-up assembly: iterate from the
+  /** W3 rebuild: flat `{id, parent, payload-json, level}` rows → one nested
+    * JSON string per root. Distributed bottom-up assembly: iterate from the
     * deepest level, each step grouping children JSON under their parent via
     * `collect_list` + an injected `children` key — D shuffles for depth D,
     * every step executor-side. Forward references / missing parents behave
-    * like the reference: parentless nodes become roots
-    * (`job-tree-writer.js:88-94`).
+    * like the reference: a subtree whose parent id does not exist at the
+    * level above surfaces as an extra root (`job-tree-writer.js:88-94`).
+    * Children are serialized in sorted-JSON order (a deterministic canonical
+    * order; the reference's arrival order is meaningless once distributed).
     */
   def rebuildJson(flat: DataFrame, childrenKey: String = "children",
                   idCol: String = "id", parentCol: String = "parent",
@@ -135,21 +137,30 @@ object TreeOps {
     // assembled: id -> full nested json for the subtree rooted at id
     var assembled = levels.filter(col("level") === maxLevel)
       .select(col("id"), col("parent"), col("payload").as("json"))
+    var orphanRoots: Option[DataFrame] = None
     var lvl = maxLevel - 1
     while (lvl >= 0) {
+      val current = levels.filter(col("level") === lvl)
+      // subtrees with no parent at the level above become roots (orphans)
+      val orphans = assembled.join(current.select(col("id").as("pid0")),
+          assembled("parent") === col("pid0"), "left_anti")
+        .select(col("id"), col("json"))
+      orphanRoots = Some(orphanRoots.map(_.unionByName(orphans)).getOrElse(orphans))
       val kids = assembled
         .groupBy(col("parent").as("pid"))
-        .agg(concat(lit(s""","$childrenKey":["""),
+        .agg(concat(lit(s""""$childrenKey":["""),
                     concat_ws(",", sort_array(collect_list(col("json")))),
                     lit("]")).as("kids_json"))
-      val current = levels.filter(col("level") === lvl)
       assembled = current.join(kids, current("id") === kids("pid"), "left")
         .select(current("id"), current("parent"),
           when(col("kids_json").isNull, col("payload"))
+            .when(length(col("payload")) === 2, // empty-object payload "{}"
+              concat(lit("{"), col("kids_json"), lit("}")))
             .otherwise(concat(expr("substring(payload, 1, length(payload)-1)"),
-                              col("kids_json"), lit("}"))).as("json"))
+                              lit(","), col("kids_json"), lit("}"))).as("json"))
       lvl -= 1
     }
-    assembled.select(col("id"), col("json"))
+    val roots = assembled.select(col("id"), col("json"))
+    orphanRoots.map(o => roots.unionByName(o)).getOrElse(roots)
   }
 }

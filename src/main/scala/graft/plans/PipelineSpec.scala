@@ -96,7 +96,16 @@ object PipelineCompiler {
         val aggCols = aggs.map { case (n, e) => expr(sub(e)).as(n) }
         build(in).groupBy(keys.map(k => expr(sub(k))): _*).agg(aggCols.head, aggCols.tail: _*)
       case SortSpec(in, keys) =>
-        build(in).orderBy(keys.map(k => expr(sub(k))): _*)
+        // "expr desc"/"expr asc" suffixes build a SortOrder — expr("n desc")
+        // alone would parse as column `n` ALIASED to `desc` and sort ascending
+        def sortKey(k: String): Column = {
+          val s = sub(k).trim
+          val lower = s.toLowerCase
+          if (lower.endsWith(" desc")) expr(s.dropRight(5)).desc
+          else if (lower.endsWith(" asc")) expr(s.dropRight(4)).asc
+          else expr(s)
+        }
+        build(in).orderBy(keys.map(sortKey): _*)
       case DistinctSpec(in, keys, order) =>
         val df = build(in)
         if (order.isEmpty) df.dropDuplicates(keys)

@@ -28,7 +28,8 @@ object Writers {
   def jsonArray(df: DataFrame, file: String): Unit = {
     val json = df.toJSON.coalesce(1)
     val it = json.toLocalIterator()
-    val w = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.FileWriter(file)))
+    val w = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(file), java.nio.charset.StandardCharsets.UTF_8)))
     try {
       w.print("[")
       var first = true

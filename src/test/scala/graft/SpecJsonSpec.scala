@@ -21,9 +21,16 @@ class SpecJsonSpec extends SparkSpec {
     val json = SpecJson.toJson(spec)
     val back = SpecJson.fromJson(json)
     assert(back == spec)
-    // and the deserialized spec compiles + runs
-    val df = PipelineCompiler.compile(back, spark, Map("dir" -> sf))
-    assert(df.count() == 5)
+    // and the deserialized spec compiles + runs, with "n desc" actually
+    // descending (regression: expr("n desc") parses as an ALIAS to `desc`)
+    val rows = PipelineCompiler.compile(back, spark, Map("dir" -> sf))
+      .select("n").as[Long].collect()
+    assert(rows.length == 5)
+    assert(rows.toSeq == rows.sorted.reverse.toSeq, s"not descending: ${rows.toSeq}")
+    val allCounts = PipelineCompiler.compile(
+      PipelineSpec(spec.nodes.filterNot(_._1 == "top"), "agg"), spark, Map("dir" -> sf))
+      .select("n").as[Long].collect()
+    assert(rows.toSeq == allCounts.sorted.reverse.take(5).toSeq, "not the TOP 5")
   }
 
   test("unknown op discriminator fails loudly") {

@@ -45,4 +45,28 @@ class TreeOpsSpec extends SparkSpec {
     val out = TreeOps.rebuildJson(flat)
     assert(out.count() == 2) // both surface as roots at level 0
   }
+
+  test("rebuildJson: orphan subtree at level > 0 surfaces as a root, not dropped") {
+    import spark.implicits._
+    val flat = Seq(
+      ("x", "", 0, "x", """{"id":"x"}"""),
+      ("orphan", "missing", 1, "orphan", """{"id":"orphan"}"""),
+      ("okid", "orphan", 2, "orphan#okid", """{"id":"okid"}"""))
+      .toDF("id", "parent", "level", "mpath", "payload")
+    val out = TreeOps.rebuildJson(flat).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("x", "orphan"))
+    assert(out("orphan").contains(""""okid"""")) // keeps its own subtree
+  }
+
+  test("rebuildJson: empty-object payload still yields valid JSON") {
+    import spark.implicits._
+    val flat = Seq(
+      ("r", "", 0, "r", "{}"),
+      ("c", "r", 1, "r#c", """{"id":"c"}"""))
+      .toDF("id", "parent", "level", "mpath", "payload")
+    val json = TreeOps.rebuildJson(flat).head().getString(1)
+    // parses cleanly and contains the child
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(node.get("children").get(0).get("id").asText == "c")
+  }
 }
