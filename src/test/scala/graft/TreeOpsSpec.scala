@@ -25,6 +25,25 @@ class TreeOpsSpec extends SparkSpec {
       ("b", "root", 1, "root#b")))
   }
 
+  test("flattenColumn flattens a corpus of trees distributed (per-row)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      """{"id":"r1","name":"One","children":[{"id":"r1a","name":"A","children":[{"id":"r1a1","name":"A1"}]}]}""",
+      """{"id":"r2","name":"Two","children":[{"id":"r2b","name":"B"}]}""").toDF("doc")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      """id STRING, name STRING,
+         children ARRAY<STRUCT<id: STRING, name: STRING,
+           children: ARRAY<STRUCT<id: STRING, name: STRING>>>>""")
+    val trees = docs.select(from_json(col("doc"), schema).as("tree"))
+    val flat = TreeOps.flattenColumn(trees, "tree", maxDepth = 2)
+    val got = flat.select("id", "parent", "level", "mpath").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("r1", "", 0, "r1"), ("r1a", "r1", 1, "r1#r1a"), ("r1a1", "r1a", 2, "r1#r1a#r1a1"),
+      ("r2", "", 0, "r2"), ("r2b", "r2", 1, "r2#r2b")))
+  }
+
   test("rebuildJson ∘ flattenJson preserves the id/parent structure") {
     val flat = TreeOps.flattenJson(spark, doc)
     val rebuilt = TreeOps.rebuildJson(flat)
