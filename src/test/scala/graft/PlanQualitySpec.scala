@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Locks in the physical-plan properties the engine's scale story depends
+  * on (SCALING.md): broadcast joins for vocab enrich, scan-level pushdown,
+  * TakeOrdered for sort+limit, map-side partial aggregation. A regression
+  * here means a silent 10–100× cost at scale even though results stay
+  * correct.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("H1 vocab enrich joins by broadcast, not shuffle") {
+    val p = plan("q_h1_joiner")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "vocab join degraded to SMJ")
+  }
+
+  test("C4 reducer pushes the shipdate range filter into the parquet scan") {
+    val p = plan("q_c4_reducer")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("C4 reducer prunes to only the referenced columns") {
+    val p = plan("q_c4_reducer")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("C5 sort+limit collapses to TakeOrderedAndProject (no full sort)") {
+    val p = plan("q_c5_sorter")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("C6 keep-first runs as one hash aggregation, not a window") {
+    val p = plan("q_c6_uniquer")
+    assert(!p.contains("Window"), "keep-first degraded to a window sort")
+    assert(p.contains("min_by") || p.contains("HashAggregate"), p.take(1000))
+  }
+
+  test("aggregations are partial+final (map-side combine present)") {
+    val p = plan("q_h1_joiner")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "no partial aggregation before the shuffle")
+  }
+
+  test("native kernels stay inside whole-stage codegen") {
+    import graft.functions.{MinHashSig, ShingleHashes}
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(MinHashSig.minhashSig(
+        ShingleHashes.shingleHashes(col("text"), 5), 32).as("sig"))
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen stage
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*(")),
+      p.take(1000))
+  }
+}
