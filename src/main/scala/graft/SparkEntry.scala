@@ -234,6 +234,15 @@ object SparkEntry {
     TreeOps.flattenJson(s, json).orderBy("mpath")
   }
 
+  private def qW3TreeRebuild(s: SparkSession, dir: String): DataFrame = {
+    // W3 ∘ P5 roundtrip on the literal document; golden-output oracle
+    val json =
+      """{"id":"root","name":"All","children":[
+           {"id":"a","name":"A","children":[{"id":"a1","name":"A1"},{"id":"a2","name":"A2"}]},
+           {"id":"b","name":"B","children":[{"id":"b1","name":"B1"}]}]}"""
+    TreeOps.rebuildJson(TreeOps.flattenJson(s, json)).orderBy("id")
+  }
+
   private def qW1JsonArray(s: SparkSession, dir: String): DataFrame = {
     val file = tmp("w1_array", dir) + ".json"
     Writers.jsonArray(t(s, dir, "region").orderBy("r_regionkey"), file)
@@ -437,6 +446,7 @@ object SparkEntry {
     "q_p4_xml"           -> (qP4Xml _),
     "q_p5_tree_flatten"  -> (qP5TreeFlatten _),
     "q_w1_json_array"    -> (qW1JsonArray _),
+    "q_w3_tree_rebuild"  -> (qW3TreeRebuild _),
     "q_x_window_topn"    -> (qXWindowTopN _),
     "q_x_anti_join"      -> (qXAntiJoin _),
     "q_x_semi_join"      -> (qXSemiJoin _),
@@ -562,6 +572,9 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_w1_json_array" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_w3_tree_rebuild" ->
+      """SELECT 'root' AS id,
+                '{"id":"root","name":"All","children":[{"id":"a","name":"A","children":[{"id":"a1","name":"A1"},{"id":"a2","name":"A2"}]},{"id":"b","name":"B","children":[{"id":"b1","name":"B1"}]}]}' AS json""",
     "q_x_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

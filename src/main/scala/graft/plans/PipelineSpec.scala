@@ -93,6 +93,7 @@ object PipelineCompiler {
         cols.foldLeft(build(in)) { case (df, (n, e)) => df.withColumn(n, expr(sub(e))) }
       case ExplodeSpec(in, arr, as) => build(in).withColumn(as, explode(expr(sub(arr))))
       case AggSpec(in, keys, aggs) =>
+        require(aggs.nonEmpty, "agg node needs at least one aggregate expression")
         val aggCols = aggs.map { case (n, e) => expr(sub(e)).as(n) }
         build(in).groupBy(keys.map(k => expr(sub(k))): _*).agg(aggCols.head, aggCols.tail: _*)
       case SortSpec(in, keys) =>
@@ -117,7 +118,9 @@ object PipelineCompiler {
         l.join(r, l(sub(lk)) === r(sub(rk)), jt)
       case JoinDetailSpec(m, d, mk, dk, as) =>
         graft.operators.Joins.joinDetail(build(m), build(d), sub(mk), sub(dk), as)
-      case UnionSpec(ins) => ins.map(build).reduce(_.unionByName(_, allowMissingColumns = true))
+      case UnionSpec(ins) =>
+        require(ins.nonEmpty, "union node needs at least one input")
+        ins.map(build).reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
     spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }
