@@ -104,6 +104,38 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** C3's measure-explosion idiom (one record → a set of measure/value
+    * records from its numeric fields, `examples/bor-dwc.js:461-498`) —
+    * relationally, an unpivot.
+    */
+  private def qC3Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (measure, value)"))
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Schema explosion on request (SURVEY §7.4.3): dynamic keys → fixed
+    * columns via pivot.
+    */
+  private def qXPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Dynamic JSON payload column (§1.2): extract from the props JSON string
+    * without widening the schema.
+    */
+  private def qXJsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket")
+
   // -------------------------------------------------------------------------
   // Hi-order H1–H4
   // -------------------------------------------------------------------------
@@ -432,7 +464,10 @@ object SparkEntry {
     "q_c4_reducer"       -> (qC4Reducer _),
     "q_c5_sorter"        -> (qC5Sorter _),
     "q_c6_uniquer"       -> (qC6Uniquer _),
+    "q_c3_unpivot"       -> (qC3Unpivot _),
     "q_c7c8_map_roundtrip" -> (qC7C8MapRoundtrip _),
+    "q_x_pivot"          -> (qXPivot _),
+    "q_x_json_props"     -> (qXJsonProps _),
     "q_h1_joiner"        -> (qH1Joiner _),
     "q_h2_join_detail"   -> (qH2JoinDetail _),
     "q_h3_splitter"      -> (qH3Splitter _),
@@ -505,6 +540,30 @@ object SparkEntry {
     "q_c7c8_map_roundtrip" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
          GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "q_c3_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value
+           FROM lineitem WHERE l_orderkey <= 1000
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+           FROM lineitem WHERE l_orderkey <= 1000
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'disc', l_discount
+           FROM lineitem WHERE l_orderkey <= 1000)
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    "q_x_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_x_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY k_bucket""",
     "q_h1_joiner" ->
       """SELECT p_brand, count(*) AS n_items,
                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
