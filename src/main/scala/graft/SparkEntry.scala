@@ -339,6 +339,21 @@ object SparkEntry {
     y95.except(y96).orderBy("o_custkey")
   }
 
+  /** As-of join: enrich each purchase with the user's latest prior click. */
+  private def qXAsof(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+    Joins.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+        payload = Seq("click_ts", "click_value"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("click_ts")).as("click_ts_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------------------------
   // Events: windowing + sessionization (streaming-capable transforms)
   // -------------------------------------------------------------------------
@@ -487,6 +502,7 @@ object SparkEntry {
     "q_x_semi_join"      -> (qXSemiJoin _),
     "q_x_rollup"         -> (qXRollup _),
     "q_x_intersect"      -> (qXIntersect _),
+    "q_x_asof"           -> (qXAsof _),
     "q_x_except"         -> (qXExcept _),
     "q_e_tumbling"       -> (qETumbling _),
     "q_e_sessionize"     -> (qESessionize _),
@@ -666,6 +682,13 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
          EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+    "q_x_asof" ->
+      """SELECT p.event_id, epoch_us(p.ts) AS ts_us,
+                epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     "q_e_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
                 event_type, count(*) AS n,

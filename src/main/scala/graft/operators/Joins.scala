@@ -52,6 +52,37 @@ object Joins {
       .withColumn(as, coalesce(col(as), array()))
   }
 
+  /** As-of join (beyond the reference surface, SURVEY §2.8): for each left
+    * row, the single latest right row with `rightTs <= leftTs` on the same
+    * key — the canonical event-enrichment join.
+    *
+    * Implementation is the scale-lean formulation: tag both sides, union,
+    * ONE sort per key partition, and carry the last-seen right payload
+    * forward with a window. A naive key-equi join with a range predicate
+    * fans out every left row to ALL earlier right rows before aggregating —
+    * quadratic per key; this stays O(n log n) with a single shuffle.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, leftTs: String, rightTs: String,
+               payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumns(payload.map(p => p -> lit(null).cast(right.schema(p).dataType)).toMap)
+    val r = right.select(
+      (col(keyCol) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        payload.map(col)): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // at equal ts the right row sorts first, so "ts >= rightTs" includes ties
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side", "__ts")
+  }
+
   /** H2 for *external* (per-row API) detail sources: a distributed correlated
     * fetch. `fetchDetails` runs once per master row inside `mapPartitions`,
     * so connections/rate-limiters are amortized per partition (the

@@ -105,6 +105,21 @@ class CoreOpsSpec extends SparkSpec {
     assert(counts.toSeq == Seq(3L, 3L))
   }
 
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    val left = Seq((1, "u", 100L), (2, "u", 200L), (3, "u", 50L), (4, "v", 100L))
+      .toDF("id", "k", "ts")
+    val right = Seq(("u", 90L, "a"), ("u", 100L, "b"), ("u", 150L, "c"))
+      .toDF("k", "rts", "tag")
+      .withColumn("tag", col("tag"))
+    val out = Joins.asofJoin(left, right.select(col("k"), col("rts"), col("tag")),
+        "k", "ts", "rts", payload = Seq("tag"))
+      .select("id", "tag").as[(Int, String)].collect().toMap
+    assert(out(1) == "b")   // ts=100 matches right at 100 (ties included)
+    assert(out(2) == "c")   // latest at-or-before 200 is 150
+    assert(out(3) == null)  // nothing at-or-before 50
+    assert(out(4) == null)  // no right rows for key v
+  }
+
   test("spy observes row count without extra pass") {
     val obs = new org.apache.spark.sql.Observation("spy_test")
     val df = Seq(1, 2, 3).toDF("id").observe(obs, count(lit(1)).as("rows"))
