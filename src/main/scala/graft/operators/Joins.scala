@@ -66,6 +66,9 @@ object Joins {
                keyCol: String, leftTs: String, rightTs: String,
                payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val clash = payload.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"as-of payload columns ${clash.mkString(", ")} already exist on the left side — alias them on the right first")
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTs))
