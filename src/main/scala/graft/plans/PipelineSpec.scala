@@ -127,4 +127,32 @@ object PipelineCompiler {
     resolved.getOrElse(spec.out,
       throw new IllegalArgumentException(s"broken chain: output node '${spec.out}' undefined"))
   }
+
+  /** The `Pipeline#run` analogue (`job-pipeline.js:168-186`) with Splitter
+    * fan-out: execute the spec to one or more sinks. A node consumed by
+    * several sinks is persisted once and multicast (one materialization,
+    * not N recomputes — `job-splitter.js` multicast semantics).
+    *
+    * @param sinks (nodeName, format, path) per output; format:
+    *              parquet|ndjson|csv
+    */
+  def runToSinks(spec: PipelineSpec, spark: SparkSession,
+                 sinks: Seq[(String, String, String)],
+                 params: Map[String, String] = Map.empty): Unit = {
+    require(sinks.nonEmpty, "runToSinks needs at least one sink")
+    val dfs = scala.collection.mutable.Map.empty[String, DataFrame]
+    def nodeDf(name: String): DataFrame = dfs.getOrElseUpdate(name, {
+      val df = compile(spec.copy(out = name), spark, params)
+      if (sinks.count(_._1 == name) > 1) df.persist() else df
+    })
+    try sinks.foreach { case (node, format, path) =>
+      val w = nodeDf(node).write.mode("overwrite")
+      format match {
+        case "parquet" => w.parquet(substitute(path, params))
+        case "ndjson"  => w.json(substitute(path, params))
+        case "csv"     => w.option("header", "true").csv(substitute(path, params))
+        case other     => w.format(other).save(substitute(path, params))
+      }
+    } finally dfs.values.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -54,6 +54,47 @@ class SpecJsonSpec extends SparkSpec {
     assert(pairSet.contains("f" -> "j") && pairSet.contains("part" -> "j"))
   }
 
+  test("json reader resolves nested rootNode paths (results.vacancies shape)") {
+    // the trud.js payload shape: records under a two-level path
+    val file = java.nio.file.Files.createTempDirectory("nested").toString + "/doc.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file),
+      """{"meta":1,"results":{"vacancies":[{"id":1,"name":"a"},{"id":2,"name":"b"}]}}""")
+    val df = graft.sources.Readers.json(spark, file, rootNode = "results.vacancies")
+    assert(df.columns.sorted.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+  }
+
+  test("join vocab built by a sub-pipeline (bor-dwc vocab-from-pipeline)") {
+    // vocab side is itself a multi-node chain (source → filter → agg)
+    val spec = PipelineSpec(nodes = Seq(
+      "orders"    -> SourceSpec("parquet", s"$sf/orders.parquet"),
+      "cust"      -> SourceSpec("parquet", s"$sf/customer.parquet"),
+      "big_cust"  -> FilterSpec(RefSpec("cust"), "c_acctbal > 0"),
+      "vocab"     -> AggSpec(RefSpec("big_cust"), Seq("c_custkey"),
+                       Seq("seg" -> "first(c_mktsegment)")),
+      "enriched"  -> JoinSpec(RefSpec("orders"), RefSpec("vocab"), "o_custkey", "c_custkey"),
+      "out"       -> AggSpec(RefSpec("enriched"), Seq("seg"), Seq("n" -> "count(1)"))),
+      out = "out")
+    val df = PipelineCompiler.compile(spec, spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("seg", "n"))
+  }
+
+  test("runToSinks multicasts a shared node to several sinks with one persist") {
+    val base = java.nio.file.Files.createTempDirectory("sinks").toString
+    val spec = PipelineSpec(nodes = Seq(
+      "n"   -> SourceSpec("parquet", s"$sf/nation.parquet"),
+      "agg" -> AggSpec(RefSpec("n"), Seq("n_regionkey"), Seq("n" -> "count(1)"))),
+      out = "agg")
+    PipelineCompiler.runToSinks(spec, spark, Seq(
+      ("agg", "parquet", s"$base/agg_parquet"),
+      ("agg", "ndjson", s"$base/agg_json"),
+      ("n", "parquet", s"$base/raw")))
+    assert(spark.read.parquet(s"$base/agg_parquet").count() == 5)
+    assert(spark.read.json(s"$base/agg_json").count() == 5)
+    assert(spark.read.parquet(s"$base/raw").count() == 25)
+  }
+
   test("thruStateful reproduces order-dependent cross-record state") {
     import spark.implicits._
     // running dictionary: emit each value with the count of distinct keys
