@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked runMain JVM inherits sbt's real stdout instead of being piped
+// through sbt's "[info] "-prefixing logger — Bench/Verify emit machine-read
+// JSON lines that must arrive unprefixed (a ^{-anchored parse reads them).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

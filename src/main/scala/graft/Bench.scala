@@ -38,7 +38,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt runMain wraps System.out/err with "[info] "/"[error] " prefixes,
+    // defeating a ^{-anchored parse (VERDICT r1 §wrong #2). Write the line
+    // to the RAW process file descriptors (sbt substitutes the JVM stream
+    // objects, not fd 1/2) and to a well-known file as well.
+    println(line)
+    for (fd <- Seq(java.io.FileDescriptor.out, java.io.FileDescriptor.err)) {
+      val raw = new java.io.PrintStream(new java.io.FileOutputStream(fd), true, "UTF-8")
+      raw.println(line) // deliberately not closed: fd 1/2 belong to the process
+    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     spark.stop()
   }
 }

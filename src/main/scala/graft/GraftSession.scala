@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // declared once here (not as a read side effect): TIMESTAMP(NANOS)
+      // parquet columns surface as int64 nanos; Tables converts to micros
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {
@@ -46,7 +49,10 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read the raw int64 nanos and convert with integer
       // division so the value is micros-exact (double math would lose
-      // precision at 1e18 ns).
+      // precision at 1e18 ns). The conf is declared in GraftSession.builder;
+      // it is also set here (idempotently, NOT restored — the parquet reader
+      // re-reads it at action time, so a scoped restore would break the
+      // deferred scan) so Tables works on sessions not built via the factory.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -16,9 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  // Each function has a *Of variant over a pre-computed lowered text / token
+  // array: a projection that calls k of these on the same column re-runs the
+  // split/lower pipeline k times (Catalyst's CollapseProject keeps separate
+  // projections apart when a non-cheap expression is multiply referenced, so
+  // projecting `lower`/`tokens` once in a prior step IS honored) — measured
+  // >2× on the text-stats pass.
+
   /** Lower-cased whitespace tokens, empties removed. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  def tokens(text: Column): Column = tokensOfLower(lower(text))
+
+  /** [[tokens]] over already-lowered text. */
+  def tokensOfLower(ltext: Column): Column =
+    filter(split(ltext, "\\s+"), t => length(t) > 0)
 
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -27,8 +37,11 @@ object TextOps {
     * each count as one unit — a cheap, deterministic proxy for an LLM
     * tokenizer's behavior on ASCII text.
     */
-  def subwordCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+  def subwordCount(text: Column): Column = subwordCountOfLower(lower(text))
+
+  /** [[subwordCount]] over already-lowered text. */
+  def subwordCountOfLower(ltext: Column): Column =
+    size(regexp_extract_all(ltext, lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
 
   // Marker stopwords per language for the n-gram/stopword language-ID
   // heuristic. Deliberately small so the identical regex runs in the oracle.
@@ -38,15 +51,18 @@ object TextOps {
     "de" -> "\\b(der|die|und|das|ist|nicht|mit|ein)\\b",
     "es" -> "\\b(el|los|las|y|es|en|una|por)\\b")
 
-  private def markerHits(text: Column, pattern: String): Column =
-    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+  private def markerHits(ltext: Column, pattern: String): Column =
+    size(regexp_extract_all(ltext, lit(pattern), lit(0)))
 
   /** Heuristic language ID: count stopword-marker hits per language, pick the
     * max (ties resolved in [[langMarkers]] declaration order), `und` when no
     * marker fires. O(1) per row, codegen'd, no dictionary broadcast needed.
     */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, p) => l -> markerHits(text, p) }
+  def langId(text: Column): Column = langIdOfLower(lower(text))
+
+  /** [[langId]] over already-lowered text. */
+  def langIdOfLower(ltext: Column): Column = {
+    val scores = langMarkers.map { case (l, p) => l -> markerHits(ltext, p) }
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((l, s), other) =>
       when(best > 0 && s === best, lit(l)).otherwise(other)
@@ -61,10 +77,14 @@ object TextOps {
 
   /** Type/token ratio — fraction of distinct tokens (repetition detector). */
   def distinctTokenRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n === 0, lit(0.0))
-      .otherwise(size(array_distinct(tokens(text))).cast("double") / n)
+    val t = tokens(text)
+    distinctTokenRatioOf(t, array_distinct(t))
   }
+
+  /** [[distinctTokenRatio]] from pre-computed tokens + distinct tokens. */
+  def distinctTokenRatioOf(toks: Column, dtoks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(dtoks).cast("double") / size(toks))
 
   /** Composite document quality score in [0,1]:
     * length saturation + lexical diversity + low punctuation noise.
@@ -72,8 +92,17 @@ object TextOps {
     * the oracle SQL reproduces the value bit-for-bit (then rounded).
     */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    round(lenScore * 0.4 + distinctTokenRatio(text) * 0.4 + (lit(1.0) - punctRatio(text)) * 0.2, 4)
+    val t = tokens(text)
+    qualityScoreOf(text, t, array_distinct(t))
+  }
+
+  /** [[qualityScore]] from pre-computed tokens + distinct tokens (the raw
+    * text is still needed for the punctuation ratio).
+    */
+  def qualityScoreOf(text: Column, toks: Column, dtoks: Column): Column = {
+    val lenScore = least(size(toks).cast("double") / 100.0, lit(1.0))
+    round(lenScore * 0.4 + distinctTokenRatioOf(toks, dtoks) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.2, 4)
   }
 
   /** Canonical-form document fingerprint: md5 over the sorted distinct token
@@ -81,7 +110,11 @@ object TextOps {
     * words" exact-dedup key.
     */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    fingerprintOf(array_distinct(tokens(text)))
+
+  /** [[fingerprint]] from a pre-computed distinct-token array. */
+  def fingerprintOf(dtoks: Column): Column =
+    md5(concat_ws(" ", array_sort(dtoks)))
 
   /** Character n-gram shingles (distinct, for MinHash / Jaccard). */
   def charShingles(text: Column, n: Int): Column = {
@@ -92,10 +125,16 @@ object TextOps {
         i => norm.substr(i + 1, lit(n)))))
   }
 
-  /** Word n-gram shingles (distinct), joined with '\u0001'. */
+  /** Word n-gram shingles (distinct), joined with '\u0001'. A document
+    * with fewer than `n` tokens yields the EMPTY set - padding it to one
+    * degenerate shingle would let two unrelated short documents score
+    * Jaccard 1.0 and surface as spurious duplicate pairs (and it would
+    * disagree with the oracle's `list_transform(range(1, len(toks)))`,
+    * which is empty for short docs).
+    */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws("\u0001", toks))).otherwise(
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws("\u0001", slice(toks, i + 1, lit(n))))))

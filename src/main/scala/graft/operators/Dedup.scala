@@ -31,8 +31,13 @@ object Dedup {
   }
 
   // Relations persisted by the LSH operators (they feed multiple plan
-  // branches). They stay cached for reuse across actions; long-lived
-  // sessions call [[unpersistCaches]] between corpora to release storage.
+  // branches). End-to-end entry points ([[minhashDedupPairs]],
+  // [[simhashPairs]]) scope their intermediates per call: the (small) pair
+  // result is materialized eagerly and the signature/candidate relations are
+  // unpersisted before returning, so storage memory does NOT accumulate for
+  // the life of a long-running session. Only results (and the signature
+  // relation of a bare [[minhashCandidates]] call, which stays lazy) land in
+  // this registry; [[unpersistCaches]] is the catch-all between corpora.
   private val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
   private def cached(df: DataFrame): DataFrame = caches.synchronized {
     caches += df
@@ -43,6 +48,25 @@ object Dedup {
   def unpersistCaches(): Unit = caches.synchronized {
     caches.foreach(_.unpersist(blocking = false))
     caches.clear()
+  }
+
+  /** Run `body` with a call-local cache registrar, materialize its result,
+    * then release the call's intermediate caches eagerly. The result itself
+    * is persisted (it was just computed — callers typically both write and
+    * inspect it) and registered in the session registry for
+    * [[unpersistCaches]].
+    */
+  private def withScopedCaches(body: (DataFrame => DataFrame) => DataFrame): DataFrame = {
+    val local = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def localCached(df: DataFrame): DataFrame = {
+      local += df
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    try {
+      val result = cached(body(localCached))
+      result.count() // materialize so the intermediates are releasable NOW
+      result
+    } finally local.foreach(_.unpersist(blocking = false))
   }
 
   /** Tier 1: exact dedup on a canonical text fingerprint; keeps the row with
@@ -89,13 +113,21 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 5, numHashes: Int = 128,
-                        bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+                        bands: Int = 16, maxBucketSize: Int = 1000): DataFrame =
+    minhashCandidatesWith(cached, df, idCol, textCol, shingleLen, numHashes,
+      bands, maxBucketSize)
+
+  private def minhashCandidatesWith(
+      register: DataFrame => DataFrame,
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, numHashes: Int,
+      bands: Int, maxBucketSize: Int): DataFrame = {
     val rows = numHashes / bands
     // the signature relation feeds three plan branches (banding + both pair
     // sides); persist so the kernel runs once per row, not once per branch.
     // Shingling + hashing is the rolling-hash kernel: O(len) per row, no
     // per-window string allocation.
-    val sig = cached(spread(df).select(
+    val sig = register(spread(df).select(
       col(idCol).as("id"),
       graft.functions.MinHashSig.minhashSig(
         graft.functions.ShingleHashes.shingleHashes(col(textCol), shingleLen),
@@ -128,28 +160,30 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleLen: Int = 5,
                         numHashes: Int = 128, bands: Int = 16,
-                        maxBucketSize: Int = 1000): DataFrame = {
-    // cands feeds two branches (id collection + the final join) — cache so
-    // the banding/bucketing/pair shuffles run once
-    val cands = cached(
-      minhashCandidates(df, idCol, textCol, shingleLen, numHashes, bands, maxBucketSize)
-        .filter(col("jaccard_est") >= threshold - 0.15))
-    // exact verify on the hashed shingle sets (identical to string-shingle
-    // Jaccard up to 31-bit hash collisions), computed ONLY for docs that
-    // appear in a candidate pair — a semi-join keeps the shingling cost
-    // proportional to candidates, not corpus
-    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val sh = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
-      .join(candIds, "id") // join BEFORE the expensive projection
-      .select(col("id"),
-        graft.functions.ShingleHashes.shingleHashes(col("__text"), shingleLen).as("sh"))
-    cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", ngramJaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard", "jaccard_est")
-  }
+                        maxBucketSize: Int = 1000): DataFrame =
+    withScopedCaches { localCached =>
+      // cands feeds two branches (id collection + the final join) — cache so
+      // the banding/bucketing/pair shuffles run once
+      val cands = localCached(
+        minhashCandidatesWith(localCached, df, idCol, textCol, shingleLen,
+            numHashes, bands, maxBucketSize)
+          .filter(col("jaccard_est") >= threshold - 0.15))
+      // exact verify on the hashed shingle sets (identical to string-shingle
+      // Jaccard up to 31-bit hash collisions), computed ONLY for docs that
+      // appear in a candidate pair — a semi-join keeps the shingling cost
+      // proportional to candidates, not corpus
+      val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val sh = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
+        .join(candIds, "id") // join BEFORE the expensive projection
+        .select(col("id"),
+          graft.functions.ShingleHashes.shingleHashes(col("__text"), shingleLen).as("sh"))
+      cands
+        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", ngramJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "jaccard_est")
+    }
 
   // --- Tier 3: SimHash ------------------------------------------------------
 
@@ -167,12 +201,12 @@ object Dedup {
     * LSH bucket key (single equi-join shuffle, no O(n²) compare).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame = withScopedCaches { localCached =>
     val blocks = maxHamming + 1
     val width = 64 / blocks
     // both pair sides read the signature relation; cache so the kernel
     // projection runs once
-    val sig = cached(simhash64(df, idCol, textCol))
+    val sig = localCached(simhash64(df, idCol, textCol))
     val banded = sig.select(col("id"), col("simhash"),
       explode(array((0 until blocks).map { b =>
         struct(lit(b).as("blk"),

@@ -7,27 +7,44 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Broadcast-hint the build side only when its optimizer-estimated size is
+    * under the session's `spark.sql.autoBroadcastJoinThreshold`; otherwise
+    * leave the strategy to Catalyst/AQE. An unconditional `broadcast()` hint
+    * FORCES broadcast regardless of actual size — at 100× a mis-sized vocab
+    * OOMs every executor, and AQE can never rescue a hinted plan.
+    */
+  private[graft] def maybeBroadcast(vocab: DataFrame): DataFrame = {
+    val raw = vocab.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    val threshold =
+      if (raw.startsWith("-")) -1L
+      else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: Exception => -1L }
+    val estimate = vocab.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estimate <= BigInt(threshold)) broadcast(vocab) else vocab
+  }
+
   /** H1 `Joiner` (`/root/reference/jobs/hi-order/job-joiner.js:35-102`):
     * enrich each record from one or more small "vocab" datasets.
     *
     * The reference drains every vocab into an in-heap JS map and does a
     * per-record lookup; the Spark-native equivalent is a broadcast hash
     * left-outer join — same left-outer pass-through semantics (a miss keeps
-    * the record, `job-joiner.js:93-97`), but the build side is shipped once
-    * per executor instead of living on one thread, and Catalyst may also
-    * choose shuffled-hash if a "vocab" turns out huge.
+    * the record, `job-joiner.js:93-97`). The broadcast hint is size-gated by
+    * [[maybeBroadcast]], so a vocab that turns out huge falls back to
+    * Catalyst's own strategy choice (shuffled-hash / sort-merge, AQE-tunable).
     */
   def enrich(df: DataFrame, vocab: DataFrame, leftKey: Column, vocabKey: Column,
              select: Seq[Column] = Nil): DataFrame = {
-    val joined = df.join(broadcast(vocab), leftKey === vocabKey, "left")
+    val joined = df.join(maybeBroadcast(vocab), leftKey === vocabKey, "left")
     if (select.isEmpty) joined else joined.select(select: _*)
   }
 
-  /** H1 with several vocabs: chained broadcast joins (the reference exposes
-    * N vocab maps in one context, `job-joiner.js:49-68`).
+  /** H1 with several vocabs: chained size-gated broadcast joins (the
+    * reference exposes N vocab maps in one context, `job-joiner.js:49-68`).
     */
   def enrichAll(df: DataFrame, vocabs: Seq[(DataFrame, Column)]): DataFrame =
-    vocabs.foldLeft(df) { case (acc, (v, cond)) => acc.join(broadcast(v), cond, "left") }
+    vocabs.foldLeft(df) { case (acc, (v, cond)) => acc.join(maybeBroadcast(v), cond, "left") }
 
   /** H2 `JoinDetail` (`/root/reference/jobs/hi-order/job-join-detail.js:55-117`)
     * for relational detail sources: attach to each master row the full set of
@@ -35,17 +52,25 @@ object Joins {
     *
     * The reference re-executes the detail source once per master row,
     * sequentially. Here the detail side is aggregated once
-    * (`collect_list(struct(*))`) and joined — one shuffle on the key instead
+    * (`collect_list(struct(...))`) and joined — one shuffle on the key instead
     * of N correlated scans; a master with no details gets an empty array
     * (mirrors the reference's pass-through on detail error,
     * `job-join-detail.js:92-96`).
+    *
+    * @param detailCols columns to carry in each detail struct; default all
+    *                   (the reference's full-row semantics). At scale pass
+    *                   only the columns the consumer reads — the struct rides
+    *                   the shuffle, so an unprojected 16-column detail row is
+    *                   16× the needed shuffle volume.
     */
   def joinDetail(master: DataFrame, detail: DataFrame,
                  masterKey: String, detailKey: String,
-                 as: String = "details"): DataFrame = {
+                 as: String = "details",
+                 detailCols: Seq[String] = Nil): DataFrame = {
+    val carried = if (detailCols.isEmpty) detail.columns.toSeq else detailCols
     val packed = detail
       .groupBy(col(detailKey))
-      .agg(collect_list(struct(detail.columns.map(col): _*)).as(as))
+      .agg(collect_list(struct(carried.map(col): _*)).as(as))
     master
       .join(packed, master(masterKey) === packed(detailKey), "left")
       .drop(packed(detailKey))
@@ -66,24 +91,32 @@ object Joins {
                keyCol: String, leftTs: String, rightTs: String,
                payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
     val clash = payload.filter(left.columns.contains)
     require(clash.isEmpty,
       s"as-of payload columns ${clash.mkString(", ")} already exist on the left side — alias them on the right first")
+    // The payload rides as ONE packed struct per right row: carrying columns
+    // independently through last(..., ignoreNulls) would resurrect an older
+    // row's value wherever the matched row has a null field — and could mix
+    // fields from different right rows. The struct is non-null exactly when
+    // the row is a right row, so last(ignoreNulls) picks the matched row
+    // wholesale and its null fields stay null (DuckDB ASOF semantics).
+    val payloadType = StructType(payload.map(p => right.schema(p)))
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTs))
-      .withColumns(payload.map(p => p -> lit(null).cast(right.schema(p).dataType)).toMap)
-    val r = right.select(
-      (col(keyCol) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        payload.map(col)): _*)
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val r = right.select(col(keyCol), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__payload"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // at equal ts the right row sorts first, so "ts >= rightTs" includes ties
     val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side", "__ts")
+    val carried = unioned.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried.filter(col("__side") === 1)) { (df, p) =>
+      df.withColumn(p, col(s"__payload.$p"))
+    }.drop("__side", "__ts", "__payload")
   }
 
   /** H2 for *external* (per-row API) detail sources: a distributed correlated

@@ -47,7 +47,12 @@ case class SortSpec(input: OpSpec, keys: Seq[String]) extends OpSpec
 case class DistinctSpec(input: OpSpec, keys: Seq[String], order: Seq[String] = Nil) extends OpSpec
 /** Limit (the reference's spy-driven early stop, `jobs/job.js:202-210`). */
 case class LimitSpec(input: OpSpec, n: Int) extends OpSpec
-/** H1: left-broadcast enrich join on an equality key pair. */
+/** H1: enrich join on an equality key pair. `broadcastVocab = true` means
+  * AUTO: the vocab is broadcast-hinted only when its estimated size is under
+  * the session broadcast threshold (see [[graft.operators.Joins.maybeBroadcast]]);
+  * an oversized vocab falls back to Catalyst/AQE strategy choice instead of
+  * a forced broadcast that would OOM executors at scale.
+  */
 case class JoinSpec(input: OpSpec, vocab: OpSpec, leftKey: String, rightKey: String,
                     joinType: String = "left", broadcastVocab: Boolean = true) extends OpSpec
 /** H2 (relational): attach matching detail rows as an array column. */
@@ -114,7 +119,7 @@ object PipelineCompiler {
       case LimitSpec(in, n) => build(in).limit(n)
       case JoinSpec(in, vocab, lk, rk, jt, bcast) =>
         val l = build(in); val r0 = build(vocab)
-        val r = if (bcast) broadcast(r0) else r0
+        val r = if (bcast) graft.operators.Joins.maybeBroadcast(r0) else r0
         l.join(r, l(sub(lk)) === r(sub(rk)), jt)
       case JoinDetailSpec(m, d, mk, dk, as) =>
         graft.operators.Joins.joinDetail(build(m), build(d), sub(mk), sub(dk), as)
@@ -128,10 +133,40 @@ object PipelineCompiler {
       throw new IllegalArgumentException(s"broken chain: output node '${spec.out}' undefined"))
   }
 
+  /** Direct RefSpec dependencies of an op (nested through its inputs). */
+  private def refsOf(op: OpSpec): Set[String] = op match {
+    case RefSpec(n)                     => Set(n)
+    case _: SourceSpec                  => Set.empty
+    case FilterSpec(in, _)              => refsOf(in)
+    case MapSpec(in, _)                 => refsOf(in)
+    case WithColumnsSpec(in, _)         => refsOf(in)
+    case ExplodeSpec(in, _, _)          => refsOf(in)
+    case AggSpec(in, _, _)              => refsOf(in)
+    case SortSpec(in, _)                => refsOf(in)
+    case DistinctSpec(in, _, _)         => refsOf(in)
+    case LimitSpec(in, _)               => refsOf(in)
+    case JoinSpec(in, v, _, _, _, _)    => refsOf(in) ++ refsOf(v)
+    case JoinDetailSpec(m, d, _, _, _)  => refsOf(m) ++ refsOf(d)
+    case UnionSpec(ins)                 => ins.flatMap(refsOf).toSet
+  }
+
+  /** All spec nodes (transitively) feeding `name`, including itself. */
+  private def dependencyClosure(spec: PipelineSpec, name: String): Set[String] = {
+    val deps = spec.nodes.map { case (n, op) => n -> refsOf(op) }.toMap
+    def go(n: String, seen: Set[String]): Set[String] =
+      if (seen(n)) seen
+      else deps.getOrElse(n, Set.empty).foldLeft(seen + n)((s, d) => go(d, s))
+    go(name, Set.empty)
+  }
+
   /** The `Pipeline#run` analogue (`job-pipeline.js:168-186`) with Splitter
-    * fan-out: execute the spec to one or more sinks. A node consumed by
-    * several sinks is persisted once and multicast (one materialization,
-    * not N recomputes — `job-splitter.js` multicast semantics).
+    * fan-out: execute the spec to one or more sinks. Any computation-bearing
+    * node whose result is reachable from MORE THAN ONE sink's plan (shared
+    * directly, or upstream via RefSpec) is persisted once and multicast —
+    * Spark's CacheManager matches the persisted logical subtree inside every
+    * sink plan, so each shared node materializes once, not once per sink
+    * (`job-splitter.js` multicast semantics). Source nodes are exempt: a
+    * parquet scan shared by two sinks is cheaper re-scanned than cached.
     *
     * @param sinks (nodeName, format, path) per output; format:
     *              parquet|ndjson|csv
@@ -140,11 +175,17 @@ object PipelineCompiler {
                  sinks: Seq[(String, String, String)],
                  params: Map[String, String] = Map.empty): Unit = {
     require(sinks.nonEmpty, "runToSinks needs at least one sink")
+    val sinkNodes = sinks.map(_._1).distinct
+    val reachCount = sinkNodes.flatMap(n => dependencyClosure(spec, n))
+      .groupBy(identity).map { case (n, hits) => n -> hits.size }
+    val isSource = spec.nodes.collect { case (n, _: SourceSpec) => n }.toSet
+    val shared = reachCount.collect {
+      case (n, c) if c > 1 && !isSource(n) => n
+    }.toSeq
     val dfs = scala.collection.mutable.Map.empty[String, DataFrame]
-    def nodeDf(name: String): DataFrame = dfs.getOrElseUpdate(name, {
-      val df = compile(spec.copy(out = name), spark, params)
-      if (sinks.count(_._1 == name) > 1) df.persist() else df
-    })
+    def nodeDf(name: String): DataFrame =
+      dfs.getOrElseUpdate(name, compile(spec.copy(out = name), spark, params))
+    shared.foreach(n => nodeDf(n).persist())
     try sinks.foreach { case (node, format, path) =>
       val w = nodeDf(node).write.mode("overwrite")
       format match {
@@ -153,6 +194,6 @@ object PipelineCompiler {
         case "csv"     => w.option("header", "true").csv(substitute(path, params))
         case other     => w.format(other).save(substitute(path, params))
       }
-    } finally dfs.values.foreach(_.unpersist(blocking = false))
+    } finally shared.foreach(n => dfs(n).unpersist(blocking = false))
   }
 }

@@ -28,19 +28,33 @@ object PagedSource {
 
   /** Sequential paged read (faithful semantics).
     *
+    * Pagination control flow stays on the driver (it is inherently
+    * sequential), but the driver only ACCUMULATES raw payloads — record
+    * counting per page is a driver-local `pageRows` function on the payload
+    * string, and parsing happens ONCE over all pages at the end. The round-1
+    * formulation ran one Spark action (`count`) per page and chained
+    * `unionByName` per page: O(pages) driver round trips and a plan whose
+    * depth grew with page count — fine at 7 pages, pathological at 10k.
+    *
     * @param fetch    returns the raw payload for the state's page, or None to
     *                 terminate (the "processor returned falsy URL" rule)
-    * @param parse    payload → DataFrame (the attached parser sub-job)
+    * @param parse    all page payloads → one DataFrame (the attached parser
+    *                 sub-job); constant plan depth regardless of page count
     * @param maxPages hard safety bound
+    * @param pageRows driver-local record count of one payload (drives the
+    *                 empty-page×2 rule and the offset state); default counts
+    *                 non-blank NDJSON lines — inject the matching counter for
+    *                 other payload shapes (e.g. JSON-array length)
     */
   def read(spark: SparkSession,
            fetch: PageState => Option[String],
-           parse: (SparkSession, String) => DataFrame,
+           parse: (SparkSession, Seq[String]) => DataFrame = parseNdjson,
            limit: Int = 1000, maxPages: Int = 10000,
-           maxRetries: Int = 2, settleMs: Long = 0L): DataFrame = {
+           maxRetries: Int = 2, settleMs: Long = 0L,
+           pageRows: String => Long = ndjsonRows): DataFrame = {
     var state = PageState(0, 0L, limit, -1L, 0L)
     var emptyStreak = 0
-    var out: Option[DataFrame] = None
+    val payloads = scala.collection.mutable.ArrayBuffer.empty[String]
     var done = false
     // transient-failure retry with settle delay — the reference settles 1 s
     // and retries before trusting an empty page (job-reader-paged.js:156-170)
@@ -61,21 +75,24 @@ object PagedSource {
       fetchWithRetry(state) match {
         case None => done = true
         case Some(payload) =>
-          val page = parse(spark, payload)
-          val rows = page.count()
+          val rows = pageRows(payload)
           if (rows == 0) {
             emptyStreak += 1
             if (emptyStreak >= 2) done = true // empty-page ×2 rule
           } else {
             emptyStreak = 0
-            out = Some(out.map(_.unionByName(page, allowMissingColumns = true)).getOrElse(page))
+            payloads += payload
           }
           state = state.copy(page = state.page + 1, offset = state.offset + rows,
                              lastPageRows = rows, totalRowsProcessed = state.totalRowsProcessed + rows)
       }
     }
-    out.getOrElse(spark.emptyDataFrame)
+    if (payloads.isEmpty) spark.emptyDataFrame else parse(spark, payloads.toSeq)
   }
+
+  /** Non-blank line count — the NDJSON page record counter. */
+  def ndjsonRows(payload: String): Long =
+    payload.split("\n").count(_.trim.nonEmpty).toLong
 
   /** Distributed paged read for random-access transports (page number →
     * payload, total page count known or over-estimated): executors fetch
@@ -92,10 +109,13 @@ object PagedSource {
     spark.read.option("mode", "DROPMALFORMED").json(lines)
   }
 
-  /** Convenience NDJSON page parser (pages whose payload is NDJSON lines). */
-  def parseNdjson(spark: SparkSession, payload: String): DataFrame = {
+  /** NDJSON page parser: all page payloads → one json read (one plan node,
+    * however many pages were fetched).
+    */
+  def parseNdjson(spark: SparkSession, payloads: Seq[String]): DataFrame = {
     import spark.implicits._
-    val ds = spark.createDataset(payload.split("\n").toIndexedSeq.filter(_.nonEmpty))
+    val ds = spark.createDataset(
+      payloads.flatMap(_.split("\n").toIndexedSeq.filter(_.nonEmpty)))
     spark.read.option("mode", "DROPMALFORMED").json(ds)
   }
 }

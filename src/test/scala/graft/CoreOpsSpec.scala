@@ -120,6 +120,20 @@ class CoreOpsSpec extends SparkSpec {
     assert(out(4) == null)  // no right rows for key v
   }
 
+  test("as-of join: matched row's null fields stay null, fields never mix rows") {
+    // right row at ts=150 (the match for left ts=200) has tag=null, note="n2";
+    // per-column carry would resurrect tag="a" from the OLDER row at ts=90 and
+    // deliver a frankenrow (a, n2). The packed-struct carry keeps the matched
+    // row whole: (null, n2).
+    val left = Seq((1, "u", 200L)).toDF("id", "k", "ts")
+    val right = Seq(("u", 90L, "a", "n1"), ("u", 150L, null, "n2"))
+      .toDF("k", "rts", "tag", "note")
+    val out = Joins.asofJoin(left, right, "k", "ts", "rts",
+        payload = Seq("tag", "note"))
+      .select("tag", "note").as[(String, String)].collect().head
+    assert(out == ((null, "n2")), s"got $out — matched row not carried whole")
+  }
+
   test("spy observes row count without extra pass") {
     val obs = new org.apache.spark.sql.Observation("spy_test")
     val df = Seq(1, 2, 3).toDF("id").observe(obs, count(lit(1)).as("rows"))

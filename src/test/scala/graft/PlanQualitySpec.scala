@@ -19,6 +19,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "vocab join degraded to SMJ")
   }
 
+  test("H1 broadcast hint is size-gated: an over-threshold vocab is NOT forced") {
+    // Shrink the session threshold to 1 byte so every vocab estimate exceeds
+    // it — maybeBroadcast must then leave the strategy to Catalyst, and the
+    // initial plan must not force a broadcast build of the "huge" side.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val part = spark.read.parquet(s"$sf/part.parquet")
+      val p = graft.operators.Joins.enrich(li, part, li("l_partkey"), part("p_partkey"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"oversized vocab still forced to broadcast:\n${p.take(2000)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("C4 reducer pushes the shipdate range filter into the parquet scan") {
     val p = plan("q_c4_reducer")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(2000))

@@ -48,6 +48,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r.toSet == Set("abc", "bcd"))
   }
 
+  test("wordShingles: short documents yield the EMPTY set, not a degenerate shingle") {
+    // two unrelated one-token docs must NOT pair at jaccard 1.0
+    assert(one("hello", TextOps.wordShingles(_, 2)).getSeq[String](0).isEmpty)
+    assert(one("", TextOps.wordShingles(_, 2)).getSeq[String](0).isEmpty)
+    assert(one("a b c", TextOps.wordShingles(_, 2)).getSeq[String](0).size == 2)
+  }
+
+  test("token-derived *Of variants agree with the text-based entry points") {
+    val texts = Seq("The quick brown fox", "a A a", "", "  x  ").toDF("t")
+      .withColumn("lt", lower(col("t")))
+      .withColumn("toks", TextOps.tokensOfLower(col("lt")))
+      .withColumn("dtoks", array_distinct(col("toks")))
+    val rows = texts.select(
+      TextOps.qualityScore(col("t")) === TextOps.qualityScoreOf(col("t"), col("toks"), col("dtoks")),
+      TextOps.fingerprint(col("t")) === TextOps.fingerprintOf(col("dtoks")),
+      TextOps.langId(col("t")) === TextOps.langIdOfLower(col("lt")),
+      TextOps.subwordCount(col("t")) === TextOps.subwordCountOfLower(col("lt")))
+      .collect()
+    assert(rows.forall(r => (0 until 4).forall(r.getBoolean)), rows.mkString("; "))
+  }
+
   test("subwordCount counts words, digits, punct marks") {
     // "it's 42!" → [it, ', s, 4, 2, !] = 6
     assert(one("it's 42!", TextOps.subwordCount(_)).getInt(0) == 6)
