@@ -85,6 +85,21 @@ object PipelineCompiler {
           case "json"    => graft.sources.Readers.json(spark, p, rootNode)
           case "csv"     => spark.read.options(options).csv(p)
           case "xml"     => spark.read.options(options).format("xml").load(p)
+          // http/https/ftp URL source: options carry the reqOptions surface
+          // (method, auth.user/auth.password, header.<Name>, payload json|ndjson)
+          case "http" | "ftp" =>
+            val auth = for {
+              u <- options.get("auth.user"); pw <- options.get("auth.password")
+            } yield graft.sources.Transports.Auth(u, pw)
+            val headers = options.collect {
+              case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
+            }
+            val opts = graft.sources.Transports.ReqOptions(
+              method = options.getOrElse("method", "GET"),
+              headers = headers, auth = auth)
+            graft.sources.Readers.url(spark, p,
+              format = options.getOrElse("payload", "json"),
+              opts = opts, rootNode = rootNode, config = params)
           case other     => spark.read.options(options).format(other).load(p)
         }
       case RefSpec(name) =>

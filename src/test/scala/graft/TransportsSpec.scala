@@ -1,0 +1,146 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.sources.{PagedSource, Readers, Transports}
+import graft.sources.Transports.{Auth, ReqOptions}
+
+/** The concrete HTTP/FTP/mongo transport surface, exercised against an
+  * in-process JDK HttpServer (offline-safe — no egress).
+  */
+class TransportsSpec extends SparkSpec {
+
+  private def withServer(routes: (String, HttpExchange => (Int, String))*)(
+      body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, handler) =>
+      server.createContext(path, (ex: HttpExchange) => {
+        val (status, payload) = handler(ex)
+        val bytes = payload.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    }
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private def requestBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  test("httpFetch sends method/headers/basic-auth like the reference reqOptions") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[(String, String, String)]
+    withServer("/data" -> { ex =>
+      seen.set((ex.getRequestMethod,
+        Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""),
+        Option(ex.getRequestHeaders.getFirst("X-Extra")).getOrElse("")))
+      (200, """{"ok":true}""")
+    }) { base =>
+      val out = Transports.httpFetch(s"$base/data", ReqOptions(
+        headers = Map("X-Extra" -> "1"), auth = Some(Auth("u", "p"))))
+      assert(out == """{"ok":true}""")
+      val (method, authz, extra) = seen.get
+      assert(method == "GET" && extra == "1")
+      // the exact header the reference builds: Basic base64(user:password)
+      assert(authz == "Basic " + java.util.Base64.getEncoder
+        .encodeToString("u:p".getBytes(StandardCharsets.UTF_8)))
+    }
+  }
+
+  test("httpFetch raises on HTTP >= 400 so the paged settle-retry loop engages") {
+    withServer("/boom" -> { _ => (503, "down") }) { base =>
+      val e = intercept[java.io.IOException](Transports.httpFetch(s"$base/boom"))
+      assert(e.getMessage.contains("503"))
+    }
+  }
+
+  test("paged HTTP read: template substitution + empty-page×2 termination") {
+    withServer("/page" -> { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val p = q.split("&").collect { case s if s.startsWith("p=") => s.drop(2).toInt }.head
+      val payload =
+        if (p < 3) (0 until 10).map(i => s"""{"id":${p * 10 + i}}""").mkString("\n")
+        else "" // pages 3,4 empty → empty×2 rule ends pagination
+      (200, payload)
+    }) { base =>
+      val df = PagedSource.read(spark,
+        Transports.httpPagedFetch(s"$base/page?p={%page%}&limit={%limit%}"))
+      assert(df.count() == 30)
+      assert(df.agg(org.apache.spark.sql.functions.max("id")).head.getLong(0) == 29L)
+    }
+  }
+
+  test("Readers.url parses a rootNode JSON payload over HTTP") {
+    withServer("/api" -> { _ =>
+      (200, """{"meta":{"v":1},"results":{"vacancies":[{"id":1,"name":"a"},{"id":2,"name":"b"}]}}""")
+    }) { base =>
+      val df = Readers.url(spark, s"$base/api", rootNode = "results.vacancies")
+      assert(df.columns.sorted.toSeq == Seq("id", "name"))
+      assert(df.count() == 2)
+    }
+  }
+
+  test("push sink POSTs NDJSON batches through the HTTP poster") {
+    import spark.implicits._
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    withServer("/ingest" -> { ex =>
+      assert(ex.getRequestMethod == "POST")
+      batches.add(requestBody(ex))
+      (200, "")
+    }) { base =>
+      val df = (1 to 10).toDF("n").coalesce(1)
+      graft.sinks.Writers.push(df, batchSize = 4,
+        Transports.httpPoster(s"$base/ingest"))
+      val records = batches.toArray(Array.empty[String])
+        .flatMap(_.split("\n")).filter(_.nonEmpty)
+      assert(records.length == 10)              // every record delivered
+      assert(batches.size() == 3)               // 4+4+2 batching held
+    }
+  }
+
+  test("pipeline spec can declare an http source with auth options") {
+    import graft.plans._
+    withServer("/feed" -> { ex =>
+      if (Option(ex.getRequestHeaders.getFirst("Authorization")).isEmpty) (401, "no auth")
+      else (200, """{"data":[{"k":1,"v":"x"},{"k":2,"v":"y"},{"k":3,"v":"x"}]}""")
+    }) { base =>
+      val spec = PipelineSpec(nodes = Seq(
+        "src" -> SourceSpec("http", "{%api%}/feed",
+          options = Map("auth.user" -> "u", "auth.password" -> "p"),
+          rootNode = "data"),
+        "agg" -> AggSpec(RefSpec("src"), keys = Seq("v"), aggs = Seq("n" -> "count(1)")),
+        "out" -> SortSpec(RefSpec("agg"), Seq("v"))), out = "out")
+      val rows = PipelineCompiler.compile(spec, spark, Map("api" -> base))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("x", 2L), ("y", 1L)))
+    }
+  }
+
+  test("$VAR config roots resolve; unknown names fail loudly (utils.js:22-28)") {
+    assert(Transports.resolveUrl("$api/v1/items", Map("api" -> "http://h:1")) ==
+      "http://h:1/v1/items")
+    assert(Transports.resolveUrl("http://h:1/x", Map.empty) == "http://h:1/x")
+    val e = intercept[IllegalArgumentException](
+      Transports.resolveUrl("$nope/x", Map.empty))
+    assert(e.getMessage.contains("Unknown URL parameter: nope"))
+  }
+
+  test("mongodb URL splits into db address + collection (utils.js:52-57)") {
+    assert(Transports.mongoCollection("mongodb://h:27017/mydb/stuff") ==
+      ("mongodb://h:27017/mydb", "stuff"))
+    assert(Transports.mongoCollection("mongodb://u:p@h/db2/coll2") ==
+      ("mongodb://u:p@h/db2", "coll2"))
+    intercept[IllegalArgumentException](Transports.mongoCollection("mongodb://h:27017"))
+  }
+
+  test("urlFetch reads non-http protocol-handler URLs (file: stands in for ftp:)") {
+    val f = java.io.File.createTempFile("graft_url", ".txt")
+    java.nio.file.Files.writeString(f.toPath, "payload-bytes")
+    try assert(Transports.urlFetch(f.toURI.toString) == "payload-bytes")
+    finally f.delete()
+  }
+}
