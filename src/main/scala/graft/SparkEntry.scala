@@ -432,8 +432,10 @@ object SparkEntry {
   }
 
   private def qNAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    // nprobe=8/nlist=16 probes half the cells: recall ~0.86 vs brute force on
+    // the fixtures (graft.tools.RecallProbe) — nprobe=4 sat at ~0.64
     val emb = t(s, dir, "embeddings")
-    VectorOps.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5, nlist = 16, nprobe = 4)
+    VectorOps.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5, nlist = 16, nprobe = 8)
       .orderBy("query_id", "rank")
   }
 
