@@ -65,6 +65,26 @@ class PlanQualitySpec extends SparkSpec {
       "no partial aggregation before the shuffle")
   }
 
+  test("H2 detail scan reads only the projected detail columns") {
+    val p = plan("q_h2_join_detail")
+    val lineitemScan = p.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("lineitem")).getOrElse("")
+    // detailCols projection: the 16-column lineitem row must NOT ride the
+    // collect_list shuffle — only the key + the one consumed column
+    assert(lineitemScan.contains("l_orderkey") && lineitemScan.contains("l_quantity"),
+      lineitemScan)
+    assert(!lineitemScan.contains("l_extendedprice") && !lineitemScan.contains("l_comment"),
+      s"detail scan reads unprojected columns: $lineitemScan")
+  }
+
+  test("text stats tokenize once: split/lower/array_distinct appear once in the plan") {
+    val p = plan("q_n_text_stats")
+    def occurrences(op: String): Int = op.r.findAllIn(p).size
+    assert(occurrences("split\\(") == 1, s"split x${occurrences("split\\(")} — tokenization re-runs per stat")
+    assert(occurrences("lower\\(") == 1, s"lower x${occurrences("lower\\(")}")
+    assert(occurrences("array_distinct\\(") == 1, s"array_distinct x${occurrences("array_distinct\\(")}")
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     import graft.functions.{MinHashSig, ShingleHashes}
     val df = spark.read.parquet(s"$sf/documents.parquet")
