@@ -55,10 +55,15 @@ case class LimitSpec(input: OpSpec, n: Int) extends OpSpec
   */
 case class JoinSpec(input: OpSpec, vocab: OpSpec, leftKey: String, rightKey: String,
                     joinType: String = "left", broadcastVocab: Boolean = true) extends OpSpec
-/** H2 (relational): attach matching detail rows as an array column. */
+/** H2 (relational): attach matching detail rows as an array column.
+  * `detailCols` projects the carried struct (empty = all detail columns —
+  * the reference's full-row semantics; at scale list what the consumer
+  * reads, see [[graft.operators.Joins.joinDetail]]).
+  */
 case class JoinDetailSpec(master: OpSpec, detail: OpSpec,
                           masterKey: String, detailKey: String,
-                          as: String = "details") extends OpSpec
+                          as: String = "details",
+                          detailCols: Seq[String] = Nil) extends OpSpec
 /** Union of branches (reference: folder concat / injected rows). */
 case class UnionSpec(inputs: Seq[OpSpec]) extends OpSpec
 
@@ -88,18 +93,21 @@ object PipelineCompiler {
           // http/https/ftp URL source: options carry the reqOptions surface
           // (method, auth.user/auth.password, header.<Name>, payload json|ndjson)
           case "http" | "ftp" =>
-            val auth = for {
-              u <- options.get("auth.user"); pw <- options.get("auth.password")
-            } yield graft.sources.Transports.Auth(u, pw)
-            val headers = options.collect {
-              case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
-            }
-            val opts = graft.sources.Transports.ReqOptions(
-              method = options.getOrElse("method", "GET"),
-              headers = headers, auth = auth)
             graft.sources.Readers.url(spark, p,
               format = options.getOrElse("payload", "json"),
-              opts = opts, rootNode = rootNode, config = params)
+              opts = graft.sources.Transports.ReqOptions.fromOptions(options),
+              rootNode = rootNode, config = params)
+          // paginated HTTP source (R4 with the concrete transport): the path
+          // is a URL template with {%page%}/{%offset%}/{%limit%} placeholders;
+          // empty-page×2 termination and settle-retry apply as in PagedSource
+          case "http-paged" =>
+            graft.sources.PagedSource.read(spark,
+              graft.sources.Transports.httpPagedFetch(p,
+                graft.sources.Transports.ReqOptions.fromOptions(options), params),
+              limit = options.get("limit").map(_.toInt).getOrElse(1000),
+              maxPages = options.get("maxPages").map(_.toInt).getOrElse(10000),
+              maxRetries = options.get("maxRetries").map(_.toInt).getOrElse(2),
+              settleMs = options.get("settleMs").map(_.toLong).getOrElse(0L))
           case other     => spark.read.options(options).format(other).load(p)
         }
       case RefSpec(name) =>
@@ -136,8 +144,9 @@ object PipelineCompiler {
         val l = build(in); val r0 = build(vocab)
         val r = if (bcast) graft.operators.Joins.maybeBroadcast(r0) else r0
         l.join(r, l(sub(lk)) === r(sub(rk)), jt)
-      case JoinDetailSpec(m, d, mk, dk, as) =>
-        graft.operators.Joins.joinDetail(build(m), build(d), sub(mk), sub(dk), as)
+      case JoinDetailSpec(m, d, mk, dk, as, detailCols) =>
+        graft.operators.Joins.joinDetail(build(m), build(d), sub(mk), sub(dk), as,
+          detailCols.map(sub))
       case UnionSpec(ins) =>
         require(ins.nonEmpty, "union node needs at least one input")
         ins.map(build).reduce(_.unionByName(_, allowMissingColumns = true))
@@ -160,8 +169,8 @@ object PipelineCompiler {
     case SortSpec(in, _)                => refsOf(in)
     case DistinctSpec(in, _, _)         => refsOf(in)
     case LimitSpec(in, _)               => refsOf(in)
-    case JoinSpec(in, v, _, _, _, _)    => refsOf(in) ++ refsOf(v)
-    case JoinDetailSpec(m, d, _, _, _)  => refsOf(m) ++ refsOf(d)
+    case JoinSpec(in, v, _, _, _, _)       => refsOf(in) ++ refsOf(v)
+    case JoinDetailSpec(m, d, _, _, _, _)  => refsOf(m) ++ refsOf(d)
     case UnionSpec(ins)                 => ins.flatMap(refsOf).toSet
   }
 
@@ -202,12 +211,20 @@ object PipelineCompiler {
       dfs.getOrElseUpdate(name, compile(spec.copy(out = name), spark, params))
     shared.foreach(n => nodeDf(n).persist())
     try sinks.foreach { case (node, format, path) =>
-      val w = nodeDf(node).write.mode("overwrite")
       format match {
-        case "parquet" => w.parquet(substitute(path, params))
-        case "ndjson"  => w.json(substitute(path, params))
-        case "csv"     => w.option("header", "true").csv(substitute(path, params))
-        case other     => w.format(other).save(substitute(path, params))
+        // push sink: POST NDJSON batches to the URL (reference's http write
+        // stream, utils.js:38-50); $VAR roots resolve against params
+        case "http" =>
+          graft.sinks.Writers.push(nodeDf(node), batchSize = 500,
+            graft.sources.Transports.httpPoster(substitute(path, params), config = params))
+        case _ =>
+          val w = nodeDf(node).write.mode("overwrite")
+          format match {
+            case "parquet" => w.parquet(substitute(path, params))
+            case "ndjson"  => w.json(substitute(path, params))
+            case "csv"     => w.option("header", "true").csv(substitute(path, params))
+            case other     => w.format(other).save(substitute(path, params))
+          }
       }
     } finally shared.foreach(n => dfs(n).unpersist(blocking = false))
   }

@@ -57,8 +57,9 @@ object SpecJson {
       case JoinSpec(in, vocab, lk, rk, jt, b) =>
         pairs(n, "op" -> "join", "leftKey" -> lk, "rightKey" -> rk, "joinType" -> jt)
         n.put("broadcastVocab", b); n.set[JsonNode]("input", opNode(in)); n.set[JsonNode]("vocab", opNode(vocab))
-      case JoinDetailSpec(m0, d, mk, dk, as) =>
+      case JoinDetailSpec(m0, d, mk, dk, as, detailCols) =>
         pairs(n, "op" -> "joinDetail", "masterKey" -> mk, "detailKey" -> dk, "as" -> as)
+        val dc = n.putArray("detailCols"); detailCols.foreach(dc.add)
         n.set[JsonNode]("master", opNode(m0)); n.set[JsonNode]("detail", opNode(d))
       case UnionSpec(ins) =>
         n.put("op", "union"); val a = n.putArray("inputs"); ins.foreach(i => a.add(opNode(i)))
@@ -104,7 +105,8 @@ object SpecJson {
                         str(n, "leftKey"), str(n, "rightKey"), str(n, "joinType", "left"),
                         Option(n.get("broadcastVocab")).forall(_.asBoolean))
     case "joinDetail" => JoinDetailSpec(parseOp(n.get("master")), parseOp(n.get("detail")),
-                        str(n, "masterKey"), str(n, "detailKey"), str(n, "as", "details"))
+                        str(n, "masterKey"), str(n, "detailKey"), str(n, "as", "details"),
+                        strs(n, "detailCols"))
     case "union"   => UnionSpec(n.get("inputs").elements().asScala.map(parseOp).toSeq)
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
@@ -148,7 +150,7 @@ object SpecJson {
         case DistinctSpec(in, _, _) => link(in)
         case LimitSpec(in, _) => link(in)
         case JoinSpec(in, vocab, _, _, _, _) => link(in); link(vocab)
-        case JoinDetailSpec(m, d, _, _, _) => link(m); link(d)
+        case JoinDetailSpec(m, d, _, _, _, _) => link(m); link(d)
         case UnionSpec(ins) => ins.foreach(link)
       }
     }

@@ -50,6 +50,21 @@ object Transports {
           s"${a.user}:${a.password}".getBytes(StandardCharsets.UTF_8))))
   }
 
+  object ReqOptions {
+    /** Build from a flat string-options map (the pipeline-spec encoding):
+      * `method`, `auth.user`/`auth.password`, `header.<Name>`, `timeoutMs`.
+      */
+    def fromOptions(options: Map[String, String]): ReqOptions = ReqOptions(
+      method = options.getOrElse("method", "GET"),
+      headers = options.collect {
+        case (k, v) if k.startsWith("header.") => k.stripPrefix("header.") -> v
+      },
+      auth = for {
+        u <- options.get("auth.user"); pw <- options.get("auth.password")
+      } yield Auth(u, pw),
+      timeoutMs = options.get("timeoutMs").map(_.toLong).getOrElse(30000L))
+  }
+
   /** `$NAME/rest` config-root substitution (`utils.js:22-28`): the first URL
     * segment names a config entry that replaces it; an unknown name fails
     * loudly exactly like the reference ("Unknown URL parameter").

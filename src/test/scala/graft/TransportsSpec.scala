@@ -120,6 +120,53 @@ class TransportsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline spec paged-http source paginates to termination") {
+    import graft.plans._
+    withServer("/items" -> { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val p = q.split("&").collect { case s if s.startsWith("page=") => s.drop(5).toInt }.head
+      (200, if (p < 2) (0 until 5).map(i => s"""{"n":${p * 5 + i}}""").mkString("\n") else "")
+    }) { base =>
+      val spec = PipelineSpec(nodes = Seq(
+        "src" -> SourceSpec("http-paged", s"$base/items?page={%page%}"),
+        "agg" -> AggSpec(RefSpec("src"), keys = Nil, aggs = Seq(
+          "rows" -> "count(1)", "total" -> "cast(sum(n) as bigint)"))), out = "agg")
+      val row = PipelineCompiler.compile(spec, spark).head()
+      assert(row.getLong(0) == 10L && row.getLong(1) == 45L)
+    }
+  }
+
+  test("runToSinks http sink posts the node's records") {
+    import graft.plans._
+    val received = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer("/sink" -> { ex =>
+      received.addAndGet(requestBody(ex).split("\n").count(_.nonEmpty))
+      (200, "")
+    }) { base =>
+      val spec = PipelineSpec(nodes = Seq(
+        "li"  -> SourceSpec("parquet", s"$sf/region.parquet"),
+        "out" -> MapSpec(RefSpec("li"), Seq("k" -> "r_regionkey"))), out = "out")
+      PipelineCompiler.runToSinks(spec, spark, sinks = Seq(("out", "http", s"$base/sink")))
+      assert(received.get == 5)
+    }
+  }
+
+  test("joinDetail spec projects detailCols and roundtrips through JSON") {
+    import graft.plans._
+    val spec = PipelineSpec(nodes = Seq(
+      "m" -> SourceSpec("parquet", s"$sf/orders.parquet"),
+      "d" -> SourceSpec("parquet", s"$sf/lineitem.parquet"),
+      "j" -> JoinDetailSpec(RefSpec("m"), RefSpec("d"), "o_orderkey", "l_orderkey",
+        detailCols = Seq("l_quantity"))), out = "j")
+    val roundtripped = SpecJson.fromJson(SpecJson.toJson(spec))
+    assert(roundtripped == spec)
+    val df = PipelineCompiler.compile(roundtripped, spark)
+    val fields = df.schema("details").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(fields == Seq("l_quantity"), s"struct carries $fields")
+  }
+
   test("$VAR config roots resolve; unknown names fail loudly (utils.js:22-28)") {
     assert(Transports.resolveUrl("$api/v1/items", Map("api" -> "http://h:1")) ==
       "http://h:1/v1/items")
