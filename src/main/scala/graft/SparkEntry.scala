@@ -385,6 +385,19 @@ object SparkEntry {
       .agg(max(col("session_seq")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** Sessionization via Spark's NATIVE session_window operator (the
+    * streaming-state formulation; merge-on-overlap semantics, so a new
+    * session starts at gap >= 30 min — the oracle mirrors the half-open
+    * interval with `>=`).
+    */
+  private def qESessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).cast("long").as("n_events"))
+      .orderBy("user_id")
+
   // -------------------------------------------------------------------------
   // North-star: dedup / similarity / text / multimodal
   // -------------------------------------------------------------------------
@@ -495,6 +508,24 @@ object SparkEntry {
       .orderBy("ws_us", "event_type")
   }
 
+  /** Streaming stateful dedup (C6's streaming form) through an actual
+    * Structured Streaming run: each user_id's first-seen row survives; the
+    * surviving KEY SET equals DISTINCT user_id regardless of arrival order,
+    * which is what makes the query oracle-comparable.
+    */
+  private def qSStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = tmp("stream_dedup_stage", dir)
+    val result = graft.streaming.Streams.runAsStream(
+      s, t(s, dir, "events").select(col("user_id").cast("long").as("user_id"), col("ts")),
+      stage, s"dedup_${math.abs(dir.hashCode)}", "ts", "1 minute",
+      outputMode = "append") { df =>
+      graft.streaming.Streams.streamingDedup(
+        df.select(col("user_id")).as[Long], (u: Long) => u.toString).toDF("user_id")
+    }
+    result.orderBy("user_id")
+  }
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -531,7 +562,9 @@ object SparkEntry {
     "q_x_except"         -> (qXExcept _),
     "q_e_tumbling"       -> (qETumbling _),
     "q_e_sessionize"     -> (qESessionize _),
+    "q_e_session_window" -> (qESessionWindow _),
     "q_s_stream_window"  -> (qSStreamWindow _),
+    "q_s_stream_dedup"   -> (qSStreamDedup _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
     "q_n_dedup_minhash"  -> (qNDedupMinhash _),
     "q_n_dedup_simhash"  -> (qNDedupSimhash _),
@@ -729,6 +762,20 @@ object SparkEntry {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
          SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM g GROUP BY user_id ORDER BY user_id""",
+    // session_window merges on interval overlap → a new session at gap >= 30min
+    // (half-open [t, t+gap)), hence >= here vs > in the lag formulation above
+    "q_e_session_window" ->
+      """WITH g AS (
+           SELECT user_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_s_stream_dedup" ->
+      """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
+         ORDER BY user_id""",
     "q_s_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws_us,
                 event_type, count(*) AS n,
