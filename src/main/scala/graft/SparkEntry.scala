@@ -480,6 +480,18 @@ object SparkEntry {
         TextOps.fingerprintOf(col("__dtoks")).as("fp"))
       .orderBy("doc_id")
 
+  /** Corpus scrub pass: PII/boilerplate redaction + repetition scoring.
+    * Output is hash-stable (md5 of the redacted text, BIGINT lengths,
+    * 4-digit ratio).
+    */
+  private def qNTextClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TextOps.redactPii(col("text"))).as("redacted_md5"),
+        length(TextOps.redactPii(col("text"))).cast("long").as("redacted_len"),
+        round(TextOps.repeatedLineRatio(col("text")), 4).as("rep_line_ratio"))
+      .orderBy("doc_id")
+
   private def qNMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.asMedia(
@@ -575,6 +587,7 @@ object SparkEntry {
     "q_n_ann_ivf"        -> (qNAnnIvf _),
     "q_n_vector_stats"   -> (qNVectorStats _),
     "q_n_text_stats"     -> (qNTextStats _),
+    "q_n_text_clean"     -> (qNTextClean _),
     "q_n_multimodal"     -> (qNMultimodal _))
 
   // --- DuckDB oracle SQL ----------------------------------------------------
@@ -811,6 +824,21 @@ object SparkEntry {
                 round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
                 round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot
          FROM embeddings ORDER BY vec_id""",
+    "q_n_text_clean" -> {
+      val redacted =
+        """regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[0-9][0-9 ()+-]{7,}[0-9]', '<PHONE>', 'g')"""
+      val lines = """list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)"""
+      s"""SELECT doc_id,
+                 md5($redacted) AS redacted_md5,
+                 CAST(length($redacted) AS BIGINT) AS redacted_len,
+                 round(CASE WHEN len($lines) = 0 THEN 0.0
+                            ELSE CAST(len($lines) - len(list_distinct($lines)) AS DOUBLE)
+                                 / len($lines) END, 4) AS rep_line_ratio
+          FROM documents ORDER BY doc_id"""
+    },
     "q_n_text_stats" -> {
       val en = """len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b'))"""
       val fr = """len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une|est|dans)\b'))"""

@@ -116,6 +116,32 @@ object TextOps {
   def fingerprintOf(dtoks: Column): Column =
     md5(concat_ws(" ", array_sort(dtoks)))
 
+  // Patterns shared with the DuckDB oracle — both engines (Java regex / RE2)
+  // interpret these identically: plain classes, no lookarounds/backrefs.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val phonePattern = "[0-9][0-9 ()+-]{7,}[0-9]"
+
+  /** PII / boilerplate scrub — the standard pretraining-corpus redaction
+    * pass: emails, URLs, then phone-ish digit runs, masked in that order
+    * (emails before phones so a number inside an address is not half-eaten).
+    * Pure `regexp_replace` chain: codegen'd, scan-bandwidth-bound.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, urlPattern, "<URL>")
+    regexp_replace(noUrl, phonePattern, "<PHONE>")
+  }
+
+  /** Fraction of repeated (non-blank) lines — the intra-document
+    * boilerplate/repetition detector used by corpus quality gates.
+    */
+  def repeatedLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\\n"), l => length(trim(l)) > 0)
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  }
+
   /** Character n-gram shingles (distinct, for MinHash / Jaccard). */
   def charShingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")

@@ -74,6 +74,20 @@ class TextOpsSpec extends SparkSpec {
     assert(one("it's 42!", TextOps.subwordCount(_)).getInt(0) == 6)
   }
 
+  test("redactPii masks emails, urls, phone-ish runs; plain text untouched") {
+    val r = one("mail bob.smith+x@corp.example.com or visit https://ex.com/a?b=1 or call +1 (415) 555-0199 now",
+      TextOps.redactPii(_)).getString(0)
+    assert(r == "mail <EMAIL> or visit <URL> or call +<PHONE> now", r)
+    assert(one("no pii here, just 42 and v1.2", TextOps.redactPii(_)).getString(0)
+      == "no pii here, just 42 and v1.2")
+  }
+
+  test("repeatedLineRatio flags duplicated non-blank lines") {
+    assert(one("a\nb\na\n\n a \nc", TextOps.repeatedLineRatio(_)).getDouble(0) == 0.2) // a dup among 5
+    assert(one("x\ny\nz", TextOps.repeatedLineRatio(_)).getDouble(0) == 0.0)
+    assert(one("", TextOps.repeatedLineRatio(_)).getDouble(0) == 0.0)
+  }
+
   test("multimodal: feature extraction preserves ids, stub features normalized") {
     val media = Multimodal.asMedia(
       Seq((7L, "hello world")).toDF("id", "txt")
