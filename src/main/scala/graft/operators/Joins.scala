@@ -119,6 +119,30 @@ object Joins {
     }.drop("__side", "__ts", "__payload")
   }
 
+  /** Skew-salted equi-join: every left row gets a salt in `[0, salts)`, the
+    * right side is replicated once per salt value, and the join key becomes
+    * `(key, salt)` — a single hot key fans out over `salts` reducers instead
+    * of stalling one. The result is IDENTICAL to the plain join for any salt
+    * assignment (the right side covers every salt), so the salt source only
+    * needs uniformity, not stability.
+    *
+    * Use when one side has a pathologically hot key and the other side is
+    * small enough to replicate `salts`× but too big to broadcast; AQE's
+    * skew-join split (on in [[graft.GraftSession]]) already handles moderate
+    * skew without help.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), joinType)
+      .drop("__salt")
+  }
+
   /** H2 for *external* (per-row API) detail sources: a distributed correlated
     * fetch. `fetchDetails` runs once per master row inside `mapPartitions`,
     * so connections/rate-limiters are amortized per partition (the

@@ -64,4 +64,21 @@ object Writers {
     * plan, materializes nothing; used by benchmarks.
     */
   def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+
+  /** Bucketed managed table: data is hash-partitioned into `buckets` files
+    * per partition on `bucketCol` AND sorted within buckets at WRITE time, so
+    * every later join/aggregation on that column reads pre-shuffled,
+    * pre-sorted data — zero Exchange, zero Sort in the plan (asserted in
+    * `PlanQualitySpec`). This is the co-located-join layout for fact tables
+    * that are joined on the same key query after query; at 100 TB it converts
+    * the dominant recurring shuffle into a one-time write cost.
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    // repartition on the bucket column first: one writer task per bucket ⇒
+    // ONE file per bucket. Spark only elides the read-side Sort when a bucket
+    // is a single file (multi-file buckets are only individually sorted), and
+    // one-file buckets are also the small-files-safe layout at scale.
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
 }
