@@ -35,6 +35,17 @@ object Multimodal {
       val n = math.max(1, payload.length).toFloat
       bins.map(_ / n)
     }
+
+    /** STUB resize — a real implementation would decode pixels, scale
+      * (bilinear), and re-encode with the same signature. The stub
+      * nearest-neighbor-samples payload bytes down/up to `targetBytes`, so
+      * it is deterministic, size-exact, and an identity when sizes match.
+      */
+    def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+      if (payload.isEmpty || targetBytes <= 0) Array.emptyByteArray
+      else if (targetBytes == payload.length) payload
+      else Array.tabulate(targetBytes)(i =>
+        payload(((i.toLong * payload.length) / targetBytes).toInt))
   }
 
   /** Wrap a DataFrame that has a binary column into the canonical media
@@ -66,6 +77,16 @@ object Multimodal {
           md5.digest(m.payload).map("%02x".format(_)).mkString,
           feats)
       }
+    }
+
+  /** Batch resize: per-partition iterator like [[extractFeatures]] (codec
+    * init amortized per partition). Payload column is replaced in place;
+    * byte_len metadata refreshed.
+    */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int)(
+      implicit enc: org.apache.spark.sql.Encoder[MediaRecord]): Dataset[MediaRecord] =
+    media.mapPartitions { it =>
+      it.map(m => m.copy(payload = MediaCodec.resizeStub(m.payload, targetBytes)))
     }
 
   /** Frame sampling for video-like payloads: keep every `stride`-th chunk of

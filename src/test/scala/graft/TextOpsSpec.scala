@@ -99,6 +99,19 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(f.features.sum - 1.0f) < 1e-5)
   }
 
+  test("multimodal: resize is size-exact, deterministic, identity at same size") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRecord] =
+      Encoders.product[Multimodal.MediaRecord]
+    val payload = Array.tabulate[Byte](100)(_.toByte)
+    val media = Seq(Multimodal.MediaRecord(1L, "image", payload, 10, 10, 0)).toDS()
+    val down = Multimodal.resize(media, 25).head().payload
+    assert(down.length == 25)
+    assert(down.toSeq == Multimodal.resize(media, 25).head().payload.toSeq) // deterministic
+    assert(Multimodal.resize(media, 100).head().payload.toSeq == payload.toSeq) // identity
+    assert(Multimodal.resize(media, 200).head().payload.length == 200) // upsample
+  }
+
   test("multimodal: frame sampling produces stride-spaced frames") {
     val df = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "bin")
     val frames = Multimodal.sampleFrames(df, "id", "bin", frameBytes = 10, stride = 2)
