@@ -85,6 +85,26 @@ object SparkEntry {
         count(lit(1)).as("count_order")))
       .orderBy("l_returnflag", "l_linestatus")
 
+  private val c9Seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** C9 `Nothing` through the gate: the plan executes against the noop sink
+    * (materializing nothing) while a spy (`observe`) records aggregates —
+    * the reference's nothing-writer + spy combination (`job-nothing.js`,
+    * `jobs/job.js:202-210`). The observed metrics are the query result, so
+    * the oracle checks that the noop execution really ran the full plan.
+    */
+  private def qC9Nothing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation(
+      s"c9_${math.abs(dir.hashCode)}_${c9Seq.incrementAndGet()}")
+    val df = t(s, dir, "supplier").observe(obs,
+      count(lit(1)).as("n"),
+      sum(floor(col("s_acctbal") * 100 + 0.5)).as("bal_cents"))
+    graft.sinks.Writers.noop(df)
+    Seq((obs.get("n").asInstanceOf[Long], obs.get("bal_cents").asInstanceOf[Long]))
+      .toDF("n", "bal_cents")
+  }
+
   private def qC5Sorter(s: SparkSession, dir: String): DataFrame =
     CoreOps.sorter(t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
       col("c_acctbal").desc, col("c_custkey").asc).limit(100)
@@ -546,6 +566,7 @@ object SparkEntry {
     "q_c3_thru"          -> (qC3Thru _),
     "q_c4_reducer"       -> (qC4Reducer _),
     "q_c5_sorter"        -> (qC5Sorter _),
+    "q_c9_nothing"       -> (qC9Nothing _),
     "q_c6_uniquer"       -> (qC6Uniquer _),
     "q_c3_unpivot"       -> (qC3Unpivot _),
     "q_c7c8_map_roundtrip" -> (qC7C8MapRoundtrip _),
@@ -620,6 +641,10 @@ object SparkEntry {
     "q_c5_sorter" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          ORDER BY c_acctbal DESC, c_custkey LIMIT 100""",
+    "q_c9_nothing" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM supplier""",
     "q_c6_uniquer" ->
       """SELECT o_custkey, min(o_orderkey) AS first_order,
                 min_by(o_orderstatus, o_orderkey) AS first_status

@@ -125,6 +125,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(salted.agg(sum("v")).head.getLong(0) == plain.agg(sum("v")).head.getLong(0))
   }
 
+  test("as-of join plans ONE shuffle, not a range-join fan-out") {
+    val p = plan("q_x_asof")
+    // union → single hash partition on the key → window carry-forward;
+    // a key-equi join with a range predicate would fan every left row out
+    // to all earlier right rows (quadratic per key) and plan a second join
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degraded to a join:\n${p.take(1500)}")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 key shuffle, saw $exchanges:\n${p.take(2000)}")
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     import graft.functions.{MinHashSig, ShingleHashes}
     val df = spark.read.parquet(s"$sf/documents.parquet")
