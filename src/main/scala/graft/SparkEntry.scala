@@ -139,6 +139,24 @@ object SparkEntry {
         expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (measure, value)"))
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
+  /** Calendar bucketing (reference `utils.js:126-143` quarter keys): orders
+    * rolled up by year/quarter with the quarter's date bounds. Dates go out
+    * as epoch DAYS (BIGINT) — DATE columns are another canonicalization-
+    * fragile type class across engines.
+    */
+  private def qXQuarter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).as("sum_cents"))
+      .select(col("y"), col("q"),
+        datediff(DateOps.quarterStartDate(col("y"), col("q")), lit("1970-01-01"))
+          .cast("long").as("qs_days"),
+        datediff(DateOps.quarterEndDate(col("y"), col("q")), lit("1970-01-01"))
+          .cast("long").as("qe_days"),
+        col("n"), col("sum_cents"))
+      .orderBy("y", "q")
+
   /** Schema explosion on request (SURVEY §7.4.3): dynamic keys → fixed
     * columns via pivot.
     */
@@ -571,6 +589,7 @@ object SparkEntry {
     "q_c3_unpivot"       -> (qC3Unpivot _),
     "q_c7c8_map_roundtrip" -> (qC7C8MapRoundtrip _),
     "q_x_pivot"          -> (qXPivot _),
+    "q_x_quarter"        -> (qXQuarter _),
     "q_x_json_props"     -> (qXJsonProps _),
     "q_h1_joiner"        -> (qH1Joiner _),
     "q_h2_join_detail"   -> (qH2JoinDetail _),
@@ -671,6 +690,15 @@ object SparkEntry {
                 count(*) FILTER (WHERE event_type = 'signup') AS signup,
                 count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_x_quarter" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+                CAST(make_date(year(o_orderdate), (quarter(o_orderdate) - 1) * 3 + 1, 1)
+                     - DATE '1970-01-01' AS BIGINT) AS qs_days,
+                CAST(last_day(make_date(year(o_orderdate), quarter(o_orderdate) * 3, 1))
+                     - DATE '1970-01-01' AS BIGINT) AS qe_days,
+                count(*) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY 1, 2, 3, 4 ORDER BY y, q""",
     "q_x_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
                 count(*) AS n,

@@ -99,6 +99,23 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(f.features.sum - 1.0f) < 1e-5)
   }
 
+  test("quarter dates honor the reference's composite half-year codes") {
+    import graft.functions.DateOps
+    val rows = Seq((2023, 1), (2023, 2), (2023, 3), (2023, 4), (2023, 34), (2023, 12), (2023, 0))
+      .toDF("y", "q")
+      .select(col("q"),
+        DateOps.quarterStartDate(col("y"), col("q")).cast("string").as("s"),
+        DateOps.quarterEndDate(col("y"), col("q")).cast("string").as("e"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(1) == (("2023-01-01", "2023-03-31")))
+    assert(rows(2) == (("2023-04-01", "2023-06-30")))
+    assert(rows(3) == (("2023-07-01", "2023-09-30")))
+    assert(rows(4) == (("2023-10-01", "2023-12-31")))
+    assert(rows(34) == (("2023-07-01", "2023-12-31"))) // H2: starts Q3, ends Q4
+    assert(rows(12) == (("2023-01-01", "2023-06-30"))) // H1: starts Q1, ends Q2
+    assert(rows(0) == (("2023-01-01", "2023-12-31")))  // unknown code → whole year
+  }
+
   test("multimodal: resize is size-exact, deterministic, identity at same size") {
     import org.apache.spark.sql.Encoders
     implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRecord] =
