@@ -29,6 +29,9 @@ object GraftSession {
       // declared once here (not as a read side effect): TIMESTAMP(NANOS)
       // parquet columns surface as int64 nanos; Tables converts to micros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // full JVM charset set for text sources — the reference's CSV feeds
+      // use windows-1251 etc., beyond Spark 4's default charset whitelist
+      .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

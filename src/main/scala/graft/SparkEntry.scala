@@ -372,6 +372,17 @@ object SparkEntry {
       .orderBy("region_name", "nation_name")
   }
 
+  /** CUBE over two dimensions (rollup's sibling; all 2² grouping sets). */
+  private def qXCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).as("sum_cents"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n"), col("sum_cents"))
+      .orderBy("status", "priority")
+
   private def qXIntersect(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
@@ -609,6 +620,7 @@ object SparkEntry {
     "q_x_anti_join"      -> (qXAntiJoin _),
     "q_x_semi_join"      -> (qXSemiJoin _),
     "q_x_rollup"         -> (qXRollup _),
+    "q_x_cube"           -> (qXCube _),
     "q_x_intersect"      -> (qXIntersect _),
     "q_x_asof"           -> (qXAsof _),
     "q_x_except"         -> (qXExcept _),
@@ -799,6 +811,13 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name) ORDER BY region_name, nation_name""",
+    "q_x_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                count(*) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
     "q_x_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
          INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996

@@ -99,6 +99,17 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(f.features.sum - 1.0f) < 1e-5)
   }
 
+  test("CSV parser honors non-UTF8 encodings (reference feeds are windows-1251)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp1251")
+    val file = dir.resolve("data.csv")
+    val content = "id;name\n1;Москва\n2;Тверь\n"
+    java.nio.file.Files.write(file, content.getBytes("windows-1251"))
+    val df = graft.sources.Readers.csv(spark, file.toString,
+      delimiter = ";", headers = true, encoding = "windows-1251")
+    val names = df.select("name").as[String].collect().sorted.toSeq
+    assert(names == Seq("Москва", "Тверь"), names)
+  }
+
   test("quarter dates honor the reference's composite half-year codes") {
     import graft.functions.DateOps
     val rows = Seq((2023, 1), (2023, 2), (2023, 3), (2023, 4), (2023, 34), (2023, 12), (2023, 0))
