@@ -342,6 +342,29 @@ object SparkEntry {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Frame-based window: per-customer running order total (cents) in date
+    * order — the cumulative-aggregation idiom (frame = unbounded preceding
+    * to current row, with orderkey tiebreak for determinism).
+    */
+  private def qXRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).over(w).as("running_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Distribution bucketing: quartile assignment over account balance. */
+  private def qXNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), ntile(4).over(w).as("balance_quartile"))
+      .orderBy("c_custkey")
+  }
+
   private def qXAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o95 = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
@@ -569,6 +592,25 @@ object SparkEntry {
       .orderBy("ws_us", "event_type")
   }
 
+  /** Stream-static enrichment: a streaming fact source joined to a static
+    * dimension (the broadcast-join idiom inside a streaming query), then
+    * windowed — the standard streaming-ETL enrich shape. Oracle is the
+    * batch-equivalent join+aggregate.
+    */
+  private def qSStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val stage = tmp("stream_enrich_stage", dir)
+    val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val result = graft.streaming.Streams.runAsStream(
+      s, t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+      stage, s"enrich_${math.abs(dir.hashCode)}", "ts", "1 minute") { stream =>
+      stream.join(dim, stream("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5)).as("sum_cents"))
+    }
+    result.orderBy("c_mktsegment")
+  }
+
   /** Streaming stateful dedup (C6's streaming form) through an actual
     * Structured Streaming run: each user_id's first-seen row survives; the
     * surviving KEY SET equals DISTINCT user_id regardless of arrival order,
@@ -629,6 +671,9 @@ object SparkEntry {
     "q_e_session_window" -> (qESessionWindow _),
     "q_s_stream_window"  -> (qSStreamWindow _),
     "q_s_stream_dedup"   -> (qSStreamDedup _),
+    "q_s_stream_enrich"  -> (qSStreamEnrich _),
+    "q_x_running"        -> (qXRunning _),
+    "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
     "q_n_dedup_minhash"  -> (qNDedupMinhash _),
     "q_n_dedup_simhash"  -> (qNDedupSimhash _),
@@ -792,6 +837,23 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_x_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY o_custkey, o_orderkey""",
+    "q_x_ntile" ->
+      """SELECT c_custkey,
+                CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)
+                  AS balance_quartile
+         FROM customer ORDER BY c_custkey""",
+    "q_s_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_x_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
