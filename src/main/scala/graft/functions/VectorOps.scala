@@ -20,7 +20,18 @@ object VectorOps {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** The HOF formulation — the readable reference semantics; kept as the
+    * cross-check target for the native kernel (`VectorOpsSpec`).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Pairwise cosine via the native one-pass kernel ([[CosineSim]]): same
+    * double arithmetic and null convention as [[cosineHof]], but codegen'd —
+    * the ANN/near-dup operators evaluate this per candidate pair, where the
+    * interpreted `aggregate(zip_with(...))` pipeline (3 array passes + a
+    * zipped allocation per pair) dominated the whole query.
+    */
+  def cosine(a: Column, b: Column): Column = VectorMath.cosineSim(a, b)
 
   /** Pre-normalize embeddings once (`vec / ||vec||`) so that cosine becomes a
     * plain dot product — at 100 TB you normalize at ingest, not per-pair.

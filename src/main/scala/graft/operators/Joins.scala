@@ -122,19 +122,30 @@ object Joins {
   /** Skew-salted equi-join: every left row gets a salt in `[0, salts)`, the
     * right side is replicated once per salt value, and the join key becomes
     * `(key, salt)` — a single hot key fans out over `salts` reducers instead
-    * of stalling one. The result is IDENTICAL to the plain join for any salt
-    * assignment (the right side covers every salt), so the salt source only
-    * needs uniformity, not stability.
+    * of stalling one. For the supported join types the result is IDENTICAL
+    * to the plain join for any salt assignment (the right side covers every
+    * salt), so the salt source only needs uniformity, not stability.
+    *
+    * Right/full outer joins are rejected: the replicated right side would
+    * emit each UNMATCHED right row once per salt (matched rows are fine —
+    * they pair with exactly one left salt), so the identity above breaks.
     *
     * Use when one side has a pathologically hot key and the other side is
     * small enough to replicate `salts`× but too big to broadcast; AQE's
     * skew-join split (on in [[graft.GraftSession]]) already handles moderate
     * skew without help.
     */
+  private val saltableJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(saltableJoinTypes(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not '$joinType': " +
+        "right/full outer would replicate unmatched right rows once per salt")
     val l = left.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(salts)))
     val r = right.withColumn("__salt",

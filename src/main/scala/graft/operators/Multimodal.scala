@@ -80,8 +80,9 @@ object Multimodal {
     }
 
   /** Batch resize: per-partition iterator like [[extractFeatures]] (codec
-    * init amortized per partition). Payload column is replaced in place;
-    * byte_len metadata refreshed.
+    * init amortized per partition). Only the payload is replaced in place —
+    * `MediaRecord` carries no size metadata; `byte_len` lives on
+    * [[MediaFeatures]] and is recomputed downstream by [[extractFeatures]].
     */
   def resize(media: Dataset[MediaRecord], targetBytes: Int)(
       implicit enc: org.apache.spark.sql.Encoder[MediaRecord]): Dataset[MediaRecord] =

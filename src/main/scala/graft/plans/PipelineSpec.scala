@@ -199,8 +199,10 @@ object PipelineCompiler {
                  sinks: Seq[(String, String, String)],
                  params: Map[String, String] = Map.empty): Unit = {
     require(sinks.nonEmpty, "runToSinks needs at least one sink")
-    val sinkNodes = sinks.map(_._1).distinct
-    val reachCount = sinkNodes.flatMap(n => dependencyClosure(spec, n))
+    // count per sink ENTRY, not per distinct node: a node written directly to
+    // two sinks must still persist once and multicast (else each sink write
+    // recomputes the subtree — divergent data under nondeterministic exprs)
+    val reachCount = sinks.map(_._1).flatMap(n => dependencyClosure(spec, n))
       .groupBy(identity).map { case (n, hits) => n -> hits.size }
     val isSource = spec.nodes.collect { case (n, _: SourceSpec) => n }.toSet
     val shared = reachCount.collect {

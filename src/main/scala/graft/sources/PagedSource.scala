@@ -44,7 +44,13 @@ object PagedSource {
     * @param pageRows driver-local record count of one payload (drives the
     *                 empty-page×2 rule and the offset state); default counts
     *                 non-blank NDJSON lines — inject the matching counter for
-    *                 other payload shapes (e.g. JSON-array length)
+    *                 other payload shapes (e.g. JSON-array length). NOTE:
+    *                 offset reflects FETCHED records, not parsed ones — the
+    *                 default `parse` drops malformed lines (DROPMALFORMED),
+    *                 so a page of malformed rows still advances `{%offset%}`
+    *                 past them (matching how a server-side cursor moves);
+    *                 inject a stricter counter if offset must track parsed
+    *                 rows exactly
     */
   def read(spark: SparkSession,
            fetch: PageState => Option[String],

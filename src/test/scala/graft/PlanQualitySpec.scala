@@ -125,6 +125,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(salted.agg(sum("v")).head.getLong(0) == plain.agg(sum("v")).head.getLong(0))
   }
 
+  test("salted join rejects right/full outer (unmatched rows would fan out)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = Seq((1L, "a")).toDF("k", "v")
+    val r = Seq((2L, "b")).toDF("dk", "w")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      intercept[IllegalArgumentException] {
+        graft.operators.Joins.saltedJoin(l, r, "k", "dk", salts = 4, joinType = jt)
+      }
+    }
+    // left outer stays supported and keeps unmatched LEFT rows exactly once
+    val lo = graft.operators.Joins.saltedJoin(l, r, "k", "dk", salts = 4, joinType = "left")
+    assert(lo.count() == 1L)
+  }
+
   test("as-of join plans ONE shuffle, not a range-join fan-out") {
     val p = plan("q_x_asof")
     // union → single hash partition on the key → window carry-forward;

@@ -95,6 +95,23 @@ class SpecJsonSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/raw").count() == 25)
   }
 
+  test("a node written directly to two sinks is persisted, not recomputed") {
+    val base = java.nio.file.Files.createTempDirectory("sinks2").toString
+    // uuid() is nondeterministic: if the node were recomputed per sink the
+    // two outputs would diverge; the persist-once multicast keeps them equal
+    val spec = PipelineSpec(nodes = Seq(
+      "n"      -> SourceSpec("parquet", s"$sf/nation.parquet"),
+      "tagged" -> MapSpec(RefSpec("n"), Seq("n_nationkey" -> "n_nationkey",
+                                            "tag" -> "uuid()"))),
+      out = "tagged")
+    PipelineCompiler.runToSinks(spec, spark, Seq(
+      ("tagged", "parquet", s"$base/a"),
+      ("tagged", "parquet", s"$base/b")))
+    val a = spark.read.parquet(s"$base/a").orderBy("n_nationkey").collect().toSeq
+    val b = spark.read.parquet(s"$base/b").orderBy("n_nationkey").collect().toSeq
+    assert(a == b, "direct double-sink write recomputed the node (divergent uuids)")
+  }
+
   test("thruStateful reproduces order-dependent cross-record state") {
     import spark.implicits._
     // running dictionary: emit each value with the count of distinct keys

@@ -31,6 +31,26 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sims(0) == 1.0 && sims(1) == 0.0)
   }
 
+  test("native cosine kernel is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((Array.fill(64)(rnd.nextFloat() * 2 - 1),
+                              Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("native"),
+              VectorOps.cosineHof(col("a"), col("b")).as("hof"))
+    // bit-identical, not approximately equal: the kernel must be swappable
+    // under the gate's round(...,4)-then-hash comparison
+    assert(df.filter(col("native") =!= col("hof") || col("native").isNull).count() == 0)
+    // edge rows evaluate through the NATIVE kernel only (the HOF divide may
+    // throw under ANSI): zero norm and length mismatch both yield null
+    val edges = Seq((Array.fill(64)(0.0f), Array.fill(64)(1.0f)),
+                    (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b").select(VectorOps.cosine(col("a"), col("b")).as("native"))
+    assert(edges.filter(col("native").isNull).count() == 2)
+  }
+
   test("CSV reader decodes non-UTF8 encodings (reference iconv feature)") {
     val dir = java.nio.file.Files.createTempDirectory("enc").toString
     val content = "id;name\n1;Müller\n2;Garçon\n"
