@@ -157,6 +157,27 @@ object SparkEntry {
         col("n"), col("sum_cents"))
       .orderBy("y", "q")
 
+  /** Binned range join ([[graft.operators.Joins.rangeJoin]]): lineitems
+    * shipping inside each sampled order's 30-day window. A raw
+    * `d BETWEEN lo AND hi` join plans as a nested loop — the binned operator
+    * turns it into an equi-join on the bin key (SURVEY §2.8 scope extension).
+    */
+  private def qXRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    def days(c: Column): Column = datediff(c.cast("date"), lit("1970-01-01").cast("date"))
+    val intervals = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderkey"), days(col("o_orderdate")).as("lo_day"))
+      .withColumn("hi_day", col("lo_day") + 30)
+    val points = t(s, dir, "lineitem")
+      .select(days(col("l_shipdate")).as("d"), col("l_quantity"))
+    Joins.rangeJoin(points, intervals, "d", "lo_day", "hi_day", binWidth = 32)
+      .groupBy("o_orderkey", "lo_day")
+      .agg(count(lit(1)).as("n_ship"),
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_cents"))
+      .select("o_orderkey", "lo_day", "n_ship", "qty_cents")
+      .orderBy("o_orderkey")
+  }
+
   /** Schema explosion on request (SURVEY §7.4.3): dynamic keys → fixed
     * columns via pivot.
     */
@@ -552,6 +573,27 @@ object SparkEntry {
         TextOps.fingerprintOf(col("__dtoks")).as("fp"))
       .orderBy("doc_id")
 
+  /** Gopher/C4-style quality gates: token-count bounds, mean word length,
+    * top-2-gram repetition fraction, stopword presence — each metric exposed
+    * plus the composite pass bit, all hash-stable (BIGINT / round-4 double).
+    * One tokenization pass, like [[qNTextStats]].
+    */
+  private def qNQualityGates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__lt", lower(col("text")))
+      .withColumn("__toks", TextOps.tokensOfLower(col("__lt")))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        round(TextOps.meanWordLen(col("__toks")), 4).as("mean_wlen"),
+        round(TextOps.topNgramFrac(col("__toks"), 2), 4).as("top2_frac"),
+        TextOps.stopwordHits(col("__lt")).cast("long").as("stop_hits"))
+      .withColumn("pass_gates",
+        (col("n_tokens").between(30, 1000) &&
+         col("mean_wlen").between(3.0, 10.0) &&
+         col("top2_frac") <= 0.05 && col("stop_hits") >= 1).cast("long"))
+      .orderBy("doc_id")
+
   /** Corpus scrub pass: PII/boilerplate redaction + repetition scoring.
     * Output is hash-stable (md5 of the redacted text, BIGINT lengths,
     * 4-digit ratio).
@@ -685,6 +727,8 @@ object SparkEntry {
     "q_n_vector_stats"   -> (qNVectorStats _),
     "q_n_text_stats"     -> (qNTextStats _),
     "q_n_text_clean"     -> (qNTextClean _),
+    "q_n_quality_gates"  -> (qNQualityGates _),
+    "q_x_range_join"     -> (qXRangeJoin _),
     "q_n_multimodal"     -> (qNMultimodal _))
 
   // --- DuckDB oracle SQL ----------------------------------------------------
@@ -973,6 +1017,40 @@ object SparkEntry {
                                  / len($lines) END, 4) AS rep_line_ratio
           FROM documents ORDER BY doc_id"""
     },
+    "q_x_range_join" ->
+      """WITH i AS (SELECT o_orderkey,
+                    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo_day
+                    FROM orders WHERE o_orderkey % 97 = 0),
+              p AS (SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+                    l_quantity FROM lineitem)
+         SELECT i.o_orderkey, CAST(i.lo_day AS INTEGER) AS lo_day,
+                CAST(count(*) AS BIGINT) AS n_ship,
+                CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+         FROM p JOIN i ON p.d BETWEEN i.lo_day AND i.lo_day + 30
+         GROUP BY 1, 2 ORDER BY o_orderkey""",
+    "q_n_quality_gates" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks, lower(text) AS lt FROM documents),
+               g AS (SELECT doc_id, toks, lt,
+                     CASE WHEN len(toks) < 2 THEN []
+                          ELSE list_transform(range(1, len(toks)), i -> toks[i] || toks[i+1])
+                     END AS grams
+                     FROM base),
+               m AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     round(CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                                / len(toks) END, 4) AS mean_wlen,
+                     round(CASE WHEN len(grams) = 0 THEN 0.0
+                           ELSE CAST(list_max(list_transform(list_distinct(grams),
+                                  gg -> len(list_filter(grams, x -> x = gg)))) AS DOUBLE)
+                                / len(grams) END, 4) AS top2_frac,
+                     CAST(len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|that|for)\\b'))
+                          AS BIGINT) AS stop_hits
+                     FROM g)
+          SELECT doc_id, n_tokens, mean_wlen, top2_frac, stop_hits,
+                 CAST(n_tokens BETWEEN 30 AND 1000 AND mean_wlen BETWEEN 3.0 AND 10.0
+                      AND top2_frac <= 0.05 AND stop_hits >= 1 AS BIGINT) AS pass_gates
+          FROM m ORDER BY doc_id""",
     "q_n_text_stats" -> {
       val en = """len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b'))"""
       val fr = """len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une|est|dans)\b'))"""

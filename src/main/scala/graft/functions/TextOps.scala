@@ -142,6 +142,41 @@ object TextOps {
       (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
   }
 
+  /** Mean token length in characters (0.0 for empty docs) — the Gopher
+    * "mean word length in [3,10]" quality gate's input.
+    */
+  def meanWordLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+
+  /** Non-distinct word n-grams (order-preserving) — the repetition
+    * detector's raw material; [[wordShingles]] distinct-ifies for Jaccard.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws("", slice(toks, i + 1, lit(n)))))
+
+  /** Fraction of the document's n-grams taken up by the single most frequent
+    * n-gram — the Gopher/C4 "top n-gram fraction" repetition gate (boilerplate
+    * and keyword-stuffed pages score high). O(grams × distinct) per row:
+    * fine for documents, and entirely codegen-free-of-shuffle (a pure column
+    * expression, unlike the groupBy-per-doc formulation).
+    */
+  def topNgramFrac(toks: Column, n: Int): Column = {
+    val grams = wordNgrams(toks, n)
+    val top = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(size(grams) === 0, lit(0.0)).otherwise(top.cast("double") / size(grams))
+  }
+
+  /** English stopword-marker hits (the Gopher "must contain ≥2 stopwords"
+    * gate); reuses the language-ID marker list so oracle SQL shares one
+    * pattern.
+    */
+  def stopwordHits(ltext: Column): Column =
+    markerHits(ltext, langMarkers.head._2)
+
   /** Character n-gram shingles (distinct, for MinHash / Jaccard). */
   def charShingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")

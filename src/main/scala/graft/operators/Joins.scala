@@ -154,6 +154,36 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Binned point-in-interval range join: pair every `points` row whose
+    * `pointCol` falls in `[loCol, hiCol]` of an `intervals` row (both bounds
+    * inclusive).
+    *
+    * Spark plans a raw `p BETWEEN lo AND hi` join as a broadcast/cartesian
+    * nested loop — O(points × intervals), a scale-killer past toy sizes. The
+    * binned formulation turns it into an EQUI-join: intervals replicate onto
+    * every `binWidth`-sized bin they cover (`sequence(floor(lo/w),
+    * floor(hi/w))`), a point lands in exactly one bin, and the exact
+    * predicate re-filters within the bin. Each (point, interval) pair meets
+    * in precisely one bin — the point's — so no post-join dedup is needed.
+    * Cost: shuffle O(points + intervals × avgSpan/binWidth); pick `binWidth`
+    * near the typical interval span so replication stays a small constant.
+    * AQE handles hot bins (skew-join split).
+    *
+    * Columns are numeric (cast timestamps/dates to epoch first); all interval
+    * columns are carried, so downstream projects what it needs.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, loCol: String, hiCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** H2 for *external* (per-row API) detail sources: a distributed correlated
     * fetch. `fetchDetails` runs once per master row inside `mapPartitions`,
     * so connections/rate-limiters are amortized per partition (the

@@ -140,6 +140,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(lo.count() == 1L)
   }
 
+  test("binned range join plans an equi-join, never a nested loop") {
+    val p = plan("q_x_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n${p.take(2000)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the bin key:\n${p.take(2000)}")
+    // and it agrees with the plain (nested-loop) formulation
+    import graft.operators.Joins
+    val pts = spark.range(0, 1000).selectExpr("id * 3 % 997 AS d", "id")
+    val ivs = spark.range(0, 40).selectExpr("id * 25 AS lo", "id * 25 + 40 AS hi", "id AS iv")
+    val binned = Joins.rangeJoin(pts, ivs, "d", "lo", "hi", binWidth = 32)
+      .groupBy("iv").count().orderBy("iv").collect().toSeq
+    val plain = pts.join(ivs, col("d") >= col("lo") && col("d") <= col("hi"))
+      .groupBy("iv").count().orderBy("iv").collect().toSeq
+    assert(binned == plain)
+  }
+
   test("as-of join plans ONE shuffle, not a range-join fan-out") {
     val p = plan("q_x_asof")
     // union → single hash partition on the key → window carry-forward;

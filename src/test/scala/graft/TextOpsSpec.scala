@@ -22,6 +22,21 @@ class TextOpsSpec extends SparkSpec {
     assert(one("xyzzy plugh", TextOps.langId(_)).getString(0) == "und")
   }
 
+  test("quality-gate metrics: mean word length, top-ngram fraction, stopwords") {
+    def toks(c: org.apache.spark.sql.Column) = TextOps.tokens(c)
+    // "aa b cccc" → lens 2,1,4 → mean 7/3
+    assert(one("aa b cccc", c => TextOps.meanWordLen(toks(c))).getDouble(0)
+      === 7.0 / 3.0)
+    assert(one("", c => TextOps.meanWordLen(toks(c))).getDouble(0) === 0.0)
+    // "a b a b a" → 2-grams: ab ba ab ba → top frac 2/4
+    assert(one("a b a b a", c => TextOps.topNgramFrac(toks(c), 2)).getDouble(0) === 0.5)
+    // all distinct 2-grams → 1/n each
+    assert(one("a b c d", c => TextOps.topNgramFrac(toks(c), 2)).getDouble(0) === 1.0 / 3.0)
+    // fewer tokens than n → no grams → 0.0
+    assert(one("solo", c => TextOps.topNgramFrac(toks(c), 2)).getDouble(0) === 0.0)
+    assert(one("the cat and the dog", c => TextOps.stopwordHits(lower(c))).getInt(0) == 3)
+  }
+
   test("fingerprint is word-order and duplication insensitive") {
     val a = one("b a c", TextOps.fingerprint(_)).getString(0)
     val b = one("c  b  a a", TextOps.fingerprint(_)).getString(0)
