@@ -519,6 +519,33 @@ object SparkEntry {
       n = 2, threshold = 0.01)
       .orderBy("id_a", "id_b")
 
+  /** Exact word-bigram Jaccard pairs over a bounded doc subset — the
+    * SQL-expressible pair source the clustering queries share with their
+    * DuckDB oracles (the minhash pair source is the scale path but has no
+    * SQL form).
+    */
+  private def clusterPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 256), "doc_id", "text",
+      n = 2, threshold = 0.1)
+
+  private def qNDupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(clusterPairs(s, dir)).orderBy("id")
+
+  private def qNDedupDrop(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDupsByPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 256), "doc_id",
+      clusterPairs(s, dir))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  private def qNHashSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("split", "lang")
+
   private def qNEmbDups(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.2, bands = 8, bits = 8)
@@ -671,6 +698,50 @@ object SparkEntry {
     result.orderBy("user_id")
   }
 
+  /** Stream-stream interval join through an actual Structured Streaming run:
+    * view→purchase attribution per user within one hour. Inner join + the
+    * time-range predicate makes append mode emit every match while the two
+    * watermarks bound the join state (the 100 TB-stream essential).
+    */
+  private def qSStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val stage = tmp("stream_join_stage", dir)
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+    val result = graft.streaming.Streams.runAsStreamPair(
+      s, views, buys, stage, s"sjoin_${math.abs(dir.hashCode)}",
+      ("view_ts", "1 minute"), ("buy_ts", "1 minute")) { (l, r) =>
+      graft.streaming.Streams.intervalJoin(l, r, "user_id", "view_ts", "buy_ts",
+        windowSeconds = 3600L)
+    }
+    result
+      .select(col("user_id"), col("view_id"), col("buy_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("buy_ts")).as("buy_us"))
+      .orderBy("user_id", "view_id", "buy_id")
+  }
+
+  /** Exact distributed percentiles (Catalyst `percentile`, one hash-agg
+    * pass). Gate-output rule: prices are scaled to integer cents BEFORE the
+    * percentile so interpolation happens on integers at binary-exact
+    * fractions (.25/.5/.75) — both engines' linear-interpolation formulas
+    * are then bit-identical, and the ×100 output stays integral.
+    */
+  private def qXPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100 + 0.5)
+    val pct = percentile(cents, lit(Array(0.25, 0.5, 0.75)))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), pct.as("p"))
+      .select(col("l_returnflag"), col("n"),
+        (element_at(col("p"), 1) * 100).cast("long").as("p25_c100"),
+        (element_at(col("p"), 2) * 100).cast("long").as("p50_c100"),
+        (element_at(col("p"), 3) * 100).cast("long").as("p75_c100"))
+      .orderBy("l_returnflag")
+  }
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -714,7 +785,12 @@ object SparkEntry {
     "q_s_stream_window"  -> (qSStreamWindow _),
     "q_s_stream_dedup"   -> (qSStreamDedup _),
     "q_s_stream_enrich"  -> (qSStreamEnrich _),
+    "q_s_stream_join"    -> (qSStreamJoin _),
     "q_x_running"        -> (qXRunning _),
+    "q_x_percentiles"    -> (qXPercentiles _),
+    "q_n_dup_clusters"   -> (qNDupClusters _),
+    "q_n_dedup_drop"     -> (qNDedupDrop _),
+    "q_n_hash_split"     -> (qNHashSplit _),
     "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
     "q_n_dedup_minhash"  -> (qNDedupMinhash _),
@@ -735,6 +811,28 @@ object SparkEntry {
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  /** Shared oracle prelude for the clustering queries: word-bigram Jaccard
+    * pairs (same shingling as [[graft.functions.TextOps.wordShingles]])
+    * over docs < 256, then connected components as min-reachable-id via a
+    * recursive transitive closure (`cl` = (id, cluster)).
+    */
+  private val clusterCteSql =
+    s"""WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks)),
+                   i -> concat(toks[i], chr(1), toks[i+1]))) AS sh
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 256)),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.1),
+        und AS (SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p),
+        reach(a, b) AS (SELECT a, b FROM und
+                        UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        cl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_c1_filter" ->
@@ -859,6 +957,40 @@ object SparkEntry {
                          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
             FROM d a JOIN d b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01 ORDER BY id_a, id_b""",
+    "q_n_dup_clusters" ->
+      s"""$clusterCteSql
+          SELECT id, cluster FROM cl ORDER BY id""",
+    "q_n_dedup_drop" ->
+      s"""$clusterCteSql
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id < 256
+            AND doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
+          ORDER BY doc_id""",
+    "q_n_hash_split" ->
+      s"""SELECT CASE WHEN b < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+                      WHEN b < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+                      ELSE 'test' END AS split,
+                 lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM (SELECT doc_id, lang,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b
+                FROM documents)
+          GROUP BY 1, 2 ORDER BY split, lang""",
+    "q_s_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
+                epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS buy_us
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+         ORDER BY v.user_id, view_id, buy_id""",
+    "q_x_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(quantile_cont(cents, 0.25) * 100 AS BIGINT) AS p25_c100,
+                CAST(quantile_cont(cents, 0.5)  * 100 AS BIGINT) AS p50_c100,
+                CAST(quantile_cont(cents, 0.75) * 100 AS BIGINT) AS p75_c100
+         FROM (SELECT l_returnflag, floor(l_extendedprice * 100 + 0.5) AS cents
+               FROM lineitem)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_n_multimodal" ->
       """SELECT doc_id AS media_id, strlen(text) AS byte_len, md5(text) AS digest,
                 round(CAST(CAST(len(list_filter(range(1, strlen(text) + 1),

@@ -94,44 +94,33 @@ object Dedup {
     graft.functions.MinHashSig.minhashSig(
       transform(shingles, s => hash(s).cast("long")), numHashes, seed)
 
-  /** Candidate near-duplicate pairs by banded LSH over minhash signatures.
-    * bands×rows = numHashes; a pair is a candidate iff some band matches.
-    * Returns (id_a, id_b, jaccard_est ∈ [0,1]) with id_a < id_b, where
-    * jaccard_est is the fraction of matching minhashes — the unbiased
-    * Jaccard estimator.
-    *
-    * Plan shape at scale (the 100 TB-safe layout):
-    *  1. signatures are a narrow per-row projection;
-    *  2. only (band, bandHash, id) triples — never the signature arrays —
-    *     go through the wide bucket aggregation, so shuffle volume is
-    *     O(rows × bands × 16 bytes);
-    *  3. buckets larger than `maxBucketSize` are *dropped* (a bucket that
-    *     big means boilerplate/degenerate content whose pair set is
-    *     quadratic; standard practice is to skip, not explode);
-    *  4. candidate pairs are generated inside each bucket and deduped, and
-    *     only then are the two signatures joined back for the estimate.
+  /** MinHash signature relation `(id, sig)` — a narrow per-row projection.
+    * Shingling + hashing is the rolling-hash kernel: O(len) per row, no
+    * per-window string allocation.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int = 5, numHashes: Int = 128,
-                        bands: Int = 16, maxBucketSize: Int = 1000): DataFrame =
-    minhashCandidatesWith(cached, df, idCol, textCol, shingleLen, numHashes,
-      bands, maxBucketSize)
-
-  private def minhashCandidatesWith(
-      register: DataFrame => DataFrame,
-      df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int, numHashes: Int,
-      bands: Int, maxBucketSize: Int): DataFrame = {
-    val rows = numHashes / bands
-    // the signature relation feeds three plan branches (banding + both pair
-    // sides); persist so the kernel runs once per row, not once per branch.
-    // Shingling + hashing is the rolling-hash kernel: O(len) per row, no
-    // per-window string allocation.
-    val sig = register(spread(df).select(
+  private def signatures(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int, numHashes: Int): DataFrame =
+    spread(df).select(
       col(idCol).as("id"),
       graft.functions.MinHashSig.minhashSig(
         graft.functions.ShingleHashes.shingleHashes(col(textCol), shingleLen),
-        numHashes).as("sig")))
+        numHashes).as("sig"))
+
+  /** Banded-LSH candidate `(id_a, id_b)` pairs from a signature relation,
+    * id_a < id_b, deduped across bands.
+    *
+    * Plan shape at scale (the 100 TB-safe layout):
+    *  1. only (band, bandHash, id) triples — never the signature arrays —
+    *     go through the wide bucket aggregation, so shuffle volume is
+    *     O(rows × bands × 16 bytes);
+    *  2. buckets larger than `maxBucketSize` are *dropped* (a bucket that
+    *     big means boilerplate/degenerate content whose pair set is
+    *     quadratic; standard practice is to skip, not explode);
+    *  3. candidate pairs are generated inside each bucket and deduped.
+    */
+  private def bandedPairs(sig: DataFrame, numHashes: Int, bands: Int,
+                          maxBucketSize: Int): DataFrame = {
+    val rows = numHashes / bands
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
@@ -139,10 +128,26 @@ object Dedup {
     val buckets = banded.groupBy("band", "bh")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
-    val pairs = buckets
+    buckets
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Candidate near-duplicate pairs by banded LSH over minhash signatures.
+    * bands×rows = numHashes; a pair is a candidate iff some band matches.
+    * Returns (id_a, id_b, jaccard_est ∈ [0,1]) with id_a < id_b, where
+    * jaccard_est is the fraction of matching minhashes — the unbiased
+    * Jaccard estimator. See [[bandedPairs]] for the 100 TB-safe plan shape;
+    * the two signatures are joined back only per deduped pair.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 5, numHashes: Int = 128,
+                        bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+    // the signature relation feeds three plan branches (banding + both pair
+    // sides); persist so the kernel runs once per row, not once per branch
+    val sig = cached(signatures(df, idCol, textCol, shingleLen, numHashes))
+    val pairs = bandedPairs(sig, numHashes, bands, maxBucketSize)
     val sigA = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sigB = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
     pairs.join(sigA, "id_a").join(sigB, "id_b")
@@ -153,21 +158,22 @@ object Dedup {
   }
 
   /** Tier 2 end-to-end: candidates whose *exact* shingle-set Jaccard clears
-    * `threshold` (LSH proposes, exact verifies — no false positives). The
-    * estimate pre-filters candidates (est ≥ threshold − 0.15) so the
-    * expensive shingle-set join only sees plausible pairs.
+    * `threshold` (LSH proposes, exact verifies — no false positives).
+    * Candidates go straight to the exact verify: the signature join-back +
+    * estimate pre-filter would add two joins to the hot path only to *drop*
+    * pairs the (noisy) estimator underrates — verification cost is already
+    * bounded by the candidate count via the semi-join below.
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleLen: Int = 5,
                         numHashes: Int = 128, bands: Int = 16,
                         maxBucketSize: Int = 1000): DataFrame =
     withScopedCaches { localCached =>
-      // cands feeds two branches (id collection + the final join) — cache so
-      // the banding/bucketing/pair shuffles run once
-      val cands = localCached(
-        minhashCandidatesWith(localCached, df, idCol, textCol, shingleLen,
-            numHashes, bands, maxBucketSize)
-          .filter(col("jaccard_est") >= threshold - 0.15))
+      // the signature relation has a single consumer here (banding) — no
+      // persist; cands feeds two branches (id collection + the final join)
+      val cands = localCached(bandedPairs(
+        signatures(df, idCol, textCol, shingleLen, numHashes),
+        numHashes, bands, maxBucketSize))
       // exact verify on the hashed shingle sets (identical to string-shingle
       // Jaccard up to 31-bit hash collisions), computed ONLY for docs that
       // appear in a candidate pair — a semi-join keeps the shingling cost
@@ -182,8 +188,99 @@ object Dedup {
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn("jaccard", ngramJaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard", "jaccard_est")
+        .select("id_a", "id_b", "jaccard")
     }
+
+  // --- Duplicate clustering (connected components) --------------------------
+
+  /** Connected components over a near-duplicate pair list: returns
+    * `(id, cluster)` where `cluster` is the smallest id reachable from `id`
+    * — the canonical representative every dedup policy keys on.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    * O(log² n) rounds regardless of component diameter, unlike naive label
+    * propagation whose round count is the graph diameter (pathological for
+    * chain-shaped duplicate clusters). Each round is two groupBy-min +
+    * join passes: the min is computed with `groupBy().agg(min)` rather than
+    * a window so partial (map-side) aggregation absorbs high-degree hub
+    * nodes instead of funnelling a hub's whole neighborhood through one
+    * window task; the join back on the hub key is what AQE skew-split
+    * handles. Lineage is truncated with an eager `localCheckpoint` per
+    * round (on a real cluster with retry requirements, configure a
+    * checkpoint dir and swap in `checkpoint()`).
+    */
+  def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+               maxIter: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), least(col("mn"), col("u")).as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest(col("src"), col("dst")).as("u"),
+                       least(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = d.groupBy("u").agg(min(col("v")).as("m"))
+      d.join(mins, "u").select(col("v").as("src"), col("m").as("dst"))
+        .union(mins.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    // (row count, order-independent edge-set hash) — equal signatures on
+    // consecutive rounds means the star-graph fixpoint is reached. The hash
+    // sum runs in decimal(38,0): a long sum of 2^63-scale hashes overflows
+    // (and ANSI mode rightly throws).
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+                 lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var sig = signature(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      e.unpersist(blocking = false)
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      it += 1
+    }
+    require(converged, s"clusters() did not converge in $maxIter rounds")
+    // fixpoint edges are (member -> root) stars; roots map to themselves
+    e.select(col("src").as("id"), col("dst").as("cluster"))
+      .union(e.select(col("dst").as("id"), col("dst").as("cluster")))
+      .distinct()
+  }
+
+  /** Remove near-duplicates given an explicit pair list: every member of a
+    * duplicate cluster except its canonical (minimum-id) representative is
+    * dropped from `df`. The anti-join keys on ids only — full rows never
+    * ride through the clustering shuffles.
+    */
+  def dropNearDupsByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = clusters(pairs).filter(col("id") =!= col("cluster")).select("id")
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
+  /** Tier-2 end-to-end corpus dedup: MinHash/LSH pairs → connected
+    * components → keep the minimum-id document per cluster.
+    */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleLen: Int = 5, numHashes: Int = 128,
+                   bands: Int = 16, maxBucketSize: Int = 1000): DataFrame =
+    dropNearDupsByPairs(df, idCol,
+      minhashDedupPairs(df, idCol, textCol, threshold, shingleLen, numHashes,
+        bands, maxBucketSize))
 
   // --- Tier 3: SimHash ------------------------------------------------------
 

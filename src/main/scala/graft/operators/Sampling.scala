@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting — the
+  * train/val/test plumbing of a pretraining-data pipeline. Everything here
+  * is a stateless per-row expression: no shuffle, no RNG state, no driver
+  * coordination, so the same record lands in the same split on any engine,
+  * any cluster size, any run (the property `df.sample`/`rand()` cannot give).
+  *
+  * Mechanism: the first 8 hex digits of `md5(id)` are uniform over
+  * [0, 16^8); fixed-width lowercase hex compares lexicographically exactly
+  * like the underlying integer, so a split is a plain string comparison
+  * against a precomputed threshold — portable to any engine with standard
+  * MD5 (DuckDB, Trino, BigQuery all agree on the digits).
+  */
+object Sampling {
+
+  /** 8-hex-char md5 bucket of `id` (optionally salted so independent
+    * experiments draw independent splits). Uniform over [0, 2^32).
+    */
+  def hashBucket(id: Column, salt: String = ""): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+
+  /** The 8-hex-digit threshold under which a bucket falls with probability
+    * `frac` — comparable directly against [[hashBucket]] output. frac ≥ 1
+    * returns "g", which sorts above every hex string, so a rate-1.0 sample
+    * keeps ALL rows (an "ffffffff" threshold would strictly-compare away
+    * the 2^-32 bucket).
+    */
+  def hexThreshold(frac: Double): String =
+    if (frac >= 1.0) "g"
+    else f"${math.floor(math.max(0.0, frac) * 4294967296.0).toLong}%08x"
+
+  /** Deterministic Bernoulli sample: keep each row with probability `frac`,
+    * decided solely by `md5(idCol)`. Repeatable across runs and engines;
+    * samples at different rates are nested (frac=0.01 ⊂ frac=0.1).
+    */
+  def hashSample(df: DataFrame, idCol: String, frac: Double, salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < lit(hexThreshold(frac)))
+
+  /** Deterministic dataset split: adds `splitCol` naming which of `splits`
+    * (name → weight, normalized to sum 1) the row falls in. Split
+    * boundaries are cumulative-weight thresholds over the hash bucket, so
+    * membership is stable under re-runs and every row lands in exactly one
+    * split.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                splitCol: String = "split", salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits need positive weights")
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val b = hashBucket(col(idCol), salt)
+    val expr = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), upper), rest) => when(b < lit(hexThreshold(upper)), name).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic stratified sample: per-stratum keep rates (e.g. keep 5%
+    * of English, 50% of low-resource languages). Strata absent from `rates`
+    * fall back to `defaultRate` (0 = drop). Still expression-only — the
+    * rate lookup is a literal CASE chain, not a join.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    val b = hashBucket(col(idCol), salt)
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit(hexThreshold(defaultRate)): Column) {
+      case ((stratum, rate), rest) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(rate))).otherwise(rest)
+    }
+    df.filter(b < threshold)
+  }
+}

@@ -44,6 +44,45 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Run TWO batch DataFrames through a stream-stream transform (join) and
+    * return the result as a batch DataFrame — the two-input sibling of
+    * [[runAsStream]]. Each input is staged to parquet, read back with
+    * `readStream`, watermarked, and the joined query runs to completion
+    * against a memory sink in append mode (stream-stream joins don't
+    * support complete mode; for an inner join with a time-range condition
+    * append emits every match, watermarks only bound the join state).
+    */
+  def runAsStreamPair(spark: SparkSession, left: DataFrame, right: DataFrame,
+                      stage: String, queryName: String,
+                      leftWatermark: (String, String), rightWatermark: (String, String))(
+                      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    left.write.mode("overwrite").parquet(s"$stage/left")
+    right.write.mode("overwrite").parquet(s"$stage/right")
+    val l = spark.readStream.schema(left.schema).parquet(s"$stage/left")
+      .withWatermark(leftWatermark._1, leftWatermark._2)
+    val r = spark.readStream.schema(right.schema).parquet(s"$stage/right")
+      .withWatermark(rightWatermark._1, rightWatermark._2)
+    val q = transform(l, r).writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Stream-stream interval join: match left and right rows with equal
+    * `keyCol` where `rightTs ∈ (leftTs, leftTs + window]` — the
+    * click-attribution / funnel shape. The time-range predicate is what
+    * lets Structured Streaming expire join state as the watermarks
+    * advance; without it, both sides' state would grow forever. Works
+    * identically on batch DataFrames (the oracle form).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, windowSeconds: Long): DataFrame =
+    left.join(right,
+      left(keyCol) === right(keyCol) &&
+        right(rightTs) > left(leftTs) &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop(right(keyCol))
+
   /** Streaming exact dedup with custom keyed state
     * (`flatMapGroupsWithState`): emits each key's record only the first time
     * it is seen across the whole stream — the streaming form of the

@@ -171,6 +171,37 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 9, s"planted neighbor retrieved for only $hits/10 queries")
   }
 
+  test("clusters: chain + triangle + pair resolve to min-id components") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters converge on a 200-node chain (log-round algorithm, not diameter-bound)") {
+    // naive min-label propagation needs 199 rounds here and would blow the
+    // 50-round cap; alternating star must finish in O(log² n)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(chain).as[(Long, Long)].collect()
+    assert(cl.length == 200 && cl.forall(_._2 == 0L))
+  }
+
+  test("dropNearDupsByPairs keeps each cluster's min id and all non-members") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDupsByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("dropNearDups end-to-end removes the minhash near-dup cluster") {
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2 exact dups and 3 a near dup (jaccard > 0.5) → canonical 1 survives
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(4L)) // unrelated doc untouched
+  }
+
   test("brute-force ANN ranks the planted neighbor first") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(16)(rnd.nextGaussian().toFloat)

@@ -168,6 +168,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 key shuffle, saw $exchanges:\n${p.take(2000)}")
   }
 
+  test("hash split/sample are expression-only: zero shuffles, zero UDFs") {
+    import graft.operators.Sampling
+    val split = Sampling.hashSplit(spark.range(1000).toDF("id"), "id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    val sampled = Sampling.stratifiedSample(
+      split, "id", "split", Map("train" -> 0.1), defaultRate = 1.0)
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython")
+      && !p.contains("ScalaUDF"), p.take(1000))
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     import graft.functions.{MinHashSig, ShingleHashes}
     val df = spark.read.parquet(s"$sf/documents.parquet")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val ids = spark.range(10000).toDF("id")
+
+  test("hashSplit partitions every row exactly once, near the target weights") {
+    val out = Sampling.hashSplit(ids, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L)
+    // 3σ for n=10000, p=0.8 is ~120; ±300 is a generous determinism-safe band
+    assert(math.abs(counts("train") - 8000L) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 300, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000L) < 300, s"test=${counts("test")}")
+  }
+
+  test("hashSplit is deterministic and salt changes the assignment") {
+    def assign(salt: String) =
+      Sampling.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5), salt = salt)
+        .as[(Long, String)].collect().toMap
+    assert(assign("") == assign(""))          // rerun-stable
+    assert(assign("") != assign("exp2"))      // independent draw per salt
+  }
+
+  test("hashSample rates are nested: the 10% sample is inside the 30% sample") {
+    val s10 = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
+    val s30 = Sampling.hashSample(ids, "id", 0.3).as[Long].collect().toSet
+    assert(s10.nonEmpty && s10.subsetOf(s30))
+    assert(math.abs(s10.size - 1000) < 300 && math.abs(s30.size - 3000) < 400)
+  }
+
+  test("stratifiedSample applies per-stratum keep rates") {
+    val strata = ids.withColumn("lang", (col("id") % 3).cast("string"))
+    val out = Sampling.stratifiedSample(strata, "id", "lang",
+      Map("0" -> 1.0, "1" -> 0.5), defaultRate = 0.0)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("0") == strata.filter(col("lang") === "0").count()) // rate 1.0 keeps all
+    assert(math.abs(counts("1") - 1667L) < 300, s"half-rate stratum: ${counts("1")}")
+    assert(!counts.contains("2")) // default rate 0 drops the unlisted stratum
+  }
+
+  test("hexThreshold edges: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.hashSample(ids, "id", 0.0).count() == 0L)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 10000L)
+  }
+}

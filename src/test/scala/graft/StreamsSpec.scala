@@ -38,6 +38,25 @@ class StreamsSpec extends SparkSpec {
     assert(appended.count() > 0)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val views = Seq((1L, at(0), 100L), (1L, at(120), 101L), (2L, at(30), 102L))
+      .toDF("user_id", "view_ts", "view_id")
+    val buys = Seq((1L, at(30), 200L), (2L, at(45), 201L), (2L, at(200), 202L))
+      .toDF("user_id", "buy_ts", "buy_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("view_id", "buy_id").as[(Long, Long)].collect().toSet
+    val batch = pairs(Streams.intervalJoin(views, buys, "user_id", "view_ts", "buy_ts", 3600))
+    assert(batch == Set((100L, 200L), (102L, 201L))) // 202 is >1h after both of user 2's views
+    val stage = java.nio.file.Files.createTempDirectory("sjoin").toString
+    val streamed = pairs(Streams.runAsStreamPair(spark, views, buys, stage,
+      "t_sjoin", ("view_ts", "1 minute"), ("buy_ts", "1 minute")) { (l, r) =>
+      Streams.intervalJoin(l, r, "user_id", "view_ts", "buy_ts", 3600)
+    })
+    assert(streamed == batch)
+  }
+
   test("sessionize: gap strictly greater than threshold starts a new session") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
