@@ -546,6 +546,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
       .orderBy("split", "lang")
 
+  private def qNSampleExact(s: SparkSession, dir: String): DataFrame =
+    Sampling.exactSample(t(s, dir, "documents"), "doc_id", k = 100)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   private def qNEmbDups(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.2, bands = 8, bits = 8)
@@ -791,6 +796,7 @@ object SparkEntry {
     "q_n_dup_clusters"   -> (qNDupClusters _),
     "q_n_dedup_drop"     -> (qNDedupDrop _),
     "q_n_hash_split"     -> (qNHashSplit _),
+    "q_n_sample_exact"   -> (qNSampleExact _),
     "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
     "q_n_dedup_minhash"  -> (qNDedupMinhash _),
@@ -975,6 +981,12 @@ object SparkEntry {
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b
                 FROM documents)
           GROUP BY 1, 2 ORDER BY split, lang""",
+    "q_n_sample_exact" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang FROM documents
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           LIMIT 100)
+         ORDER BY doc_id""",
     "q_s_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
                 epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS buy_us

@@ -40,6 +40,15 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, frac: Double, salt: String = ""): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < lit(hexThreshold(frac)))
 
+  /** Deterministic uniform sample of EXACTLY `k` rows: globally order by
+    * the hash bucket (id as tiebreaker) and take the first k — the fixed
+    * "eval set of exactly 10k docs" need that a Bernoulli rate can't hit.
+    * Plans as `TakeOrderedAndProject`: each partition keeps a k-row heap
+    * and the driver merges heads — no global sort, no full shuffle.
+    */
+  def exactSample(df: DataFrame, idCol: String, k: Int, salt: String = ""): DataFrame =
+    df.orderBy(hashBucket(col(idCol), salt), col(idCol)).limit(k)
+
   /** Deterministic dataset split: adds `splitCol` naming which of `splits`
     * (name → weight, normalized to sum 1) the row falls in. Split
     * boundaries are cumulative-weight thresholds over the hash bucket, so

@@ -43,6 +43,14 @@ class SamplingSpec extends SparkSpec {
     assert(!counts.contains("2")) // default rate 0 drops the unlisted stratum
   }
 
+  test("exactSample returns exactly k rows, deterministically, via top-k (no full sort)") {
+    val s1 = Sampling.exactSample(ids, "id", 50).as[Long].collect()
+    val s2 = Sampling.exactSample(ids, "id", 50).as[Long].collect()
+    assert(s1.length == 50 && s1.sameElements(s2))
+    val p = Sampling.exactSample(ids, "id", 50).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
   test("hexThreshold edges: 0 keeps nothing, 1 keeps everything") {
     assert(Sampling.hashSample(ids, "id", 0.0).count() == 0L)
     assert(Sampling.hashSample(ids, "id", 1.0).count() == 10000L)
