@@ -23,6 +23,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-coalesce the output partitioning of cached relations:
+      // the dedup tiers persist small signature/candidate relations, and
+      // without this every downstream stage inherits the full
+      // shuffle-partition count as near-empty tasks (measured: hundreds of
+      // ~ms tasks whose fixed overhead dominated the dedup bench queries)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")

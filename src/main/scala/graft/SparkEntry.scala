@@ -546,6 +546,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
       .orderBy("split", "lang")
 
+  /** CDC diff of two deterministic snapshots of `orders`: keys divisible by
+    * 7 are absent from prev (→ inserts), by 5 absent from next (→ deletes),
+    * by 3 repriced (→ updates); everything else is unchanged and dropped.
+    */
+  private def qXSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+    val prev = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val next = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 3 === 0, col("price_cents") + 100)
+          .otherwise(col("price_cents")))
+    Snapshot.diff(prev, next, Seq("o_orderkey"), Seq("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  private def qNSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExactSample(t(s, dir, "documents"), "doc_id", "lang", k = 20)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   private def qNSampleExact(s: SparkSession, dir: String): DataFrame =
     Sampling.exactSample(t(s, dir, "documents"), "doc_id", k = 100)
       .select("doc_id", "lang")
@@ -797,6 +818,8 @@ object SparkEntry {
     "q_n_dedup_drop"     -> (qNDedupDrop _),
     "q_n_hash_split"     -> (qNHashSplit _),
     "q_n_sample_exact"   -> (qNSampleExact _),
+    "q_n_sample_stratified" -> (qNSampleStratified _),
+    "q_x_snapshot_diff"  -> (qXSnapshotDiff _),
     "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
     "q_n_dedup_minhash"  -> (qNDedupMinhash _),
@@ -987,6 +1010,32 @@ object SparkEntry {
            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
            LIMIT 100)
          ORDER BY doc_id""",
+    "q_n_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY doc_id""",
+    "q_x_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+                    FROM orders),
+         prev AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+         next AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 3 = 0 THEN price_cents + 100
+                              ELSE price_cents END AS price_cents
+                  FROM o WHERE o_orderkey % 5 <> 0)
+         SELECT * FROM (
+           SELECT COALESCE(n.o_orderkey, p.o_orderkey) AS o_orderkey,
+                  CASE WHEN n.o_orderkey IS NULL THEN p.price_cents
+                       ELSE n.price_cents END AS price_cents,
+                  CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+                       WHEN n.o_orderkey IS NULL THEN 'delete'
+                       WHEN n.price_cents IS DISTINCT FROM p.price_cents THEN 'update'
+                       END AS op
+           FROM next n FULL OUTER JOIN prev p ON n.o_orderkey = p.o_orderkey)
+         WHERE op IS NOT NULL ORDER BY o_orderkey""",
     "q_s_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
                 epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS buy_us

@@ -118,20 +118,29 @@ object Dedup {
     *     quadratic; standard practice is to skip, not explode);
     *  3. candidate pairs are generated inside each bucket and deduped.
     */
-  private def bandedPairs(sig: DataFrame, numHashes: Int, bands: Int,
-                          maxBucketSize: Int): DataFrame = {
-    val rows = numHashes / bands
-    val banded = sig.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bh"))
-    val buckets = banded.groupBy("band", "bh")
+  /** Shared LSH candidate generation: an `(id, band, key)` relation →
+    * capped, deduped `(id_a, id_b)` pairs. Used by every banded tier
+    * (minhash, simhash, sign-LSH) so the degenerate-bucket cap and the
+    * ids-only shuffle invariant hold uniformly.
+    */
+  private def bucketPairs(keyed: DataFrame, maxBucketSize: Int): DataFrame = {
+    val buckets = keyed.groupBy("band", "key")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
     buckets
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  private def bandedPairs(sig: DataFrame, numHashes: Int, bands: Int,
+                          maxBucketSize: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("key"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.key"))
+    bucketPairs(banded, maxBucketSize)
   }
 
   /** Candidate near-duplicate pairs by banded LSH over minhash signatures.
@@ -296,30 +305,37 @@ object Dedup {
     * pigeonhole trick: split the 64-bit signature into `maxHamming+1` blocks;
     * any pair within distance must agree on ≥1 block → block equality is the
     * LSH bucket key (single equi-join shuffle, no O(n²) compare).
+    *
+    * Buckets larger than `maxBucketSize` are dropped, exactly like the
+    * minhash tier: a block value shared by thousands of documents is
+    * boilerplate (measured on the test corpus: one 16-bit block bucket held
+    * 38% of all docs and alone contributed 3.3M candidate pairs), and its
+    * pair set is quadratic. The capped [[bucketPairs]] path also keeps the
+    * bucket shuffle ids-only; the two 8-byte signatures join back per
+    * surviving pair.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = withScopedCaches { localCached =>
-    val blocks = maxHamming + 1
-    val width = 64 / blocks
-    // both pair sides read the signature relation; cache so the kernel
-    // projection runs once
-    val sig = localCached(simhash64(df, idCol, textCol))
-    val banded = sig.select(col("id"), col("simhash"),
-      explode(array((0 until blocks).map { b =>
-        struct(lit(b).as("blk"),
-          col("simhash").cast("long") // stable
-            .bitwiseAND(lit(((1L << width) - 1) << (b * width))).as("key"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.blk"), col("bb.key"))
-    val l = banded.select(col("blk"), col("key"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("blk"), col("key"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("blk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-  }
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    withScopedCaches { localCached =>
+      // both pair sides join the signature relation; cache so the kernel
+      // projection runs once
+      val blocks = maxHamming + 1
+      val width = 64 / blocks
+      val sig = localCached(simhash64(df, idCol, textCol))
+      val banded = sig.select(col("id"),
+        explode(array((0 until blocks).map { b =>
+          struct(lit(b).as("band"),
+            col("simhash").bitwiseAND(lit(((1L << width) - 1) << (b * width))).as("key"))
+        }: _*)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.key"))
+      val pairs = bucketPairs(banded, maxBucketSize)
+      pairs
+        .join(sig.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+        .join(sig.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+    }
 
   // --- Tier 4: exact n-gram Jaccard ----------------------------------------
 
@@ -359,14 +375,8 @@ object Dedup {
     // vectors are joined back per deduped pair, not shuffled per bucket row
     val banded = df.select(col(idCol).as("id"),
       posexplode(SignLshBuckets.signLsh(col(vecCol), dim, bands, bits))
-        .as(Seq("band", "bucket")))
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 10000))
-    val pairs = buckets
-      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
-      .select(col("id_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+        .as(Seq("band", "key")))
+    val pairs = bucketPairs(banded, maxBucketSize = 10000)
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     pairs.join(va, "id_a").join(vb, "id_b")

@@ -67,6 +67,22 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Deterministic EXACTLY-k-per-stratum sample (k docs per language, k
+    * examples per label). Rank within each stratum by the hash bucket and
+    * keep the first k — one window shuffle on the stratum key. Note the
+    * scale constraint: a window sorts each stratum in one task, so this is
+    * for coarse strata (languages, sources); for huge strata pre-thin with
+    * [[hashSample]] at a rate that overshoots k, then rank.
+    */
+  def stratifiedExactSample(df: DataFrame, idCol: String, stratumCol: String,
+                            k: Int, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Deterministic stratified sample: per-stratum keep rates (e.g. keep 5%
     * of English, 50% of low-resource languages). Strata absent from `rates`
     * fall back to `defaultRate` (0 = drop). Still expression-only — the

@@ -51,6 +51,15 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
 
+  test("stratifiedExactSample keeps exactly k per stratum (or all, if fewer)") {
+    val strata = ids.withColumn("g", (col("id") % 4).cast("string"))
+    val out = Sampling.stratifiedExactSample(strata, "id", "g", k = 7)
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("0" -> 7L, "1" -> 7L, "2" -> 7L, "3" -> 7L))
+    val tiny = strata.filter(col("id") < 2) // stratum sizes 1
+    assert(Sampling.stratifiedExactSample(tiny, "id", "g", k = 7).count() == 2)
+  }
+
   test("hexThreshold edges: 0 keeps nothing, 1 keeps everything") {
     assert(Sampling.hashSample(ids, "id", 0.0).count() == 0L)
     assert(Sampling.hashSample(ids, "id", 1.0).count() == 10000L)
