@@ -567,6 +567,15 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  private def qNPackBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+    Packing.packBins(docs, "doc_id", "tokens", budgetTokens = 500, shards = 16)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_sum"))
+      .orderBy("shard", "bin")
+  }
+
   private def qNSampleExact(s: SparkSession, dir: String): DataFrame =
     Sampling.exactSample(t(s, dir, "documents"), "doc_id", k = 100)
       .select("doc_id", "lang")
@@ -819,6 +828,7 @@ object SparkEntry {
     "q_n_hash_split"     -> (qNHashSplit _),
     "q_n_sample_exact"   -> (qNSampleExact _),
     "q_n_sample_stratified" -> (qNSampleStratified _),
+    "q_n_pack_bins"      -> (qNPackBins _),
     "q_x_snapshot_diff"  -> (qXSnapshotDiff _),
     "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
@@ -1010,6 +1020,20 @@ object SparkEntry {
            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
            LIMIT 100)
          ORDER BY doc_id""",
+    "q_n_pack_bins" ->
+      s"""WITH d AS (
+            SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   CAST(len($toksSql) AS BIGINT) AS tokens
+            FROM documents),
+          b AS (
+            SELECT shard, tokens,
+                   sum(tokens) OVER (PARTITION BY shard
+                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+          SELECT shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin,
+                 count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_sum
+          FROM b GROUP BY 1, 2 ORDER BY shard, bin""",
     "q_n_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

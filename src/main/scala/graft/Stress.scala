@@ -17,6 +17,9 @@ object Stress {
     time("minhash_pairs")(Dedup.minhashDedupPairs(big, "doc_id", "text", 0.7).count())
     time("simhash_pairs")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
     time("exact_dedup")(Dedup.exact(big, "text", "doc_id").count())
+    // end-to-end: pairs → connected components → keep one per cluster.
+    // 50k docs in 5k clusters of >=10 — dense worst case for the star rounds
+    time("drop_near_dups")(Dedup.dropNearDups(big, "doc_id", "text", 0.7).count())
     spark.stop()
   }
 }

@@ -65,6 +65,24 @@ object Writers {
     */
   def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
 
+  /** Range-sorted data layout: rows are range-partitioned on `cols` and
+    * sorted within each partition before the parquet write, so (a) each
+    * output file covers a DISJOINT key range and (b) parquet row-group
+    * min/max stats are tight. A later scan filtering on the layout key
+    * prunes most files/row-groups at the footer — the clustered-layout
+    * (Z-order-lite, single-dimension) play that turns a 100 TB full scan
+    * into a targeted read. Complementary to [[bucketedTable]]: buckets
+    * kill the JOIN shuffle, sorted layout kills the FILTER scan.
+    */
+  def sortedLayout(df: DataFrame, path: String, cols: Seq[String],
+                   partitions: Int = 0): Unit = {
+    val keys = cols.map(col)
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, keys: _*)
+      else df.repartitionByRange(keys: _*)
+    ranged.sortWithinPartitions(keys: _*).write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed managed table: data is hash-partitioned into `buckets` files
     * per partition on `bucketCol` AND sorted within buckets at WRITE time, so
     * every later join/aggregation on that column reads pre-shuffled,

@@ -179,6 +179,49 @@ class PlanQualitySpec extends SparkSpec {
       && !p.contains("ScalaUDF"), p.take(1000))
   }
 
+  test("sortedLayout: every output file covers a disjoint key range") {
+    import graft.sinks.Writers
+    val dir = java.nio.file.Files.createTempDirectory("sorted_layout").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    Writers.sortedLayout(orders, dir, Seq("o_orderkey"), partitions = 4)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .select("lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple range files")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: hi=$hi lo=$lo")
+    case _ => }
+  }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // local fixtures are far below the 10 GiB production default — drop the
+      // size floors so the rule fires here; at scale the defaults gate it to
+      // scans where the filter pays for itself
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 400000) // selective creation side
+      val j = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${p.take(1500)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     import graft.functions.{MinHashSig, ShingleHashes}
     val df = spark.read.parquet(s"$sf/documents.parquet")
