@@ -21,10 +21,17 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen once on the smallest SF so we time the queries,
-    // not classloading
-    SparkEntry.queries("q_c4_reducer")(spark, "/root/testdata/sf0.001")
-      .write.format("noop").mode("overwrite").save()
+    // warm the JVM/codegen on the smallest SF so we time the queries, not
+    // classloading/JIT: each headline query runs once at sf0.001 (~1k rows)
+    // first. The dedup/ANN kernels (ShingleHashes, MinHashSig, SimHash64,
+    // SignLsh) only JIT-compile on their first execution — measured 55 s of
+    // summed task time in the first minhash stage cold vs 1.5 s warm.
+    for (name <- headline)
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+    graft.operators.Dedup.unpersistCaches() // warm-up caches must not linger
     val results = headline.map { name =>
       val t0 = System.nanoTime()
       val ok =
