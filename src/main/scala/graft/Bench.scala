@@ -21,13 +21,15 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen on the smallest SF so we time the queries, not
-    // classloading/JIT: each headline query runs once at sf0.001 (~1k rows)
-    // first. The dedup/ANN kernels (ShingleHashes, MinHashSig, SimHash64,
-    // SignLsh) only JIT-compile on their first execution — measured 55 s of
-    // summed task time in the first minhash stage cold vs 1.5 s warm.
+    // warm the JVM/codegen at sf0.01 so we time the queries, not
+    // classloading/JIT: each headline query runs once first. The dedup/ANN
+    // kernels (ShingleHashes, MinHashSig, SimHash64, SignLsh) only
+    // JIT-compile on their first executions — measured 55 s of summed task
+    // time in the first minhash stage cold vs 1.5 s warm; sf0.001's 50 docs
+    // leave C2 half-done, sf0.01's 500 reach steady state.
+    val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.01")
     for (name <- headline)
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      try SparkEntry.queries(name)(spark, warmSf)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }

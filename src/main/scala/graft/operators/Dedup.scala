@@ -316,25 +316,35 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
-    withScopedCaches { localCached =>
-      // both pair sides join the signature relation; cache so the kernel
-      // projection runs once
+    withScopedCaches { _ =>
       val blocks = maxHamming + 1
       val width = 64 / blocks
-      val sig = localCached(simhash64(df, idCol, textCol))
-      val banded = sig.select(col("id"),
+      val sig = simhash64(df, idCol, textCol)
+      // Unlike the minhash tier, the whole signature is ONE long — carry it
+      // through the bucket shuffle (16 bytes/row instead of ids-only 8) and
+      // filter Hamming distance INSIDE the bucket, before any pair row ever
+      // shuffles: boilerplate-heavy corpora produce millions of capped
+      // candidate pairs (measured 1.5M at sf0.1), and filtering first means
+      // the pair dedup handles only true near-dups instead of every
+      // candidate, with zero signature join-backs.
+      val banded = sig.select(col("id"), col("simhash"),
         explode(array((0 until blocks).map { b =>
           struct(lit(b).as("band"),
             col("simhash").bitwiseAND(lit(((1L << width) - 1) << (b * width))).as("key"))
         }: _*)).as("bb"))
-        .select(col("id"), col("bb.band"), col("bb.key"))
-      val pairs = bucketPairs(banded, maxBucketSize)
-      pairs
-        .join(sig.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
-        .join(sig.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
-        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .select(col("id"), col("simhash"), col("bb.band"), col("bb.key"))
+      // sort_array on struct(id, simhash) orders by id → id_a < id_b holds
+      val buckets = banded.groupBy("band", "key")
+        .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("mem"))
+        .filter(size(col("mem")).between(2, maxBucketSize))
+      buckets
+        .select(posexplode(col("mem")).as(Seq("i", "a")), col("mem"))
+        .select(col("a.id").as("id_a"), col("a.simhash").as("sh_a"),
+          explode(slice(col("mem"), col("i") + 2, size(col("mem")))).as("b"))
+        .select(col("id_a"), col("b.id").as("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .filter(col("hamming") <= maxHamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates("id_a", "id_b")
     }
 
   // --- Tier 4: exact n-gram Jaccard ----------------------------------------

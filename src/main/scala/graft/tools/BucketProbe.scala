@@ -23,10 +23,14 @@ object BucketProbe {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.blk"), col("bb.key"))
     val sizes = banded.groupBy("blk", "key").count()
-    sizes.agg(count(lit(1)).as("buckets"), max("count").as("max_sz"),
-        sum(col("count") * (col("count") - 1) / 2).as("pairs_upper"))
-      .show(false)
-    sizes.orderBy(desc("count")).show(10, false)
+    val agg = sizes.agg(count(lit(1)).as("buckets"), max("count").as("max_sz"),
+        sum(col("count") * (col("count") - 1) / 2).as("pairs_upper")).head()
+    println(s"BPROBE simhash buckets=${agg.get(0)} max_sz=${agg.get(1)} pairs_upper=${agg.get(2)}")
+    sizes.orderBy(desc("count")).limit(10).collect()
+      .foreach(r => println(s"BPROBE   blk=${r.get(0)} key=${r.get(1)} n=${r.get(2)}"))
+    val capped = sizes.filter(col("count").between(2, 1000))
+      .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0)).as("pairs")).head()
+    println(s"BPROBE simhash capped(<=1000) pair volume = ${capped.get(0)}")
 
     // minhash banding pair volume
     val mh = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text")
