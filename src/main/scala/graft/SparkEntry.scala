@@ -576,6 +576,23 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  private def qNChunk(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, stride = 32)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n_toks"), md5(concat_ws(" ", col("chunk_toks"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  private def qNDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationHits(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
   private def qNSampleExact(s: SparkSession, dir: String): DataFrame =
     Sampling.exactSample(t(s, dir, "documents"), "doc_id", k = 100)
       .select("doc_id", "lang")
@@ -829,6 +846,8 @@ object SparkEntry {
     "q_n_sample_exact"   -> (qNSampleExact _),
     "q_n_sample_stratified" -> (qNSampleStratified _),
     "q_n_pack_bins"      -> (qNPackBins _),
+    "q_n_chunk"          -> (qNChunk _),
+    "q_n_decontam"       -> (qNDecontam _),
     "q_x_snapshot_diff"  -> (qXSnapshotDiff _),
     "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
@@ -1034,6 +1053,24 @@ object SparkEntry {
           SELECT shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin,
                  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_sum
           FROM b GROUP BY 1, 2 ORDER BY shard, bin""",
+    "q_n_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+          SELECT doc_id, CAST(s / 32 AS BIGINT) AS chunk_id,
+                 CAST(len(list_slice(toks, s + 1, s + 64)) AS BIGINT) AS n_toks,
+                 md5(array_to_string(list_slice(toks, s + 1, s + 64), ' ')) AS chunk_md5
+          FROM t, UNNEST(range(0, len(toks), 32)) AS u(s)
+          WHERE len(toks) > 0
+          ORDER BY doc_id, chunk_id""",
+    "q_n_decontam" ->
+      s"""WITH sh AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> concat(toks[i], chr(1), toks[i+1], chr(1), toks[i+2]))) AS sh
+            FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+          bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+          tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0)
+          SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM tr JOIN bg USING (g)
+          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
     "q_n_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

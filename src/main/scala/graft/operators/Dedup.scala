@@ -372,6 +372,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // --- Test-set decontamination --------------------------------------------
+
+  /** Benchmark-contamination hits: for every training document, the number
+    * of distinct word `n`-grams it shares with ANY document of `bench` —
+    * the standard test-set decontamination signal (a training doc that
+    * contains benchmark n-grams leaks the eval into the weights).
+    *
+    * Plan shape: both sides explode to (id, gram) and meet in one equi-join
+    * on the gram; the benchmark side is distinct-ed first, so its size is
+    * |distinct bench grams| — for real benchmark suites that's a few
+    * million rows, and Catalyst broadcasts it, making the corpus pass a
+    * shuffle-free scan. With a huge bench side, set `hashKeys=true`: both
+    * sides join on `xxhash64(gram)` (8 bytes instead of the gram string
+    * through the shuffle; collisions only ever over-count by a gram).
+    */
+  def contaminationHits(train: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3,
+                        hashKeys: Boolean = false): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(TextOps.wordShingles(col(textCol), n)).as("g"))
+    def key(c: Column) = if (hashKeys) xxhash64(c) else c
+    val benchGrams = grams(bench).select(key(col("g")).as("k")).distinct()
+    // wordShingles is distinct per doc → count(*) = distinct shared grams
+    grams(train).select(col("id"), key(col("g")).as("k"))
+      .join(benchGrams, "k")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop every training document sharing at least `minHits` distinct word
+    * `n`-grams with the benchmark set (ids-only anti-join; full rows never
+    * shuffle).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minHits: Int = 1,
+                    hashKeys: Boolean = false): DataFrame = {
+    val hit = contaminationHits(train, bench, idCol, textCol, n, hashKeys)
+      .filter(col("n_hits") >= minHits).select("id")
+    train.join(hit, train(idCol) === hit("id"), "left_anti")
+  }
+
   // --- Tier 5: embedding cosine near-dup -----------------------------------
 
   /** Semantic near-dup pairs: cosine ≥ threshold, candidates from sign-LSH

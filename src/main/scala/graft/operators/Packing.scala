@@ -19,6 +19,30 @@ import org.apache.spark.sql.expressions.Window
   */
 object Packing {
 
+  /** Sliding-window chunking: split each document into token windows of
+    * `chunkTokens`, starting every `stride` tokens (stride < chunkTokens ⇒
+    * overlapping chunks, the context-window prep for long-document
+    * pretraining). Output: one row per (doc, chunk) with `chunk_id`
+    * (0-based), the chunk's token array, and its token count. Trailing
+    * windows may be short; empty documents produce no chunks.
+    *
+    * Scale shape: a pure per-row `posexplode` projection — narrow, no
+    * shuffle, stays in whole-stage codegen. Fan-out is bounded by
+    * ⌈tokens/stride⌉ rows per document.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    df.select(col(idCol), graft.functions.TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - 1, lit(stride)),
+          st => slice(col("__toks"), st + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "chunk_toks")))
+      .withColumn("n_toks", size(col("chunk_toks")).cast("long"))
+  }
+
   def packBins(df: DataFrame, idCol: String, tokenCol: String,
                budgetTokens: Long, shards: Int = 256): DataFrame = {
     val hexChars = Seq(16, 256, 4096, 65536).indexOf(shards) + 1

@@ -171,6 +171,27 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 9, s"planted neighbor retrieved for only $hits/10 queries")
   }
 
+  test("decontaminate drops exactly the train docs sharing benchmark n-grams") {
+    val bench = Seq((100L, "the capital of france is paris obviously")).toDF("id", "text")
+    val train = Seq(
+      (1L, "everyone knows the capital of france is paris"), // leaks a 3-gram
+      (2L, "unrelated text about cooking pasta al dente"),
+      (3L, "paris is lovely in spring"),                     // shares words, no 3-gram
+      (4L, "of france is where wine comes from")             // leaks "of france is"
+    ).toDF("id", "text")
+    val hits = graft.operators.Dedup.contaminationHits(train, bench, "id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L, 4L), s"flagged: $hits")
+    assert(hits(1L) == 4, "doc 1 shares 4 distinct 3-grams") // capital-of-france … is-paris-obviously? no: 4 windows inside the shared 5-token span
+    val kept = graft.operators.Dedup.decontaminate(train, bench, "id", "text", n = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // hashKeys variant flags the same documents (8-byte shuffle keys at scale)
+    val hashed = graft.operators.Dedup.contaminationHits(train, bench, "id", "text",
+      n = 3, hashKeys = true).as[(Long, Long)].collect().toMap
+    assert(hashed == hits)
+  }
+
   test("clusters: chain + triangle + pair resolve to min-id components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")

@@ -26,6 +26,29 @@ class PackingSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._4).toMap == expected)
   }
 
+  test("chunkDocs covers every token and respects stride/overlap") {
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 3 strided chunks
+      (2L, "a b c"),                                   // single short chunk
+      (3L, "   ")                                      // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkDocs(docs, "doc_id", "text", chunkTokens = 64, stride = 32)
+      .select("doc_id", "chunk_id", "chunk_toks")
+      .as[(Long, Int, Seq[String])].collect()
+    assert(!out.exists(_._1 == 3L), "empty doc must produce no chunks")
+    assert(out.count(_._1 == 2L) == 1 && out.find(_._1 == 2L).get._3 == Seq("a", "b", "c"))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3, 4), s"chunk ids: ${d1.map(_._2).toSeq}")
+    d1.foreach { case (_, cid, toks) =>
+      assert(toks.head == s"w${cid * 32 + 1}", "chunk must start at its stride offset")
+      assert(toks.size <= 64)
+    }
+    // 50% overlap: every token appears in >=1 chunk, interior ones in 2
+    val coverage = d1.flatMap(_._3).groupBy(identity).view.mapValues(_.size)
+    (1 to 150).foreach(i => assert(coverage.getOrElse(s"w$i", 0) >= 1, s"w$i uncovered"))
+    assert(coverage("w40") == 2, "overlapped token must appear in two chunks")
+  }
+
   test("bins are contiguous from 0 within each shard and fill past the budget") {
     val docs = spark.range(2000).select(col("id"), lit(50L).as("tokens"))
     val agg = Packing.packBins(docs, "id", "tokens", budgetTokens = 400, shards = 16)
