@@ -222,6 +222,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the distinct bench grams; chunking is shuffle-free") {
+    val p = plan("q_n_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench gram set not broadcast:\n${p.take(2000)}")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val chunkPlan = graft.operators.Packing
+      .chunkDocs(docs, "doc_id", "text", chunkTokens = 64, stride = 32)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunkDocs must be a narrow explode:\n${chunkPlan.take(2000)}")
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     import graft.functions.{MinHashSig, ShingleHashes}
     val df = spark.read.parquet(s"$sf/documents.parquet")
