@@ -576,6 +576,19 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  /** True greedy packing over the same corpus/order as [[qNPackBins]]; the
+    * DuckDB oracle replays the per-shard fold as a recursive CTE (the
+    * sequential recurrence has no window form in either engine).
+    */
+  private def qNPackGreedy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+    Packing.packBinsGreedy(docs, "doc_id", "tokens", budgetTokens = 500, shards = 16)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_sum"))
+      .orderBy("shard", "bin")
+  }
+
   private def qNChunk(s: SparkSession, dir: String): DataFrame =
     Packing.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 64, stride = 32)
@@ -846,6 +859,7 @@ object SparkEntry {
     "q_n_sample_exact"   -> (qNSampleExact _),
     "q_n_sample_stratified" -> (qNSampleStratified _),
     "q_n_pack_bins"      -> (qNPackBins _),
+    "q_n_pack_greedy"    -> (qNPackGreedy _),
     "q_n_chunk"          -> (qNChunk _),
     "q_n_decontam"       -> (qNDecontam _),
     "q_x_snapshot_diff"  -> (qXSnapshotDiff _),
@@ -1053,6 +1067,26 @@ object SparkEntry {
           SELECT shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin,
                  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_sum
           FROM b GROUP BY 1, 2 ORDER BY shard, bin""",
+    "q_n_pack_greedy" ->
+      s"""WITH RECURSIVE d AS (
+            SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   CAST(len($toksSql) AS BIGINT) AS tokens
+            FROM documents),
+          ord AS (
+            SELECT shard, doc_id, tokens,
+                   row_number() OVER (PARTITION BY shard
+                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+            FROM d),
+          g AS (
+            SELECT shard, rn, tokens, tokens AS fill, CAST(0 AS BIGINT) AS bin
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn, o.tokens,
+                   CASE WHEN g.fill >= 500 THEN o.tokens ELSE g.fill + o.tokens END,
+                   CASE WHEN g.fill >= 500 THEN g.bin + 1 ELSE g.bin END
+            FROM g JOIN ord o ON o.shard = g.shard AND o.rn = g.rn + 1)
+          SELECT shard, bin, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_sum
+          FROM g GROUP BY 1, 2 ORDER BY shard, bin""",
     "q_n_chunk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, CAST(s / 32 AS BIGINT) AS chunk_id,

@@ -20,6 +20,34 @@ import graft.functions.TextOps
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Emit the cap-recall-loss signal after an LSH query materializes: every
+    * banded tier DROPS buckets larger than its `maxBucketSize` (degenerate/
+    * boilerplate content), so pairs whose only agreeing band lands in such a
+    * bucket are silently missed. The counts come from an
+    * [[org.apache.spark.sql.Observation]] wired pre-filter — zero extra
+    * passes — and are read non-blockingly, so this is a no-op for callers
+    * that never ran an action.
+    */
+  private def logDroppedBuckets(op: String, obs: org.apache.spark.sql.Observation): Unit = {
+    // callers guarantee an action already ran (withScopedCaches counts), so
+    // obs.get resolves as soon as its listener fires; the bounded wait is
+    // belt-and-braces against ever hanging a production pipeline on a metric
+    val m = try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future(obs.get), 30.seconds)
+    } catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
+    def n(k: String) = m.get(k).collect { case x: Number => x.longValue }.getOrElse(0L)
+    val (buckets, rows) = (n("dropped_buckets"), n("dropped_rows"))
+    if (buckets > 0)
+      log.warn(s"$op: dropped $buckets oversized LSH bucket(s) covering $rows member rows " +
+        "(maxBucketSize cap) — pairs agreeing only inside them are not emitted; " +
+        "raise maxBucketSize to trade cost for recall")
+  }
+
   /** Spread a small-file input across the cluster before CPU-heavy narrow
     * compute (signatures). A single parquet file arrives as one partition;
     * the shuffle is pennies next to the per-row kernel work. No-op when the
@@ -123,10 +151,14 @@ object Dedup {
     * (minhash, simhash, sign-LSH) so the degenerate-bucket cap and the
     * ids-only shuffle invariant hold uniformly.
     */
-  private def bucketPairs(keyed: DataFrame, maxBucketSize: Int): DataFrame = {
-    val buckets = keyed.groupBy("band", "key")
+  private def bucketPairs(keyed: DataFrame, maxBucketSize: Int,
+                          obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val aggd = keyed.groupBy("band", "key")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+    val observed = obs.fold(aggd)(o => aggd.observe(o,
+      sum(when(size(col("ids")) > maxBucketSize, 1).otherwise(0)).as("dropped_buckets"),
+      sum(when(size(col("ids")) > maxBucketSize, size(col("ids"))).otherwise(0)).as("dropped_rows")))
+    val buckets = observed.filter(size(col("ids")).between(2, maxBucketSize))
     buckets
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
@@ -134,13 +166,14 @@ object Dedup {
   }
 
   private def bandedPairs(sig: DataFrame, numHashes: Int, bands: Int,
-                          maxBucketSize: Int): DataFrame = {
+                          maxBucketSize: Int,
+                          obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val rows = numHashes / bands
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("key"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.key"))
-    bucketPairs(banded, maxBucketSize)
+    bucketPairs(banded, maxBucketSize, obs)
   }
 
   /** Candidate near-duplicate pairs by banded LSH over minhash signatures.
@@ -176,13 +209,14 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleLen: Int = 5,
                         numHashes: Int = 128, bands: Int = 16,
-                        maxBucketSize: Int = 1000): DataFrame =
-    withScopedCaches { localCached =>
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val result = withScopedCaches { localCached =>
       // the signature relation has a single consumer here (banding) — no
       // persist; cands feeds two branches (id collection + the final join)
       val cands = localCached(bandedPairs(
         signatures(df, idCol, textCol, shingleLen, numHashes),
-        numHashes, bands, maxBucketSize))
+        numHashes, bands, maxBucketSize, Some(obs)))
       // exact verify on the hashed shingle sets (identical to string-shingle
       // Jaccard up to 31-bit hash collisions), computed ONLY for docs that
       // appear in a candidate pair — a semi-join keeps the shingling cost
@@ -199,6 +233,9 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     }
+    logDroppedBuckets("minhashDedupPairs", obs)
+    result
+  }
 
   // --- Duplicate clustering (connected components) --------------------------
 
@@ -221,6 +258,14 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                maxIter: Int = 50): DataFrame = {
+    // The star rounds only need a TOTAL ORDER on ids (least/greatest/min),
+    // which every atomic Spark type has — so run on the NATIVE id type. The
+    // former cast("long") silently nulled string/hash ids (non-ANSI cast),
+    // which emptied the edge set and returned the corpus un-deduped.
+    val (aT, bT) = (pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
+    require(aT == bT, s"clusters(): id columns must share one type, got $aT vs $bT")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(aT),
+      s"clusters(): id type must be orderable, got $aT")
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
         .union(e.select(col("dst").as("u"), col("src").as("v")))
@@ -249,7 +294,7 @@ object Dedup {
                  lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
-    var e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
     var sig = signature(e)
@@ -265,10 +310,17 @@ object Dedup {
       it += 1
     }
     require(converged, s"clusters() did not converge in $maxIter rounds")
-    // fixpoint edges are (member -> root) stars; roots map to themselves
-    e.select(col("src").as("id"), col("dst").as("cluster"))
-      .union(e.select(col("dst").as("id"), col("dst").as("cluster")))
-      .distinct()
+    // fixpoint edges are (member -> root) stars; roots map to themselves.
+    // Materialize the membership via the session cache registry and release
+    // the last checkpointed edge relation NOW — otherwise every clusters()
+    // call leaks one cached RDD for the life of the session.
+    val membership = cached(
+      e.select(col("src").as("id"), col("dst").as("cluster"))
+        .union(e.select(col("dst").as("id"), col("dst").as("cluster")))
+        .distinct())
+    membership.count()
+    e.unpersist(blocking = false)
+    membership
   }
 
   /** Remove near-duplicates given an explicit pair list: every member of a
@@ -306,17 +358,22 @@ object Dedup {
     * any pair within distance must agree on ≥1 block → block equality is the
     * LSH bucket key (single equi-join shuffle, no O(n²) compare).
     *
-    * Buckets larger than `maxBucketSize` are dropped, exactly like the
-    * minhash tier: a block value shared by thousands of documents is
-    * boilerplate (measured on the test corpus: one 16-bit block bucket held
-    * 38% of all docs and alone contributed 3.3M candidate pairs), and its
-    * pair set is quadratic. The capped [[bucketPairs]] path also keeps the
-    * bucket shuffle ids-only; the two 8-byte signatures join back per
-    * surviving pair.
+    * Buckets larger than `maxBucketSize` (default 1000, introduced round 4 —
+    * before that the "all pairs with Hamming ≤ maxHamming" contract was
+    * unconditional) are dropped, exactly like the minhash tier: a block
+    * value shared by thousands of documents is boilerplate (measured on the
+    * test corpus: one 16-bit block bucket held 38% of all docs and alone
+    * contributed 3.3M candidate pairs), and its pair set is quadratic. Pairs
+    * whose only agreeing blocks land in a dropped bucket are therefore
+    * missed; the dropped bucket/row counts are surfaced through an
+    * `Observation` and logged ([[logDroppedBuckets]]) so that recall loss is
+    * observable in production runs. Pass `maxBucketSize = Int.MaxValue` to
+    * restore the unconditional contract.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
-    withScopedCaches { _ =>
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val result = withScopedCaches { _ =>
       val blocks = maxHamming + 1
       val width = 64 / blocks
       val sig = simhash64(df, idCol, textCol)
@@ -336,6 +393,9 @@ object Dedup {
       // sort_array on struct(id, simhash) orders by id → id_a < id_b holds
       val buckets = banded.groupBy("band", "key")
         .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("mem"))
+        .observe(obs,
+          sum(when(size(col("mem")) > maxBucketSize, 1).otherwise(0)).as("dropped_buckets"),
+          sum(when(size(col("mem")) > maxBucketSize, size(col("mem"))).otherwise(0)).as("dropped_rows"))
         .filter(size(col("mem")).between(2, maxBucketSize))
       buckets
         .select(posexplode(col("mem")).as(Seq("i", "a")), col("mem"))
@@ -346,6 +406,9 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
         .dropDuplicates("id_a", "id_b")
     }
+    logDroppedBuckets("simhashPairs", obs)
+    result
+  }
 
   // --- Tier 4: exact n-gram Jaccard ----------------------------------------
 

@@ -6,16 +6,25 @@ import org.apache.spark.sql.expressions.Window
 
 /** Sequence packing for pretraining batches: assign every document a
   * `(shard, bin)` so that, within a shard, consecutive documents in a
-  * deterministic hash order fill bins of ≈ `budgetTokens` tokens (greedy
-  * first-fit in order; a document straddling the boundary stays in the bin
-  * it started — bins overflow by at most one document, never underfill).
+  * deterministic hash order fill bins of ≈ `budgetTokens` tokens. Two
+  * variants, same ordering, different bin rule:
+  *
+  *  - [[packBins]] — *offset-range* binning: bin k holds the documents whose
+  *    starting token offset falls in `[k·budget, (k+1)·budget)`. One window
+  *    expression, no sequential state. A document that crosses a boundary
+  *    eats into the next range (that bin may underfill), and a document
+  *    larger than the budget spans several ranges (the skipped bin indices
+  *    are empty) — bins average to the budget, individual bins vary.
+  *  - [[packBinsGreedy]] — true greedy first-fit with per-bin reset: a bin
+  *    closes only once it has reached the budget, so bins are contiguous
+  *    from 0, never underfill, and overflow by at most one document.
   *
   * Scale shape: documents are first split into `shards` deterministic
-  * md5-prefix groups, and the running token sum is a window per shard —
-  * each shard sorts in one task, so pick `shards` ≈ corpus/10M docs at
-  * scale (256 default suits up to low-billions). Assignment is pure
-  * expressions + one window shuffle, reproducible across engines and runs
-  * — the property a random packing can't give a resumable pipeline.
+  * md5-prefix groups, and the fill order is a per-shard sort — each shard
+  * sorts in one task, so pick `shards` ≈ corpus/10M docs at scale (256
+  * default suits up to low-billions). Assignment is deterministic and
+  * engine-portable, reproducible across runs — the property a random
+  * packing can't give a resumable pipeline.
   */
 object Packing {
 
@@ -43,11 +52,20 @@ object Packing {
       .withColumn("n_toks", size(col("chunk_toks")).cast("long"))
   }
 
-  def packBins(df: DataFrame, idCol: String, tokenCol: String,
-               budgetTokens: Long, shards: Int = 256): DataFrame = {
+  private def shardHexChars(shards: Int): Int = {
     val hexChars = Seq(16, 256, 4096, 65536).indexOf(shards) + 1
     require(hexChars > 0, "shards must be a power of 16 (16/256/4096/65536)")
-    val shard = substring(md5(col(idCol).cast("string")), 1, hexChars)
+    hexChars
+  }
+
+  /** Offset-range binning (see object doc): `bin = floor(startOffset /
+    * budget)` where `startOffset` is the document's cumulative token offset
+    * within its shard's deterministic fill order. Pure window expression —
+    * stays fully declarative, one shuffle.
+    */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String,
+               budgetTokens: Long, shards: Int = 256): DataFrame = {
+    val shard = substring(md5(col(idCol).cast("string")), 1, shardHexChars(shards))
     val w = Window.partitionBy(shard)
       .orderBy(Sampling.hashBucket(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -56,5 +74,53 @@ object Packing {
     // double→int conversion (truncate vs round); floor() they agree on
     df.withColumn("shard", shard)
       .withColumn("bin", floor((cum - col(tokenCol)) / budgetTokens).cast("long"))
+  }
+
+  /** True greedy first-fit packing (see object doc): within each shard, in
+    * the same deterministic `(md5 bucket, id)` order as [[packBins]], a bin
+    * accumulates documents until its fill reaches `budgetTokens`, then the
+    * next document opens a fresh bin (per-bin running reset). Guarantees:
+    * bins are contiguous from 0 per shard; every non-final bin's fill is
+    * ≥ the budget; a bin overflows past the budget by at most its last
+    * document.
+    *
+    * The bin recurrence is prefix-dependent (the reset makes it inexpressible
+    * as a window sum), so this is the one operator that runs imperatively:
+    * a `mapPartitions` fold over rows pre-sorted per shard. Parallelism is
+    * across shards (the same unit the window variant sorts in one task);
+    * only `(shard, id, tokens)` ride the sort shuffle, so the returned frame
+    * is that projection plus `bin` — join it back to the corpus on `idCol`.
+    */
+  def packBinsGreedy(df: DataFrame, idCol: String, tokenCol: String,
+                     budgetTokens: Long, shards: Int = 256): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sorted = df.select(
+        substring(md5(col(idCol).cast("string")), 1, shardHexChars(shards)).as("shard"),
+        Sampling.hashBucket(col(idCol)).as("__b"),
+        col(idCol),
+        col(tokenCol).cast("long").as("__tok"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__b"), col(idCol))
+    val outSchema = StructType(Seq(
+      StructField("shard", StringType, nullable = false),
+      sorted.schema(idCol),
+      StructField(tokenCol, LongType),
+      StructField("bin", LongType, nullable = false)))
+    // several shards share a partition after the repartition; the sort keeps
+    // each contiguous, so a shard change resets the fold state
+    sorted.mapPartitions { rows =>
+      var curShard: String = null
+      var fill = 0L
+      var bin = 0L
+      rows.map { r =>
+        val sh = r.getString(0)
+        if (sh != curShard) { curShard = sh; fill = 0L; bin = 0L }
+        else if (fill >= budgetTokens) { bin += 1; fill = 0L }
+        fill += r.getLong(3)
+        Row(sh, r.get(2), r.getLong(3), bin)
+      }
+    }(Encoders.row(outSchema))
   }
 }

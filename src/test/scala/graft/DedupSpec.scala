@@ -200,6 +200,20 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusters runs on NATIVE string ids (no silent long-cast nulling)") {
+    // the former cast("long") turned string ids into NULLs (non-ANSI cast),
+    // emptied the edge set, and returned the corpus un-deduped
+    val pairs = Seq(("b", "a"), ("b", "c"), ("y", "x")).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    assert(cl == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("clusters fails loudly on mismatched id column types") {
+    val pairs = Seq((1L, "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](Dedup.clusters(pairs))
+    assert(e.getMessage.contains("share one type"))
+  }
+
   test("clusters converge on a 200-node chain (log-round algorithm, not diameter-bound)") {
     // naive min-label propagation needs 199 rounds here and would blow the
     // 50-round cap; alternating star must finish in O(log² n)

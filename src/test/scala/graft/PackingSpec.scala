@@ -6,7 +6,7 @@ import graft.operators.{Packing, Sampling}
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("packBins matches a driver-side greedy first-fit reconstruction") {
+  test("packBins matches a driver-side offset-range reconstruction") {
     val docs = spark.range(500).select(col("id"),
       (col("id") % 97 + 10).as("tokens")) // 10..106 tokens per doc
     val out = Packing.packBins(docs, "id", "tokens", budgetTokens = 300, shards = 16)
@@ -49,7 +49,9 @@ class PackingSpec extends SparkSpec {
     assert(coverage("w40") == 2, "overlapped token must appear in two chunks")
   }
 
-  test("bins are contiguous from 0 within each shard and fill past the budget") {
+  test("packBins: docs dividing the budget give contiguous, exactly-full bins") {
+    // 50 divides 400, so offset ranges and greedy agree here: no boundary
+    // straddles, bins contiguous, every non-final bin full
     val docs = spark.range(2000).select(col("id"), lit(50L).as("tokens"))
     val agg = Packing.packBins(docs, "id", "tokens", budgetTokens = 400, shards = 16)
       .groupBy("shard", "bin").agg(sum("tokens").as("tok"))
@@ -60,6 +62,82 @@ class PackingSpec extends SparkSpec {
       // every bin but the shard's last must have crossed the budget
       rows.sortBy(_._2).init.foreach { case (_, b, tok) =>
         assert(tok >= 400, s"underfull non-final bin $b in $shard: $tok")
+      }
+    }
+  }
+
+  test("packBins: an oversized doc spans ranges, so bin indices may skip") {
+    // one shard (all ids map through md5 prefix, use shards=16 but a single
+    // doc set small enough to land wherever) — drive the semantics directly:
+    // budget 100, one 350-token doc somewhere ⇒ the next doc's bin index
+    // jumps past the empty ranges the big doc covered
+    val docs = Seq((1L, 350L), (2L, 40L), (3L, 40L), (4L, 40L)).toDF("id", "tokens")
+    val out = Packing.packBins(docs, "id", "tokens", budgetTokens = 100, shards = 16)
+      .select("shard", "id", "tokens", "bin")
+      .as[(String, Long, Long, Long)].collect()
+    // reconstruct offset ranges per shard in the deterministic order
+    val bucketOf = docs.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .as[(Long, String)].collect().toMap
+    val expected = out.groupBy(_._1).flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (bucketOf(r._2), r._2)).toSeq.map { r =>
+        val bin = cum / 100; cum += r._3; r._2 -> bin
+      }
+    }
+    assert(out.map(r => r._2 -> r._4).toMap == expected.toMap)
+    // documented semantics: wherever the 350-token doc precedes another doc
+    // in its shard, that doc starts ≥3 ranges later (the skipped indices
+    // are empty bins — offset-range, not greedy)
+    val shardOf = out.map(r => r._2 -> r._1).toMap
+    val big = out.find(_._2 == 1L).get
+    out.filter(r => r._1 == shardOf(1L) && r._2 != 1L &&
+        bucketOf(r._2) > bucketOf(1L))
+      .foreach(r => assert(r._4 >= big._4 + 3, s"no range skip after oversized doc: $r"))
+  }
+
+  test("packBinsGreedy: contiguous bins, non-final bins reach the budget, ≤1-doc overflow") {
+    val docs = spark.range(500).select(col("id"), (col("id") % 97 + 10).as("tokens"))
+    val out = Packing.packBinsGreedy(docs, "id", "tokens", budgetTokens = 300, shards = 16)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 500)
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val fills = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      val bins = fills.keys.toSeq.sorted
+      assert(bins == (0L until bins.length).toSeq, s"gaps in $shard: $bins")
+      bins.init.foreach { b =>
+        assert(fills(b).sum >= 300, s"underfull non-final bin $b in $shard: ${fills(b).sum}")
+        assert(fills(b).sum - fills(b).max < 300,
+          s"bin $b in $shard overflowed by more than its last doc: ${fills(b)}")
+      }
+    }
+    // exact match against a driver-side greedy fold in the same order
+    val bucketOf = docs.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .as[(Long, String)].collect().toMap
+    val expected = out.groupBy(_._1).flatMap { case (_, rows) =>
+      var fill = 0L; var bin = 0L; var first = true
+      rows.sortBy(r => (bucketOf(r._2), r._2)).toSeq.map { r =>
+        if (!first && fill >= 300) { bin += 1; fill = 0L }
+        first = false; fill += r._3
+        r._2 -> bin
+      }
+    }
+    assert(out.map(r => r._2 -> r._4).toMap == expected.toMap)
+  }
+
+  test("packBinsGreedy: an oversized doc takes its own bin; bins stay contiguous") {
+    val docs = Seq((1L, 350L), (2L, 40L), (3L, 40L), (4L, 40L), (5L, 40L)).toDF("id", "tokens")
+    val out = Packing.packBinsGreedy(docs, "id", "tokens", budgetTokens = 100, shards = 16)
+      .as[(String, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val bins = rows.map(_._4).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length).toSeq, s"gaps in $shard: $bins")
+      // no bin mixes the 350-token doc with a doc that started after it
+      val bigBin = rows.find(_._3 == 350L).map(_._4)
+      bigBin.foreach { b =>
+        val mates = rows.filter(r => r._4 == b && r._3 != 350L)
+        // greedy: the big doc either opens its own bin or joins a bin that
+        // had room when it arrived; once added, fill ≥ budget closes the bin
+        assert(mates.map(_._3).sum < 100, s"bin $b accepted docs after overflow: $rows")
       }
     }
   }
