@@ -576,6 +576,27 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  /** Corpus vocabulary audit: top-50 tokens by document frequency with
+    * occurrence counts and corpus token share — tokenizer-training prep.
+    */
+  private def qNVocabTopk(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 50)
+      .orderBy(col("doc_freq").desc, col("term"))
+
+  /** Incremental ingest dedup: docs ≥ 250 arrive as a new batch and dedup
+    * against the signature STORE of docs < 250 (plus within-batch twins) —
+    * the don't-re-shingle-the-corpus scale path. Rows-only gate (minhash has
+    * no SQL form); planted-scenario semantics are CI-checked in DedupSpec.
+    */
+  private def qNDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store = Dedup.minhashSignatures(docs.filter(col("doc_id") < 250), "doc_id", "text")
+    Dedup.incrementalDedup(docs.filter(col("doc_id") >= 250), store, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** True greedy packing over the same corpus/order as [[qNPackBins]]; the
     * DuckDB oracle replays the per-shard fold as a recursive CTE (the
     * sequential recurrence has no window form in either engine).
@@ -860,6 +881,8 @@ object SparkEntry {
     "q_n_sample_stratified" -> (qNSampleStratified _),
     "q_n_pack_bins"      -> (qNPackBins _),
     "q_n_pack_greedy"    -> (qNPackGreedy _),
+    "q_n_vocab_topk"     -> (qNVocabTopk _),
+    "q_n_dedup_incr"     -> (qNDedupIncr _),
     "q_n_chunk"          -> (qNChunk _),
     "q_n_decontam"       -> (qNDecontam _),
     "q_x_snapshot_diff"  -> (qXSnapshotDiff _),
@@ -1087,6 +1110,19 @@ object SparkEntry {
             FROM g JOIN ord o ON o.shard = g.shard AND o.rn = g.rn + 1)
           SELECT shard, bin, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_sum
           FROM g GROUP BY 1, 2 ORDER BY shard, bin""",
+    "q_n_vocab_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+          g AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,
+                       count(*) AS total_count
+                FROM t GROUP BY 1),
+          top AS (SELECT term, doc_freq, total_count FROM g
+                  ORDER BY doc_freq DESC, term LIMIT 50)
+          SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq,
+                 CAST(total_count AS BIGINT) AS total_count,
+                 round(CAST(total_count AS DOUBLE)
+                       / (SELECT CAST(sum(total_count) AS DOUBLE) FROM g), 6)
+                   AS token_share
+          FROM top ORDER BY doc_freq DESC, term""",
     "q_n_chunk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id, CAST(s / 32 AS BIGINT) AS chunk_id,

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Corpus-level term statistics — the vocabulary-audit / tokenizer-training
+  * prep a pretraining pipeline runs before committing to a token budget
+  * (cf. the per-document stats in [[graft.functions.TextOps]]; these are the
+  * corpus aggregates over them).
+  */
+object CorpusStats {
+
+  /** Top-`k` terms by document frequency: `(term, doc_freq, total_count,
+    * token_share)`, ordered by `(doc_freq desc, term)` for a deterministic
+    * cut. `n = 1` counts whitespace tokens; `n > 1` counts order-preserving
+    * word n-grams (non-distinct — repetition inside one document counts).
+    *
+    * Scale shape: the `(id, term)` explode pre-aggregates per document
+    * first, so the map-side combine that absorbs a zipfian head operates on
+    * `(doc, term)` granularity and the wide shuffle carries one row per
+    * distinct term per doc, not one per occurrence. The final cut is
+    * `orderBy(...).limit(k)` → `TakeOrderedAndProject` (per-partition k-row
+    * heaps, driver merge — no global sort), and the grand total joins in as
+    * a broadcast of a 1-row aggregate, not a driver collect.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+               n: Int = 1): DataFrame = {
+    require(k > 0 && n > 0, "k and n must be positive")
+    val terms =
+      if (n == 1) df.select(col(idCol).as("__id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      else df.select(col(idCol).as("__id"),
+        explode(TextOps.wordNgrams(TextOps.tokens(col(textCol)), n)).as("term"))
+    val perDoc = terms.groupBy("term", "__id").agg(count(lit(1)).as("__c"))
+    val byTerm = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum(col("__c")).as("total_count"))
+    val grand = byTerm.agg(sum(col("total_count")).as("__grand"))
+    byTerm.orderBy(col("doc_freq").desc, col("term")).limit(k)
+      .crossJoin(broadcast(grand))
+      // both operands are exact integers ≤ 2^53 → IEEE division is
+      // engine-portable bit-for-bit
+      .withColumn("token_share",
+        round(col("total_count").cast("double") / col("__grand"), 6))
+      .drop("__grand")
+  }
+}

@@ -237,6 +237,84 @@ object Dedup {
     result
   }
 
+  // --- Incremental dedup (delta batch vs. persisted signature store) --------
+
+  /** Public builder of the corpus dedup index: persist this `(id, sig)`
+    * relation (parquet, any layout) and hand it to [[incrementalDedup]] for
+    * each new ingest batch. numHashes×8 bytes per document — three orders
+    * of magnitude smaller than the text it indexes — so the per-batch cost
+    * of deduping against a 100 TB corpus is a scan of the *index*, never a
+    * re-shingle of the corpus.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 5, numHashes: Int = 128): DataFrame =
+    signatures(df, idCol, textCol, shingleLen, numHashes)
+
+  /** Near-dup pairs touching at least one NEW document, for a delta batch
+    * banded together with the persisted signature store: `(id_a, id_b,
+    * a_new, b_new, jaccard_est)` with id_a < id_b. Store–store pairs are
+    * dropped (the store is assumed already deduped); the verdict is the
+    * signature Jaccard estimator, since the store carries no text (at
+    * numHashes=128 the estimator's std error near a 0.7 threshold is ≈0.04
+    * — callers needing exact verification can join the surviving new ids
+    * back to text and reuse [[ngramJaccard]]).
+    *
+    * `storeSigs` must use the same shingleLen/numHashes as the store was
+    * built with; ids across store and delta are assumed distinct. At full
+    * scale the store's `(band, key, id)` triples can additionally be
+    * precomputed and persisted so each batch pays only the delta's banding.
+    */
+  def incrementalDedupPairs(delta: DataFrame, storeSigs: DataFrame, idCol: String,
+                            textCol: String, threshold: Double, shingleLen: Int = 5,
+                            numHashes: Int = 128, bands: Int = 16,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val result = withScopedCaches { localCached =>
+      val newSigs = localCached(signatures(delta, idCol, textCol, shingleLen, numHashes))
+      val all = localCached(newSigs.unionByName(storeSigs.select(col("id"), col("sig"))))
+      val pairs = bandedPairs(all, numHashes, bands, maxBucketSize, Some(obs))
+      val flags = newSigs.select(col("id"), lit(true).as("is_new"))
+      val sigA = all.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      val sigB = all.select(col("id").as("id_b"), col("sig").as("sig_b"))
+      pairs
+        .join(flags.select(col("id").as("id_a"), col("is_new").as("a_new")), Seq("id_a"), "left")
+        .join(flags.select(col("id").as("id_b"), col("is_new").as("b_new")), Seq("id_b"), "left")
+        .withColumn("a_new", coalesce(col("a_new"), lit(false)))
+        .withColumn("b_new", coalesce(col("b_new"), lit(false)))
+        .filter(col("a_new") || col("b_new"))
+        .join(sigA, "id_a").join(sigB, "id_b")
+        .withColumn("jaccard_est",
+          aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+                    lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        .filter(col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "a_new", "b_new", "jaccard_est")
+    }
+    logDroppedBuckets("incrementalDedupPairs", obs)
+    result
+  }
+
+  /** Incremental near-dedup of an ingest batch against the existing corpus:
+    * a new document is dropped iff (a) its estimated Jaccard to any STORE
+    * document clears `threshold`, or (b) it sits in a within-delta duplicate
+    * cluster and is not that cluster's minimum id (the same keep-first
+    * policy as [[dropNearDups]]). Returns the surviving delta rows — append
+    * them to the corpus and their [[minhashSignatures]] to the store to
+    * complete the ingest.
+    */
+  def incrementalDedup(delta: DataFrame, storeSigs: DataFrame, idCol: String,
+                       textCol: String, threshold: Double, shingleLen: Int = 5,
+                       numHashes: Int = 128, bands: Int = 16,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = incrementalDedupPairs(delta, storeSigs, idCol, textCol, threshold,
+      shingleLen, numHashes, bands, maxBucketSize)
+    val vsStore = pairs.filter(col("a_new") && !col("b_new")).select(col("id_a").as("id"))
+      .union(pairs.filter(col("b_new") && !col("a_new")).select(col("id_b").as("id")))
+    val withinDelta = clusters(pairs.filter(col("a_new") && col("b_new")))
+      .filter(col("id") =!= col("cluster")).select("id")
+    val losers = vsStore.union(withinDelta).distinct()
+    delta.join(losers, delta(idCol) === losers("id"), "left_anti")
+  }
+
   // --- Duplicate clustering (connected components) --------------------------
 
   /** Connected components over a near-duplicate pair list: returns

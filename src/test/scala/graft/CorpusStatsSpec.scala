@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusStats
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topTerms ranks by doc frequency, breaks ties on term, shares are exact") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b b"),
+      (3L, "c c c c")
+    ).toDF("doc_id", "text")
+    // a: df 2, total 3; b: df 2, total 3; c: df 2, total 5; grand total 11
+    val out = CorpusStats.topTerms(docs, "doc_id", "text", k = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 3L, math.floor(3.0 / 11.0 * 1e6 + 0.5) / 1e6),
+      ("b", 2L, 3L, math.floor(3.0 / 11.0 * 1e6 + 0.5) / 1e6)))
+  }
+
+  test("topTerms n=2 counts NON-distinct bigrams (repetition counts)") {
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    // bigrams doc1: x·y y·x x·y; doc2: x·y y·z (wordNgrams joins on )
+    // → x·y: df 2, total 3
+    val top = CorpusStats.topTerms(docs, "doc_id", "text", k = 1, n = 2)
+      .as[(String, Long, Long, Double)].head()
+    assert(top._1 == "xy" && top._2 == 2L && top._3 == 3L)
+  }
+
+  test("topTerms plans the cut as TakeOrderedAndProject (no global sort)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = CorpusStats.topTerms(docs, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

@@ -237,6 +237,44 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(4L)) // unrelated doc untouched
   }
 
+  test("incrementalDedup drops store collisions and within-delta twins, keeps fresh docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content describing catalyst optimizer rule internals")
+    ).toDF("doc_id", "text")
+    val store = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of store 1
+      (11L, "a genuinely novel document with fresh unseen vocabulary entirely"),
+      (12L, "twin text shared by exactly two new documents in this same batch"),
+      (13L, "twin text shared by exactly two new documents in this same batch")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(delta, store, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L), s"got $kept")
+    // the pair relation marks sides correctly: 10-vs-store is (old,new),
+    // 12/13 is (new,new)
+    val pairs = Dedup.incrementalDedupPairs(delta, store, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b", "a_new", "b_new")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    assert(pairs.contains((1L, 10L, false, true)))
+    assert(pairs.contains((12L, 13L, true, true)))
+    assert(!pairs.exists(p => !p._3 && !p._4), "store-store pairs must be dropped")
+  }
+
+  test("incrementalDedup with an empty store reduces to within-batch keep-first") {
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "a genuinely novel document with fresh unseen vocabulary entirely"),
+      (12L, "twin text shared by exactly two new documents in this same batch"),
+      (13L, "twin text shared by exactly two new documents in this same batch")
+    ).toDF("doc_id", "text")
+    val emptyStore = Dedup.minhashSignatures(delta.filter(lit(false)), "doc_id", "text")
+    val kept = Dedup.incrementalDedup(delta, emptyStore, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 12L), s"got $kept")
+  }
+
   test("brute-force ANN ranks the planted neighbor first") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(16)(rnd.nextGaussian().toFloat)
