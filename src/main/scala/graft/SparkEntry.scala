@@ -576,6 +576,30 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  /** Deterministic training-mix: upsample fr 2.25×, zh 3×, downsample en to
+    * 0.5×. Weights are exact binary fractions so the fractional-copy
+    * threshold is bit-identical in DuckDB. Aggregated per lang (row counts,
+    * distinct docs, sum of copy indices) for a hash-stable gate.
+    */
+  private def qNMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedMix(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 2.25, "zh" -> 3.0), defaultWeight = 1.0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("rep")).as("rep_sum"))
+      .orderBy("lang")
+
+  /** Int8-quantized brute-force ANN — the 4×-smaller-index scale path.
+    * Fully oracle-checkable: quantization uses floor(x+0.5) and the cosine
+    * is exact integer sums + one IEEE divide.
+    */
+  private def qNAnnInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorOps.bruteForceTopKInt8(emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Corpus vocabulary audit: top-50 tokens by document frequency with
     * occurrence counts and corpus token share — tokenizer-training prep.
     */
@@ -883,6 +907,8 @@ object SparkEntry {
     "q_n_pack_greedy"    -> (qNPackGreedy _),
     "q_n_vocab_topk"     -> (qNVocabTopk _),
     "q_n_dedup_incr"     -> (qNDedupIncr _),
+    "q_n_mix"            -> (qNMix _),
+    "q_n_ann_int8"       -> (qNAnnInt8 _),
     "q_n_chunk"          -> (qNChunk _),
     "q_n_decontam"       -> (qNDecontam _),
     "q_x_snapshot_diff"  -> (qXSnapshotDiff _),
@@ -1110,6 +1136,51 @@ object SparkEntry {
             FROM g JOIN ord o ON o.shard = g.shard AND o.rn = g.rn + 1)
           SELECT shard, bin, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tok_sum
           FROM g GROUP BY 1, 2 ORDER BY shard, bin""",
+    "q_n_mix" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 2.25
+                                 WHEN 'zh' THEN 3.0 ELSE 1.0 END AS DOUBLE) AS w,
+                  substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang,
+                  CAST(floor(w) AS BIGINT)
+                  + CASE WHEN b < printf('%08x',
+                        CAST(floor((w - floor(w)) * 4294967296.0) AS BIGINT))
+                    THEN 1 ELSE 0 END AS n
+           FROM d),
+         e AS (SELECT doc_id, lang, unnest(range(n)) AS rep FROM c WHERE n > 0)
+         SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+                CAST(sum(rep) AS BIGINT) AS rep_sum
+         FROM e GROUP BY 1 ORDER BY lang""",
+    "q_n_ann_int8" ->
+      """WITH qz AS (
+           SELECT vec_id,
+                  list_transform(embedding, v -> GREATEST(-127, LEAST(127,
+                    CAST(floor(CAST(v AS DOUBLE) / s + 0.5) AS BIGINT)))) AS q
+           FROM (SELECT vec_id, embedding,
+                   CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS s
+                 FROM (SELECT vec_id, embedding,
+                         list_max(list_transform(embedding,
+                           v -> abs(CAST(v AS DOUBLE)))) AS m
+                       FROM embeddings))),
+         q AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, q AS cq FROM qz),
+         s AS (SELECT query_id, neighbor_id,
+                 round(
+                   CAST(list_sum(list_transform(range(1, len(qq)+1),
+                     i -> qq[i] * cq[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE)
+                          * CAST(list_sum(list_transform(cq, x -> x * x)) AS DOUBLE)),
+                   6) AS cos_sim
+               FROM c, q WHERE query_id != neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     "q_n_vocab_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
           g AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,

