@@ -634,6 +634,17 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  /** Packed-sequence materialization: each (shard, bin) emits its EOS-joined
+    * token sequence; the gate hashes the sequence (md5 of the space-joined
+    * tokens) so the oracle compares content without shipping giant strings.
+    */
+  private def qNPackSeq(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 500, shards = 16)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_toks"),
+        md5(concat_ws(" ", col("seq"))).as("seq_md5"))
+      .orderBy("shard", "bin")
+
   private def qNChunk(s: SparkSession, dir: String): DataFrame =
     Packing.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 64, stride = 32)
@@ -905,6 +916,7 @@ object SparkEntry {
     "q_n_sample_stratified" -> (qNSampleStratified _),
     "q_n_pack_bins"      -> (qNPackBins _),
     "q_n_pack_greedy"    -> (qNPackGreedy _),
+    "q_n_pack_seq"       -> (qNPackSeq _),
     "q_n_vocab_topk"     -> (qNVocabTopk _),
     "q_n_dedup_incr"     -> (qNDedupIncr _),
     "q_n_mix"            -> (qNMix _),
@@ -1181,6 +1193,26 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
+    "q_n_pack_seq" ->
+      s"""WITH d AS (
+            SELECT doc_id, $toksSql AS toks,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b
+            FROM documents),
+          w AS (
+            SELECT *, CAST(len(toks) AS BIGINT) AS tokens,
+                   sum(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY shard
+                     ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+          g AS (
+            SELECT shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin,
+                   count(*) AS n_docs,
+                   flatten(list(list_append(toks, '<eos>') ORDER BY b, doc_id)) AS seq
+            FROM w GROUP BY 1, 2)
+          SELECT shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(len(seq) AS BIGINT) AS n_toks,
+                 md5(array_to_string(seq, ' ')) AS seq_md5
+          FROM g ORDER BY shard, bin""",
     "q_n_vocab_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
           g AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,

@@ -91,6 +91,36 @@ object Packing {
     * only `(shard, id, tokens)` ride the sort shuffle, so the returned frame
     * is that projection plus `bin` — join it back to the corpus on `idCol`.
     */
+  /** Materialize packed training sequences: every `(shard, bin)` from
+    * [[packBins]] becomes ONE token sequence — the bin's documents
+    * concatenated in the deterministic fill order, each followed by
+    * `eosToken`. Output: `(shard, bin, n_docs, seq, n_toks)`; this is the
+    * final batch-prep step, ready to tokenize-map into input_ids.
+    *
+    * Scale shape: the only wide operation is the `(shard, bin)` aggregation,
+    * and a group's payload is bounded by `budgetTokens` (+ one overflow
+    * document), so task memory is budget-bound regardless of corpus size —
+    * the token arrays shuffle exactly once, which IS the materialization.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Long, shards: Int = 256,
+                    eosToken: String = "<eos>"): DataFrame = {
+    val toks = df.select(col(idCol),
+        graft.functions.TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__tok_n", size(col("__toks")).cast("long"))
+    packBins(toks, idCol, "__tok_n", budgetTokens, shards)
+      .groupBy("shard", "bin")
+      .agg(sort_array(collect_list(struct(
+        Sampling.hashBucket(col(idCol)).as("b"),
+        col(idCol).as("id"),
+        col("__toks").as("toks")))).as("mem"))
+      .select(col("shard"), col("bin"),
+        size(col("mem")).cast("long").as("n_docs"),
+        flatten(transform(col("mem"),
+          m => concat(m.getField("toks"), array(lit(eosToken))))).as("seq"))
+      .withColumn("n_toks", size(col("seq")).cast("long"))
+  }
+
   def packBinsGreedy(df: DataFrame, idCol: String, tokenCol: String,
                      budgetTokens: Long, shards: Int = 256): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")

@@ -124,6 +124,30 @@ class PackingSpec extends SparkSpec {
     assert(out.map(r => r._2 -> r._4).toMap == expected.toMap)
   }
 
+  test("packSequences: every doc's tokens appear once, in order, EOS after each doc") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, ""), (4L, "f g h i"))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id", "text", budgetTokens = 5, shards = 16)
+      .select("shard", "bin", "n_docs", "seq", "n_toks")
+      .as[(String, Long, Long, Seq[String], Long)].collect()
+    // one EOS per doc, tokens conserved globally (empty doc contributes EOS only)
+    assert(out.map(_._3).sum == 4L)
+    assert(out.map(_._5).sum == 9L + 4L)
+    out.foreach { case (_, _, nDocs, seq, nToks) =>
+      assert(seq.size == nToks && seq.last == "<eos>")
+      assert(seq.count(_ == "<eos>") == nDocs)
+    }
+    // within a sequence, each doc's tokens are contiguous and in doc order
+    val allSegs = out.flatMap { case (_, _, _, seq, _) =>
+      // split on eos → one segment per doc
+      seq.foldLeft(List(List.empty[String])) {
+        case (acc, "<eos>") => Nil :: acc
+        case (h :: t, tok)  => (tok :: h) :: t
+      }.map(_.reverse).reverse.filter(_.nonEmpty || false) // drop trailing empty
+    }.filter(_.nonEmpty).map(_.mkString(" ")).toSet
+    assert(allSegs == Set("a b c", "d e", "f g h i"))
+  }
+
   test("packBinsGreedy: an oversized doc takes its own bin; bins stay contiguous") {
     val docs = Seq((1L, 350L), (2L, 40L), (3L, 40L), (4L, 40L), (5L, 40L)).toDF("id", "tokens")
     val out = Packing.packBinsGreedy(docs, "id", "tokens", budgetTokens = 100, shards = 16)

@@ -90,6 +90,13 @@ class SamplingSpec extends SparkSpec {
     assert(again == byDom)
   }
 
+  test("weightedMix plans narrow: no shuffle, stays in one codegen stage") {
+    val docs = spark.range(100).select(col("id"), lit("d").as("dom"))
+    val plan = Sampling.weightedMix(docs, "id", "dom", Map("d" -> 1.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("weightedMix is monotone: raising a weight only ADDS copies") {
     val docs = spark.range(2000).select(col("id"), lit("d").as("dom"))
     def keyset(w: Double) = Sampling.weightedMix(docs, "id", "dom", Map("d" -> w))
