@@ -104,6 +104,42 @@ object Streams {
       }
   }
 
+  /** Streaming corpus ingest with cross-batch near-dedup: every micro-batch
+    * is deduped against the PERSISTED minhash signature store
+    * ([[graft.operators.Dedup.incrementalDedup]]); survivors append to
+    * `corpusDir` and their signatures to `storeDir`, so each batch dedups
+    * against everything ingested before it — the streaming form of the
+    * don't-re-shingle-the-corpus ingest path. `foreachBatch` is the
+    * Structured Streaming shape for transforms that need batch-only
+    * multi-pass joins (LSH banding); restart safety comes from the
+    * checkpoint — a replayed batch re-dedups against the store and its
+    * survivors' signatures are re-appended, so give `storeDir` readers a
+    * `dropDuplicates("id")` if duplicate sig rows matter.
+    */
+  def ingestDedup(stream: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, corpusDir: String, storeDir: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val store =
+          try spark.read.parquet(storeDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Dedup.minhashSignatures(batch.limit(0), idCol, textCol) }
+        val kept = Dedup.incrementalDedup(batch, store, idCol, textCol, threshold)
+          .persist()
+        try {
+          kept.write.mode("append").parquet(corpusDir)
+          Dedup.minhashSignatures(kept, idCol, textCol)
+            .write.mode("append").parquet(storeDir)
+        } finally kept.unpersist(blocking = false)
+        ()
+      }
+      .start()
+  }
+
   /** Sessionization (batch form): assign a session id per key where a gap
     * of more than `gap` between consecutive events starts a new session.
     * lag → new-session flag → running sum. Streaming form would use

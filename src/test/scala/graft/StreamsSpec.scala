@@ -70,4 +70,31 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("ingestDedup: later micro-batches dedup against earlier batches' store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_dedup").toString
+    val (corpus, store, ckpt) = (s"$dir/corpus", s"$dir/store", s"$dir/ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.ingestDedup(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.7, corpus, store, ckpt)
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog again and again today"),
+                 (2L, "completely different content describing catalyst optimizer internals"))
+      q.processAllAvailable()
+      // batch 2: a dup of doc 1 (cross-batch), a fresh doc, and in-batch twins
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (11L, "a genuinely novel document with fresh unseen vocabulary entirely"),
+        (12L, "twin text shared by exactly two new documents in this same batch"),
+        (13L, "twin text shared by exactly two new documents in this same batch"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 11L, 12L), s"got $kept")
+    // the store carries one signature per surviving doc
+    val sigIds = spark.read.parquet(store).select("id").as[Long].collect().toSet
+    assert(sigIds == kept)
+  }
 }
