@@ -20,6 +20,13 @@ object Stress {
     // end-to-end: pairs → connected components → keep one per cluster.
     // 50k docs in 5k clusters of >=10 — dense worst case for the star rounds
     time("drop_near_dups")(Dedup.dropNearDups(big, "doc_id", "text", 0.7).count())
+    // incremental ingest: 10% of the corpus arrives as a delta and dedups
+    // against the signature STORE of the other 90% — the index-only path
+    val store = Dedup.minhashSignatures(
+      big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").persist()
+    println(s"STRESS store=${store.count()}")
+    time("incremental_dedup")(Dedup.incrementalDedup(
+      big.filter(col("doc_id") % 10 === 0), store, "doc_id", "text", 0.7).count())
     spark.stop()
   }
 }

@@ -67,6 +67,30 @@ case class JoinDetailSpec(master: OpSpec, detail: OpSpec,
 /** Union of branches (reference: folder concat / injected rows). */
 case class UnionSpec(inputs: Seq[OpSpec]) extends OpSpec
 
+// --- LLM-pipeline nodes (beyond-reference surface, SURVEY §2.8): the
+// pretraining prep operators as declarable DAG nodes, so a whole
+// clean→dedup→split→mix→pack flow persists as one spec document. ---------
+
+/** Corpus dedup: `mode = "exact"` (fingerprint keep-first) or `"near"`
+  * (minhash/LSH pairs → connected components → keep-min, threshold =
+  * exact-Jaccard floor). See [[graft.operators.Dedup]].
+  */
+case class DedupNodeSpec(input: OpSpec, idCol: String, textCol: String,
+                         mode: String = "near", threshold: Double = 0.8) extends OpSpec
+/** Deterministic split column over md5(id) (train/val/test). */
+case class SplitNodeSpec(input: OpSpec, idCol: String,
+                         splits: Seq[(String, Double)]) extends OpSpec
+/** Weighted training-mix up/down-sampling per stratum (adds `rep`). */
+case class MixNodeSpec(input: OpSpec, idCol: String, stratumCol: String,
+                       weights: Map[String, Double],
+                       defaultWeight: Double = 1.0) extends OpSpec
+/** Drop rows sharing ≥ minHits word n-grams with the bench node. */
+case class DecontamNodeSpec(input: OpSpec, bench: OpSpec, idCol: String,
+                            textCol: String, n: Int = 8, minHits: Int = 1) extends OpSpec
+/** Pack documents into ≈budgetTokens sequences (EOS-joined token arrays). */
+case class PackNodeSpec(input: OpSpec, idCol: String, textCol: String,
+                        budgetTokens: Long, shards: Int = 256) extends OpSpec
+
 /** A named-node pipeline: `nodes` define the DAG, `out` names the result. */
 case class PipelineSpec(nodes: Seq[(String, OpSpec)], out: String)
 
@@ -150,6 +174,22 @@ object PipelineCompiler {
       case UnionSpec(ins) =>
         require(ins.nonEmpty, "union node needs at least one input")
         ins.map(build).reduce(_.unionByName(_, allowMissingColumns = true))
+      case DedupNodeSpec(in, id, text, mode, threshold) => mode match {
+        case "exact" =>
+          graft.operators.Dedup.exact(build(in), sub(text), sub(id)).drop("dup_count")
+        case "near" =>
+          graft.operators.Dedup.dropNearDups(build(in), sub(id), sub(text), threshold)
+        case other => throw new IllegalArgumentException(s"dedup mode '$other' (exact|near)")
+      }
+      case SplitNodeSpec(in, id, splits) =>
+        graft.operators.Sampling.hashSplit(build(in), sub(id), splits)
+      case MixNodeSpec(in, id, stratum, weights, dw) =>
+        graft.operators.Sampling.weightedMix(build(in), sub(id), sub(stratum), weights, dw)
+      case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
+        graft.operators.Dedup.decontaminate(build(in), build(bench), sub(id), sub(text),
+          ngram, minHits)
+      case PackNodeSpec(in, id, text, budget, shards) =>
+        graft.operators.Packing.packSequences(build(in), sub(id), sub(text), budget, shards)
     }
 
     spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }
@@ -172,6 +212,11 @@ object PipelineCompiler {
     case JoinSpec(in, v, _, _, _, _)       => refsOf(in) ++ refsOf(v)
     case JoinDetailSpec(m, d, _, _, _, _)  => refsOf(m) ++ refsOf(d)
     case UnionSpec(ins)                 => ins.flatMap(refsOf).toSet
+    case DedupNodeSpec(in, _, _, _, _)  => refsOf(in)
+    case SplitNodeSpec(in, _, _)        => refsOf(in)
+    case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
+    case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)
+    case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
   }
 
   /** All spec nodes (transitively) feeding `name`, including itself. */

@@ -63,6 +63,25 @@ object SpecJson {
         n.set[JsonNode]("master", opNode(m0)); n.set[JsonNode]("detail", opNode(d))
       case UnionSpec(ins) =>
         n.put("op", "union"); val a = n.putArray("inputs"); ins.foreach(i => a.add(opNode(i)))
+      case DedupNodeSpec(in, id, text, mode, threshold) =>
+        pairs(n, "op" -> "dedup", "idCol" -> id, "textCol" -> text, "mode" -> mode)
+        n.put("threshold", threshold); n.set[JsonNode]("input", opNode(in))
+      case SplitNodeSpec(in, id, splits) =>
+        pairs(n, "op" -> "split", "idCol" -> id); n.set[JsonNode]("input", opNode(in))
+        val a = n.putArray("splits")
+        splits.foreach { case (nm, w) => val o = a.addObject(); o.put("name", nm); o.put("weight", w) }
+      case MixNodeSpec(in, id, stratum, weights, dw) =>
+        pairs(n, "op" -> "mix", "idCol" -> id, "stratumCol" -> stratum)
+        n.put("defaultWeight", dw); n.set[JsonNode]("input", opNode(in))
+        val o = n.putObject("weights"); weights.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
+        pairs(n, "op" -> "decontaminate", "idCol" -> id, "textCol" -> text)
+        n.put("n", ngram); n.put("minHits", minHits)
+        n.set[JsonNode]("input", opNode(in)); n.set[JsonNode]("bench", opNode(bench))
+      case PackNodeSpec(in, id, text, budget, shards) =>
+        pairs(n, "op" -> "pack", "idCol" -> id, "textCol" -> text)
+        n.put("budgetTokens", budget); n.put("shards", shards)
+        n.set[JsonNode]("input", opNode(in))
     }
     n
   }
@@ -108,6 +127,24 @@ object SpecJson {
                         str(n, "masterKey"), str(n, "detailKey"), str(n, "as", "details"),
                         strs(n, "detailCols"))
     case "union"   => UnionSpec(n.get("inputs").elements().asScala.map(parseOp).toSeq)
+    case "dedup"   => DedupNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "textCol"),
+                        str(n, "mode", "near"),
+                        Option(n.get("threshold")).map(_.asDouble).getOrElse(0.8))
+    case "split"   => SplitNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
+                        Option(n.get("splits")).map(_.elements().asScala.map(e =>
+                          str(e, "name") -> e.get("weight").asDouble).toSeq).getOrElse(Nil))
+    case "mix"     => MixNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "stratumCol"),
+                        Option(n.get("weights")).map(o =>
+                          o.properties().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
+                          .getOrElse(Map.empty),
+                        Option(n.get("defaultWeight")).map(_.asDouble).getOrElse(1.0))
+    case "decontaminate" => DecontamNodeSpec(parseOp(n.get("input")), parseOp(n.get("bench")),
+                        str(n, "idCol"), str(n, "textCol"),
+                        Option(n.get("n")).map(_.asInt).getOrElse(8),
+                        Option(n.get("minHits")).map(_.asInt).getOrElse(1))
+    case "pack"    => PackNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "textCol"),
+                        n.get("budgetTokens").asLong,
+                        Option(n.get("shards")).map(_.asInt).getOrElse(256))
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
 
@@ -152,6 +189,11 @@ object SpecJson {
         case JoinSpec(in, vocab, _, _, _, _) => link(in); link(vocab)
         case JoinDetailSpec(m, d, _, _, _, _) => link(m); link(d)
         case UnionSpec(ins) => ins.foreach(link)
+        case DedupNodeSpec(in, _, _, _, _) => link(in)
+        case SplitNodeSpec(in, _, _) => link(in)
+        case MixNodeSpec(in, _, _, _, _) => link(in)
+        case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)
+        case PackNodeSpec(in, _, _, _, _) => link(in)
       }
     }
     spec.nodes.foreach { case (name, op) => visit(op, name) }

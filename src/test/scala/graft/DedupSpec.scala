@@ -275,6 +275,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 11L, 12L), s"got $kept")
   }
 
+  test("int8 ANN agrees with float ANN on planted near-identical neighbors") {
+    val rnd = new scala.util.Random(29)
+    val base = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val near = base.map(v => v * 1.002f)
+    val vecs = Seq((0L, base), (1L, near)) ++
+      (2L to 40L).map(i => i -> Array.fill(32)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 2)
+    val floatTop = VectorOps.bruteForceTopK(q, df, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val int8Top = VectorOps.bruteForceTopKInt8(q, df, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // quantization must not disturb a clear-margin ranking
+    assert(int8Top == floatTop && int8Top == Map(0L -> 1L, 1L -> 0L))
+  }
+
   test("brute-force ANN ranks the planted neighbor first") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(16)(rnd.nextGaussian().toFloat)

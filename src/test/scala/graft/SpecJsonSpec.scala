@@ -33,6 +33,37 @@ class SpecJsonSpec extends SparkSpec {
     assert(rows.toSeq == allCounts.sorted.reverse.take(5).toSeq, "not the TOP 5")
   }
 
+  test("LLM-op nodes roundtrip through JSON and compile as one prep pipeline") {
+    val prep = PipelineSpec(nodes = Seq(
+      "docs"  -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
+      "bench" -> FilterSpec(RefSpec("docs"), "doc_id % 17 = 0"),
+      "dedup" -> DedupNodeSpec(RefSpec("docs"), "doc_id", "text", "near", 0.7),
+      "decon" -> DecontamNodeSpec(RefSpec("dedup"), RefSpec("bench"), "doc_id", "text", 8, 1),
+      "split" -> SplitNodeSpec(RefSpec("decon"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1)),
+      "train" -> FilterSpec(RefSpec("split"), "split = 'train'"),
+      "mixed" -> MixNodeSpec(RefSpec("train"), "doc_id", "lang", Map("fr" -> 2.0), 1.0),
+      "uniq"  -> WithColumnsSpec(RefSpec("mixed"),
+        Seq("copy_id" -> "concat_ws('#', doc_id, rep)")),
+      "pack"  -> PackNodeSpec(RefSpec("uniq"), "copy_id", "text", 512, 16)),
+      out = "pack")
+    val back = SpecJson.fromJson(SpecJson.toJson(prep))
+    assert(back == prep)
+    val packed = PipelineCompiler.compile(back, spark, Map("dir" -> sf))
+    assert(packed.count() > 0)
+    assert(packed.columns.toSeq == Seq("shard", "bin", "n_docs", "seq", "n_toks"))
+    // the exact-mode dedup node compiles too, and keeps column shape
+    val exact = PipelineCompiler.compile(PipelineSpec(Seq(
+      "docs" -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
+      "d"    -> DedupNodeSpec(RefSpec("docs"), "doc_id", "text", "exact")), "d"),
+      spark, Map("dir" -> sf))
+    assert(exact.columns.contains("doc_id") && !exact.columns.contains("dup_count"))
+    // DAG export names the new node types
+    val dag = SpecJson.dag(prep)
+    Seq("dedupnode", "decontamnode", "splitnode", "mixnode", "packnode")
+      .foreach(t => assert(dag.contains(t), s"dag missing $t"))
+  }
+
   test("unknown op discriminator fails loudly") {
     val e = intercept[IllegalArgumentException] {
       SpecJson.fromJson("""{"nodes":[{"name":"x","spec":{"op":"warp"}}],"out":"x"}""")
