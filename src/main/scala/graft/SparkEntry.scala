@@ -562,6 +562,32 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** SCD type-2 history from a 3-round synthetic observation log of
+    * `orders` prices: round 2 reprices keys divisible by 3, round 3 repeats
+    * round 2 (must collapse). Open intervals emit valid_to = -1 and
+    * is_current as BIGINT — hash-stable output types.
+    */
+  private def qXScd2(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+    def obs(ts: Long, reprice: Boolean) = {
+      val p = if (reprice)
+        when(col("o_orderkey") % 3 === 0, col("price_cents") + 100)
+          .otherwise(col("price_cents"))
+      else col("price_cents")
+      orders.select(col("o_orderkey"), p.as("price_cents"), lit(ts).as("ts"))
+    }
+    val log = obs(1, reprice = false)
+      .unionByName(obs(2, reprice = true))
+      .unionByName(obs(3, reprice = true))
+    Snapshot.scd2(log, Seq("o_orderkey"), "ts", Seq("price_cents"))
+      .select(col("o_orderkey"), col("price_cents"), col("valid_from"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+        col("is_current").cast("long").as("is_current"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
   private def qNSampleStratified(s: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedExactSample(t(s, dir, "documents"), "doc_id", "lang", k = 20)
       .select("doc_id", "lang")
@@ -924,6 +950,7 @@ object SparkEntry {
     "q_n_chunk"          -> (qNChunk _),
     "q_n_decontam"       -> (qNDecontam _),
     "q_x_snapshot_diff"  -> (qXSnapshotDiff _),
+    "q_x_scd2"           -> (qXScd2 _),
     "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
     "q_n_dedup_minhash"  -> (qNDedupMinhash _),
@@ -1270,6 +1297,33 @@ object SparkEntry {
                        END AS op
            FROM next n FULL OUTER JOIN prev p ON n.o_orderkey = p.o_orderkey)
          WHERE op IS NOT NULL ORDER BY o_orderkey""",
+    "q_x_scd2" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+                    FROM orders WHERE o_orderkey % 50 = 0),
+         log AS (
+           SELECT o_orderkey, price_cents, CAST(1 AS BIGINT) AS ts FROM o
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 3 = 0 THEN price_cents + 100
+                       ELSE price_cents END, CAST(2 AS BIGINT) FROM o
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 3 = 0 THEN price_cents + 100
+                       ELSE price_cents END, CAST(3 AS BIGINT) FROM o),
+         marked AS (
+           SELECT *,
+                  CASE WHEN lag(price_cents) OVER w IS DISTINCT FROM price_cents
+                         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS first
+           FROM log WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)),
+         iv AS (
+           SELECT o_orderkey, price_cents, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY o_orderkey ORDER BY ts) AS valid_to
+           FROM marked WHERE first = 1)
+         SELECT o_orderkey, price_cents, valid_from,
+                coalesce(valid_to, -1) AS valid_to,
+                CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         FROM iv ORDER BY o_orderkey, valid_from""",
     "q_s_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
                 epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS buy_us

@@ -22,6 +22,34 @@ object Snapshot {
     * Null-safe: compare uses `<=>` so NULL→value and value→NULL transitions
     * count as updates, matching SQL `IS DISTINCT FROM`.
     */
+  /** Build a slowly-changing-dimension TYPE-2 history from an append log of
+    * observed row states `(keyCols, tsCol, valueCols)`: consecutive
+    * observations of a key with unchanged values collapse into one validity
+    * interval; each surviving version carries `valid_from` (first
+    * observation of that state), `valid_to` (the next version's
+    * `valid_from`; NULL while current) and `is_current`.
+    *
+    * Null-safe value comparison (`<=>`), same as [[diff]]. Plan shape: both
+    * the change detection (lag) and the interval close (lead) ride the SAME
+    * `(key, ts)` window sort, so Catalyst plans one Exchange + one Sort for
+    * the whole history build — at 100 TB the log shuffles once on the key.
+    */
+  def scd2(log: DataFrame, keyCols: Seq[String], tsCol: String,
+           valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val firstOfVersion = valueCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduceOption(_ || _).getOrElse(lit(false)) ||
+      lag(col(tsCol), 1).over(w).isNull
+    log.withColumn("__first", firstOfVersion)
+      .filter(col("__first"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__first", tsCol)
+  }
+
   def diff(prev: DataFrame, next: DataFrame, keyCols: Seq[String],
            compareCols: Seq[String]): DataFrame = {
     val p = prev.select((keyCols ++ compareCols).map(col): _*)

@@ -37,4 +37,32 @@ class SnapshotSpec extends SparkSpec {
       .select("k1", "k2", "op").as[(String, Long, String)].collect().toSet
     assert(ops == Set(("x", 2L, "delete"), ("y", 2L, "insert")))
   }
+
+  test("scd2 collapses unchanged observations and closes validity intervals") {
+    val log = Seq(
+      (1L, 1L, 100L), (1L, 2L, 100L), (1L, 3L, 150L), (1L, 4L, 150L),
+      (2L, 1L, 50L)
+    ).toDF("k", "ts", "v")
+    val out = Snapshot.scd2(log, Seq("k"), "ts", Seq("v"))
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 100L, 1L, Some(3L), false),
+      (1L, 150L, 3L, None, true),
+      (2L, 50L, 1L, None, true)))
+  }
+
+  test("scd2 value flapping (A→B→A) yields three versions, not two") {
+    val log = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 10L)).toDF("k", "ts", "v")
+    val out = Snapshot.scd2(log, Seq("k"), "ts", Seq("v"))
+      .select("v", "valid_from").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L), (20L, 2L), (10L, 3L)))
+  }
+
+  test("scd2 plans ONE exchange: change detection and interval close share the sort") {
+    val log = Seq((1L, 1L, 10L)).toDF("k", "ts", "v")
+    val plan = Snapshot.scd2(log, Seq("k"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
 }
