@@ -29,6 +29,9 @@ object GraftFunctions {
     fn2("cosine_sim", VectorOps.cosine),
     fn2("dot_product", VectorOps.dot),
     fn1("l2_norm", VectorOps.l2Norm),
+    fn1("quantize_int8", VectorOps.quantizeInt8),
+    fn2("cosine_int8", VectorOps.cosineInt8),
+    fn1("simhash64", SimHash64.simhash64),
     "char_shingles" -> { exprs =>
       Bridge.expression(TextOps.charShingles(Bridge.column(exprs.head), intLit(exprs, 1, "char_shingles")))
     },

@@ -29,6 +29,13 @@ class SqlFunctionsSpec extends SparkSpec {
     val sims = spark.sql("SELECT cosine_sim(a, b) c FROM t_vecs ORDER BY c DESC")
       .collect().map(_.getDouble(0))
     assert(sims(0) == 1.0 && sims(1) == 0.0)
+    // int8 + simhash SQL surface
+    val r = spark.sql(
+      """SELECT cosine_int8(quantize_int8(a).q, quantize_int8(b).q) c,
+                simhash64('the quick brown fox') sh
+         FROM t_vecs ORDER BY c DESC""").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) != 0L)
   }
 
   test("native cosine kernel is bit-identical to the HOF formulation") {
