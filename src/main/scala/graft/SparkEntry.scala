@@ -509,6 +509,11 @@ object SparkEntry {
       threshold = 0.7, shingleLen = 5, numHashes = 128, bands = 16)
       .orderBy("id_a", "id_b")
 
+  /** Rows-only gate (no SQL simhash). NOTE: since round 4 the operator caps
+    * LSH buckets at `maxBucketSize = 1000` (default) — pairs whose only
+    * agreeing pigeonhole block sits in a dropped bucket are not emitted;
+    * dropped-bucket counts are logged by the operator (Observation metric).
+    */
   private def qNDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")

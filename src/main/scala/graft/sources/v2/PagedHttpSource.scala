@@ -1,0 +1,108 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Transports
+
+/** DataSource V2 for the paged-HTTP surface (SURVEY §7.3 "DSv2 if time
+  * permits"): `spark.read.format("graft-http")` plans ONE INPUT PARTITION
+  * PER PAGE, so a known page range is fetched by executors in parallel —
+  * the cluster-parallel sibling of the driver-side discovery loop in
+  * [[graft.sources.PagedSource]] (which still owns the unbounded case: the
+  * empty-page×2 termination rule needs sequential observation).
+  *
+  * Options (reference reqOptions surface, `utils.js:84-99`):
+  *  - `url`   (required) — template; `{%page%}` / `{%offset%}` / `{%limit%}`
+  *    fill from the page index exactly like `Transports.httpPagedFetch`
+  *  - `pages` (required) — page count; DSv2 plans partitions up front
+  *  - `limit` — page size for `{%offset%}`/`{%limit%}` (default 1000)
+  *  - `method`, `auth.user`, `auth.password`, `header.<name>`, `timeoutMs`
+  *  - `config.<name>` — `$name` URL-root substitution (lower-case names:
+  *    `CaseInsensitiveStringMap` folds option keys)
+  *
+  * Output schema: `(page int, value string)` — one row per non-empty body
+  * line (NDJSON-shaped); parse downstream with `from_json`, exactly like
+  * the reference attaches a parser sub-job to its paged reader.
+  *
+  * Scale shape: fetches happen inside `PartitionReader`s on executors (the
+  * per-JVM [[Transports]] client pools connections per executor); no
+  * driver round-trip per page, no lineage growth in the page count.
+  */
+class PagedHttpTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-http"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedHttp.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedHttpTable(new CaseInsensitiveStringMap(properties))
+}
+
+object PagedHttp {
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+class PagedHttpTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  import scala.jdk.CollectionConverters._
+  override def name(): String = s"graft-http(${options.get("url")})"
+  override def schema(): StructType = PagedHttp.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedHttpScan(options.asScala.toMap)
+}
+
+class PagedHttpScan(opts: Map[String, String]) extends ScanBuilder with Scan with Batch {
+  private def required(k: String): String = opts.getOrElse(k,
+    throw new IllegalArgumentException(s"graft-http: '$k' option is required"))
+  private val url = required("url")
+  private val pages = required("pages").toInt
+  private val limit = opts.get("limit").map(_.toInt).getOrElse(1000)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = PagedHttp.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).map(p => PagePartition(url, p, limit, opts): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new PagedHttpReaderFactory
+}
+
+/** One page = one partition; carries everything the executor-side fetch
+  * needs (plain case class — serializes into the task).
+  */
+case class PagePartition(urlTemplate: String, page: Int, limit: Int,
+                         opts: Map[String, String]) extends InputPartition
+
+class PagedHttpReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private lazy val lines: Iterator[String] = {
+        val config = p.opts.collect {
+          case (k, v) if k.startsWith("config.") => k.stripPrefix("config.") -> v
+        }
+        val url = Transports.resolveUrl(p.urlTemplate, config)
+          .replace("{%page%}", p.page.toString)
+          .replace("{%offset%}", (p.page.toLong * p.limit).toString)
+          .replace("{%limit%}", p.limit.toString)
+        Transports.httpFetch(url, Transports.ReqOptions.fromOptions(p.opts))
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      }
+      private var current: String = _
+      override def next(): Boolean =
+        if (lines.hasNext) { current = lines.next(); true } else false
+      override def get(): InternalRow =
+        InternalRow(p.page, UTF8String.fromString(current))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -190,4 +190,38 @@ class TransportsSpec extends SparkSpec {
     try assert(Transports.urlFetch(f.toURI.toString) == "payload-bytes")
     finally f.delete()
   }
+
+  test("DSv2 graft-http source fetches pages in executor partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hits = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withServer("/items" -> { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      hits.add(q)
+      val page = q.split("&").find(_.startsWith("page=")).get.stripPrefix("page=").toInt
+      val rows = (0 until 3).map(i => s"""{"id":${page * 10 + i}}""").mkString("\n")
+      (200, rows)
+    }) { base =>
+      val df = spark.read.format("graft-http")
+        .option("url", s"$base/items?page={%page%}&offset={%offset%}&limit={%limit%}")
+        .option("pages", "4").option("limit", "3")
+        .load()
+      // one partition per page — the parallel-fetch contract
+      assert(df.rdd.getNumPartitions == 4)
+      val out = df.select(col("page"), get_json_object(col("value"), "$.id").cast("int").as("id"))
+        .as[(Int, Int)].collect().toSet
+      assert(out == (for (p <- 0 until 4; i <- 0 until 3) yield (p, p * 10 + i)).toSet)
+      // offset/limit templating filled from the page index
+      assert(hits.contains("page=2&offset=6&limit=3"), s"queries seen: $hits")
+    }
+    // $name config roots resolve from config.* options
+    withServer("/rooted" -> { _ => (200, """{"ok":1}""") }) { base =>
+      val n = spark.read.format("graft-http")
+        .option("url", "$api/rooted?page={%page%}")
+        .option("config.api", base)
+        .option("pages", "1")
+        .load().count()
+      assert(n == 1L)
+    }
+  }
 }
