@@ -3,9 +3,10 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,9 +41,12 @@ import graft.sources.Transports
 class PagedHttpTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-http"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedHttp.schema
+  // the write path accepts whatever schema the frame has (rows serialize to
+  // JSON lines), so any user-supplied schema is fine
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new PagedHttpTable(new CaseInsensitiveStringMap(properties))
+    new PagedHttpTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
 object PagedHttp {
@@ -51,14 +55,75 @@ object PagedHttp {
     StructField("value", StringType, nullable = false)))
 }
 
-class PagedHttpTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class PagedHttpTable(schema0: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
   import scala.jdk.CollectionConverters._
   override def name(): String = s"graft-http(${options.get("url")})"
-  override def schema(): StructType = PagedHttp.schema
+  override def schema(): StructType =
+    if (schema0 != null && schema0.fields.nonEmpty) schema0 else PagedHttp.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new PagedHttpScan(options.asScala.toMap)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite = new HttpBatchWrite(info.schema(), options.asScala.toMap)
+    }
+  }
+}
+
+/** DSv2 WRITE path: `df.write.format("graft-http").mode("append")` POSTs
+  * each partition's rows as NDJSON request bodies of `batchSize` lines —
+  * the standard-writer form of [[graft.sinks.Writers.push]] +
+  * [[Transports.httpPoster]] (reference upload stream, `utils.js:38-50`).
+  * Best-effort/at-least-once: HTTP has no transactional commit, so a task
+  * retry re-POSTs its partition (same caveat as every HTTP sink); commit
+  * and abort are no-ops.
+  */
+class HttpBatchWrite(schema: StructType, opts: Map[String, String]) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new HttpDataWriterFactory(schema, opts)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case object HttpWriteDone extends WriterCommitMessage
+
+class HttpDataWriterFactory(schema: StructType, opts: Map[String, String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateNamedStruct, Literal, StructsToJson}
+      private val url = Transports.resolveUrl(
+        opts.getOrElse("url", throw new IllegalArgumentException("graft-http: 'url' option is required")),
+        opts.collect { case (k, v) if k.startsWith("config.") => k.stripPrefix("config.") -> v })
+      private val reqOpts = {
+        val o = Transports.ReqOptions.fromOptions(opts)
+        if (o.method.equalsIgnoreCase("GET")) o.copy(method = "POST") else o
+      }
+      private val batchSize = opts.get("batchsize").map(_.toInt).getOrElse(500)
+      // StructsToJson is RuntimeReplaceable in Spark 4 — eval its
+      // replacement (direct eval asserts)
+      private val toJson = StructsToJson(Map.empty,
+        CreateNamedStruct(schema.fields.zipWithIndex.flatMap { case (f, i) =>
+          Seq(Literal(f.name), BoundReference(i, f.dataType, f.nullable))
+        }.toIndexedSeq)).withTimeZone("UTC")
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable]
+        .replacement
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      private def flush(): Unit = if (buf.nonEmpty) {
+        Transports.httpFetch(url, reqOpts.copy(body = Some(buf.mkString("\n"))))
+        buf.clear()
+      }
+      override def write(row: InternalRow): Unit = {
+        buf += toJson.eval(row).toString
+        if (buf.size >= batchSize) flush()
+      }
+      override def commit(): WriterCommitMessage = { flush(); HttpWriteDone }
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
 }
 
 class PagedHttpScan(opts: Map[String, String]) extends ScanBuilder with Scan with Batch {

@@ -224,4 +224,26 @@ class TransportsSpec extends SparkSpec {
       assert(n == 1L)
     }
   }
+
+  test("DSv2 graft-http sink POSTs NDJSON batches from executor partitions") {
+    import scala.jdk.CollectionConverters._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withServer("/ingest" -> { ex =>
+      received.add(requestBody(ex)); (200, "ok")
+    }) { base =>
+      spark.range(10).select(org.apache.spark.sql.functions.col("id"))
+        .repartition(2)
+        .write.format("graft-http")
+        .option("url", s"$base/ingest")
+        .option("batchSize", "3")
+        .mode("append").save()
+      val lines = received.asScala.flatMap(_.split("\n")).toSeq
+      assert(lines.size == 10, s"got ${lines.size}: $lines")
+      assert(lines.map(l => l.stripPrefix("""{"id":""").stripSuffix("}").toLong)
+        .toSet == (0L until 10L).toSet)
+      // batchSize=3 over 2 partitions of 5 rows → requests of ≤3 lines
+      assert(received.asScala.forall(_.split("\n").length <= 3))
+      assert(received.size >= 4)
+    }
+  }
 }
