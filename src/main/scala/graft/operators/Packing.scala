@@ -92,33 +92,72 @@ object Packing {
     * is that projection plus `bin` — join it back to the corpus on `idCol`.
     */
   /** Materialize packed training sequences: every `(shard, bin)` from
-    * [[packBins]] becomes ONE token sequence — the bin's documents
-    * concatenated in the deterministic fill order, each followed by
-    * `eosToken`. Output: `(shard, bin, n_docs, seq, n_toks)`; this is the
-    * final batch-prep step, ready to tokenize-map into input_ids.
+    * [[packBins]]'s offset-range rule becomes ONE token sequence — the
+    * bin's documents concatenated in the deterministic fill order, each
+    * followed by `eosToken`. Output: `(shard, bin, n_docs, seq, n_toks)`;
+    * this is the final batch-prep step, ready to tokenize-map into
+    * input_ids.
     *
-    * Scale shape: the only wide operation is the `(shard, bin)` aggregation,
-    * and a group's payload is bounded by `budgetTokens` (+ one overflow
-    * document), so task memory is budget-bound regardless of corpus size —
-    * the token arrays shuffle exactly once, which IS the materialization.
+    * Scale shape: the token arrays ride EXACTLY ONE shuffle (the
+    * repartition by shard) — a `groupBy(shard, bin)` formulation would
+    * shuffle them twice (window exchange + aggregation exchange). The
+    * per-shard fold streams the sorted iterator and buffers only the
+    * CURRENT bin (≤ budget + one overflow document), so task memory is
+    * budget-bound regardless of corpus size. Bin assignment replays the
+    * offset-range rule, so the output is bit-identical to binning with
+    * [[packBins]] and aggregating.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budgetTokens: Long, shards: Int = 256,
                     eosToken: String = "<eos>"): DataFrame = {
-    val toks = df.select(col(idCol),
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+    val sorted = df.select(
+        substring(md5(col(idCol).cast("string")), 1, shardHexChars(shards)).as("shard"),
+        Sampling.hashBucket(col(idCol)).as("__b"),
+        col(idCol),
         graft.functions.TextOps.tokens(col(textCol)).as("__toks"))
-      .withColumn("__tok_n", size(col("__toks")).cast("long"))
-    packBins(toks, idCol, "__tok_n", budgetTokens, shards)
-      .groupBy("shard", "bin")
-      .agg(sort_array(collect_list(struct(
-        Sampling.hashBucket(col(idCol)).as("b"),
-        col(idCol).as("id"),
-        col("__toks").as("toks")))).as("mem"))
-      .select(col("shard"), col("bin"),
-        size(col("mem")).cast("long").as("n_docs"),
-        flatten(transform(col("mem"),
-          m => concat(m.getField("toks"), array(lit(eosToken))))).as("seq"))
-      .withColumn("n_toks", size(col("seq")).cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__b"), col(idCol))
+    val outSchema = StructType(Seq(
+      StructField("shard", StringType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("seq", ArrayType(StringType), nullable = false),
+      StructField("n_toks", LongType, nullable = false)))
+    sorted.mapPartitions { rows =>
+      var curShard: String = null
+      var cum = 0L              // token offset within the current shard
+      var openBin = -1L
+      var nDocs = 0L
+      val seq = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(shard: String, bin: Long): Row = {
+        val r = Row(shard, bin, nDocs, seq.toSeq, seq.size.toLong)
+        seq.clear(); nDocs = 0L; r
+      }
+      val out = rows.flatMap { r =>
+        val sh = r.getString(0)
+        val toks = r.getSeq[String](3)
+        val emitted = scala.collection.mutable.ListBuffer.empty[Row]
+        if (sh != curShard) {
+          if (openBin >= 0) emitted += flush(curShard, openBin)
+          curShard = sh; cum = 0L; openBin = -1L
+        }
+        val myBin = Math.floorDiv(cum, budgetTokens) // offset-range rule
+        if (openBin >= 0 && myBin != openBin) emitted += flush(curShard, openBin)
+        openBin = myBin
+        cum += toks.size
+        nDocs += 1; seq ++= toks; seq += eosToken
+        emitted
+      }
+      // close the final open bin AFTER the row iterator is exhausted
+      out ++ new Iterator[Row] {
+        private var done = false
+        override def hasNext: Boolean = !done && openBin >= 0
+        override def next(): Row = { done = true; flush(curShard, openBin) }
+      }
+    }(Encoders.row(outSchema))
   }
 
   def packBinsGreedy(df: DataFrame, idCol: String, tokenCol: String,

@@ -148,6 +148,13 @@ class PackingSpec extends SparkSpec {
     assert(allSegs == Set("a b c", "d e", "f g h i"))
   }
 
+  test("packSequences shuffles the token arrays exactly once (single Exchange)") {
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val plan = Packing.packSequences(docs, "doc_id", "text", budgetTokens = 5, shards = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
+
   test("packBinsGreedy: an oversized doc takes its own bin; bins stay contiguous") {
     val docs = Seq((1L, 350L), (2L, 40L), (3L, 40L), (4L, 40L), (5L, 40L)).toDF("id", "tokens")
     val out = Packing.packBinsGreedy(docs, "id", "tokens", budgetTokens = 100, shards = 16)
