@@ -6,9 +6,11 @@ object Stress {
     val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    // 10 copies with distinct ids: 50k docs, every doc has 9 exact replicas →
-    // every bucket holds >= 10 ids; near-dup pairs explode to 45 per original
-    val big = (0 until 10).map(i =>
+    // N copies with distinct ids (default 10 → 50k docs): every doc has N-1
+    // exact replicas → every bucket holds >= N ids; near-dup pairs explode
+    // to N(N-1)/2 per original. SPARK_GRAFT_STRESS_COPIES scales the probe.
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
+    val big = (0 until copies).map(i =>
       docs.select((col("doc_id") + lit(i * 10000)).as("doc_id"), col("text"))).reduce(_ union _)
       .repartition(32).persist()
     println(s"STRESS corpus=${big.count()}")
