@@ -631,6 +631,14 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-doc mean token document-frequency (portable surprisal stand-in):
+    * rare-token-heavy docs score low — the corpus-relative quality signal.
+    */
+  private def qNCommonness(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.commonnessScore(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Corpus vocabulary audit: top-50 tokens by document frequency with
     * occurrence counts and corpus token share — tokenizer-training prep.
     */
@@ -949,6 +957,7 @@ object SparkEntry {
     "q_n_pack_greedy"    -> (qNPackGreedy _),
     "q_n_pack_seq"       -> (qNPackSeq _),
     "q_n_vocab_topk"     -> (qNVocabTopk _),
+    "q_n_commonness"     -> (qNCommonness _),
     "q_n_dedup_incr"     -> (qNDedupIncr _),
     "q_n_mix"            -> (qNMix _),
     "q_n_ann_int8"       -> (qNAnnInt8 _),
@@ -1245,6 +1254,13 @@ object SparkEntry {
                  CAST(len(seq) AS BIGINT) AS n_toks,
                  md5(array_to_string(seq, ' ')) AS seq_md5
           FROM g ORDER BY shard, bin""",
+    "q_n_commonness" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+          v AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1)
+          SELECT t.doc_id, count(*) AS n_toks,
+                 round(CAST(sum(v.df) AS DOUBLE) / count(*), 4) AS mean_df
+          FROM t JOIN v USING (term)
+          GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q_n_vocab_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
           g AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,

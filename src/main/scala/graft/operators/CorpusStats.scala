@@ -24,6 +24,30 @@ object CorpusStats {
     * heaps, driver merge — no global sort), and the grand total joins in as
     * a broadcast of a 1-row aggregate, not a driver collect.
     */
+  /** Per-document mean token commonness: the average corpus DOCUMENT
+    * FREQUENCY of the document's tokens — the engine-portable stand-in for
+    * unigram-LM surprisal scoring (float log-probs differ in the last ulp
+    * across engines; a mean of exact integers divides identically
+    * everywhere). Low scores flag rare-token-heavy documents (OCR noise,
+    * gibberish, exotic boilerplate); filter on a corpus-relative quantile.
+    *
+    * Output: `(id, n_toks, mean_df)` (mean_df rounded to 4). Scale shape:
+    * the vocab relation is `(term, doc_freq)` — one row per distinct term —
+    * and the per-doc pass is explode → join on term → re-aggregate by doc;
+    * both shuffles carry 8-byte-hashable term keys plus one long, and the
+    * doc re-aggregation combines map-side.
+    */
+  def commonnessScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val vocab = toks.select("term", "id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("__df"))
+    toks.join(vocab, "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("__df")).cast("double") / count(lit(1)), 4).as("mean_df"))
+  }
+
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
                n: Int = 1): DataFrame = {
     require(k > 0 && n > 0, "k and n must be positive")

@@ -29,6 +29,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(top._1 == "xy" && top._2 == 2L && top._3 == 3L)
   }
 
+  test("commonnessScore averages corpus doc-frequency over each doc's tokens") {
+    val docs = Seq(
+      (1L, "a a b"),   // a: df 2, b: df 1 → mean (2+2+1)/3 = 1.6667
+      (2L, "a z")      // z: df 1 → mean (2+1)/2 = 1.5
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.commonnessScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, m) => k -> (n, m) }.toMap
+    assert(out == Map(1L -> (3L, 1.6667), 2L -> (2L, 1.5)))
+  }
+
   test("topTerms plans the cut as TakeOrderedAndProject (no global sort)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = CorpusStats.topTerms(docs, "doc_id", "text", k = 5)
