@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, Sampling}
+
+/** Randomized invariants over the deterministic sampling/packing layer:
+  * the md5-threshold algebra must hold for ARBITRARY parameters, not just
+  * the handful of constants the example tests use. Generators are
+  * fixed-seed (reproducible failures); each property checks a handful of
+  * sampled parameter points against Spark-computed results.
+  */
+class InvariantPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(4242)
+  private lazy val ids = spark.range(2000).toDF("id").persist()
+
+  test("hashSplit partitions exactly, for random weight vectors") {
+    (1 to 4).foreach { _ =>
+      val k = 2 + rnd.nextInt(3)
+      val weights = Seq.tabulate(k)(i => s"s$i" -> (0.05 + rnd.nextDouble()))
+      val counts = Sampling.hashSplit(ids, "id", weights)
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      assert(counts.values.sum == 2000L, s"weights=$weights lost rows: $counts")
+      val total = weights.map(_._2).sum
+      weights.foreach { case (name, w) =>
+        val expected = 2000.0 * w / total
+        assert(math.abs(counts.getOrElse(name, 0L) - expected) < 2000 * 0.06,
+          s"split $name=${counts.getOrElse(name, 0L)} far from $expected ($weights)")
+      }
+    }
+  }
+
+  test("hashSample counts are monotone and nested in the rate") {
+    val fracs = Seq.fill(4)(rnd.nextDouble()).sorted
+    val kept = fracs.map(f =>
+      f -> Sampling.hashSample(ids, "id", f).select("id").as[Long].collect().toSet)
+    kept.sliding(2).foreach { case Seq((fa, a), (fb, b)) =>
+      assert(a.subsetOf(b), s"sample at $fa not nested in $fb")
+    case _ => ()
+    }
+    // rate accuracy: binomial tolerance
+    kept.foreach { case (f, s) =>
+      assert(math.abs(s.size - 2000 * f) < 2000 * 0.06, s"rate $f gave ${s.size}")
+    }
+  }
+
+  test("weightedMix emission count matches the closed form for random weights") {
+    val docs = ids.withColumn("dom", lit("d"))
+    val buckets = docs.select(col("id"), Sampling.hashBucket(col("id"), "mix").as("b"))
+      .as[(Long, String)].collect().toMap
+    (1 to 4).foreach { _ =>
+      val w = rnd.nextDouble() * 3
+      val out = Sampling.weightedMix(docs, "id", "dom", Map("d" -> w)).count()
+      val whole = math.floor(w).toLong
+      val thresh = f"${math.floor((w - math.floor(w)) * 4294967296.0).toLong}%08x"
+      val fracHits = buckets.values.count(_ < thresh)
+      assert(out == 2000L * whole + fracHits, s"w=$w: got $out")
+    }
+  }
+
+  test("packBins matches the offset-range reconstruction for random budgets") {
+    val docs = ids.select(col("id"), (col("id") % 211 + 5).as("tokens"))
+    val bucketOf = docs.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .as[(Long, String)].collect().toMap
+    (1 to 3).foreach { _ =>
+      val budget = 50L + rnd.nextInt(1000)
+      val out = Packing.packBins(docs, "id", "tokens", budget, shards = 16)
+        .select("id", "shard", "tokens", "bin")
+        .as[(Long, String, Long, Long)].collect()
+      val expected = out.groupBy(_._2).flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (bucketOf(r._1), r._1)).toSeq.map { r =>
+          val bin = cum / budget; cum += r._3; r._1 -> bin
+        }
+      }
+      assert(out.map(r => r._1 -> r._4).toMap == expected.toMap, s"budget=$budget")
+    }
+  }
+}
