@@ -34,12 +34,18 @@ object CorpusStats {
     * Output: `(id, n_toks, mean_df)` (mean_df rounded to 4). Scale shape:
     * the vocab relation is `(term, doc_freq)` — one row per distinct term —
     * and the per-doc pass is explode → join on term → re-aggregate by doc;
-    * both shuffles carry 8-byte-hashable term keys plus one long, and the
-    * doc re-aggregation combines map-side.
+    * the doc re-aggregation combines map-side. With `hashKeys=true` both
+    * term shuffles carry `xxhash64(term)` (8 bytes instead of the term
+    * string; a collision only merges two terms' doc counts — same trade as
+    * [[Dedup.contaminationHits]]).
     */
-  def commonnessScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def commonnessScore(df: DataFrame, idCol: String, textCol: String,
+                      hashKeys: Boolean = false): DataFrame = {
+    def key(c: org.apache.spark.sql.Column) = if (hashKeys) xxhash64(c) else c
+    // generators must be top-level in a select — explode first, key after
     val toks = df.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .select(col("id"), key(col("__t")).as("term"))
     val vocab = toks.select("term", "id").distinct()
       .groupBy("term").agg(count(lit(1)).as("__df"))
     toks.join(vocab, "term")

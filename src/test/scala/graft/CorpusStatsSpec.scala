@@ -38,6 +38,11 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
       .map { case (k, n, m) => k -> (n, m) }.toMap
     assert(out == Map(1L -> (3L, 1.6667), 2L -> (2L, 1.5)))
+    // hashKeys variant scores identically (8-byte shuffle keys at scale)
+    val hashed = CorpusStats.commonnessScore(docs, "doc_id", "text", hashKeys = true)
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, m) => k -> (n, m) }.toMap
+    assert(hashed == out)
   }
 
   test("topTerms plans the cut as TakeOrderedAndProject (no global sort)") {
