@@ -43,4 +43,27 @@ class SketchesSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
   }
+
+  test("Misra-Gries finds every heavy hitter within the guaranteed undercount") {
+    // zipfian-ish stream: term t_i appears 2000/i times, i in 1..100
+    val rows = (1 to 100).flatMap(i => Seq.fill(2000 / i)(s"t_$i"))
+    val n = rows.size.toLong
+    val capacity = 32
+    val ds = spark.createDataset(scala.util.Random.shuffle(rows).toSeq)(
+      org.apache.spark.sql.Encoders.STRING).repartition(8)
+    val out = ds.select(Sketches.frequentItems(capacity).toColumn)
+      .head().toMap
+    val errBound = n / (capacity + 1)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // guarantee 1: every item with true count > N/(cap+1) is present
+    exact.filter(_._2 > errBound).keys.foreach(k =>
+      assert(out.contains(k), s"heavy hitter $k missing (count=${exact(k)}, bound=$errBound)"))
+    // guarantee 2: reported counts never overcount and undercount ≤ bound
+    out.foreach { case (k, c) =>
+      assert(c <= exact(k), s"$k overcounted: $c > ${exact(k)}")
+      assert(exact(k) - c <= errBound, s"$k undercounted past the bound")
+    }
+    // bounded memory: at most `capacity` counters survive
+    assert(out.size <= capacity)
+  }
 }
