@@ -114,18 +114,28 @@ object VectorOps {
   /** Symmetric per-vector int8 quantization: `scale = max|v|/127`,
     * `q_i = clamp(floor(v_i/scale + 0.5), -127, 127)` — floor(x+0.5), not
     * half-even `round`, so every engine computes identical codes. Returns
-    * `struct(scale double, q array<int>)`. Codes are 4× smaller than
-    * float32 — at 100 TB that is the difference between an ANN index that
-    * fits executor memory and one that spills — and cosine is
+    * `struct(scale double, q array<int>, norm2 long)` where `norm2` is the
+    * precomputed self dot product of the codes (see [[bruteForceTopKInt8]]:
+    * per-pair cosine then needs only the cross dot). Codes are 4× smaller
+    * than float32 — at 100 TB that is the difference between an ANN index
+    * that fits executor memory and one that spills — and cosine is
     * scale-invariant, so ranking quality degrades only by the ≤0.4%
     * per-component rounding error.
+    *
+    * Implementation note: HOFs evaluate their lambda body per element and
+    * Catalyst does not hoist the O(d) `scale` subtree out of the per-element
+    * lambda, which would make quantization O(d²) per vector. Binding scale
+    * (and then the code array) through single-element `transform`s is the
+    * expression-level let: each is evaluated exactly once per row.
     */
   def quantizeInt8(vec: Column): Column = {
     val mx = array_max(transform(vec, v => abs(v.cast("double"))))
-    val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
-    struct(scale.as("scale"),
-      transform(vec, v => greatest(lit(-127L), least(lit(127L),
-        floor(v.cast("double") / scale + 0.5))).cast("int")).as("q"))
+    val scaleE = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
+    element_at(transform(array(scaleE), s =>
+      element_at(transform(array(
+        transform(vec, v => greatest(lit(-127L), least(lit(127L),
+          floor(v.cast("double") / s + 0.5))).cast("int"))), q =>
+        struct(s.as("scale"), q.as("q"), dotInt8(q, q).as("norm2"))), 1)), 1)
   }
 
   /** Exact integer dot product of two int8 code arrays. */
@@ -144,17 +154,23 @@ object VectorOps {
   /** Brute-force top-k over int8-quantized vectors: same plan shape as
     * [[bruteForceTopK]] (broadcast queries, one corpus scan), but the
     * corpus rides through the join as int8 codes — 4× less broadcast and
-    * scan width, integer kernels in the hot loop.
+    * scan width, integer kernels in the hot loop. Self-norms come
+    * precomputed from the quantization struct, so the per-pair work is the
+    * single cross dot product — not the three-dot [[cosineInt8]] form,
+    * which would redo each side's O(d) self-norm once per PAIR.
     */
   def bruteForceTopKInt8(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      quantizeInt8(col(vecCol)).getField("q").as("q_q"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantizeInt8(col(vecCol)).getField("q").as("c_q"))
+    val q = queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("__z"))
+      .select(col("query_id"), col("__z.q").as("q_q"), col("__z.norm2").as("q_n2"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantizeInt8(col(vecCol)).as("__z"))
+      .select(col("neighbor_id"), col("__z.q").as("c_q"), col("__z.norm2").as("c_n2"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(cosineInt8(col("q_q"), col("c_q")), 6))
+      .withColumn("cos_sim", round(
+        dotInt8(col("q_q"), col("c_q")).cast("double") /
+          sqrt(col("q_n2").cast("double") * col("c_n2").cast("double")), 6))
+      .drop("q_n2", "c_n2")
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -30,16 +30,23 @@ object Dedup {
     * passes — and are read non-blockingly, so this is a no-op for callers
     * that never ran an action.
     */
+  // single daemon thread for Observation reads: the timed-out task below is
+  // INTERRUPTED (obs.get waits interruptibly), so a misbehaving observation
+  // can never park a thread forever or starve a shared pool
+  private lazy val obsExec = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+    val t = new Thread(r, "graft-dedup-observation"); t.setDaemon(true); t
+  }
+
   private def logDroppedBuckets(op: String, obs: org.apache.spark.sql.Observation): Unit = {
     // callers guarantee an action already ran (withScopedCaches counts), so
     // obs.get resolves as soon as its listener fires; the bounded wait is
     // belt-and-braces against ever hanging a production pipeline on a metric
-    val m = try {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future(obs.get), 30.seconds)
-    } catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, Any] }
+    val fut = obsExec.submit(new java.util.concurrent.Callable[Map[String, Any]] {
+      override def call(): Map[String, Any] = obs.get
+    })
+    val m = try fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true); Map.empty[String, Any] }
     def n(k: String) = m.get(k).collect { case x: Number => x.longValue }.getOrElse(0L)
     val (buckets, rows) = (n("dropped_buckets"), n("dropped_rows"))
     if (buckets > 0)
@@ -76,6 +83,22 @@ object Dedup {
   def unpersistCaches(): Unit = caches.synchronized {
     caches.foreach(_.unpersist(blocking = false))
     caches.clear()
+  }
+
+  /** Run `body` and release exactly the relations the dedup operators
+    * registered DURING it — the per-unit-of-work hygiene for long-running
+    * callers (one streaming micro-batch, one corpus in a loop) that must
+    * not clear unrelated caches the way [[unpersistCaches]] does. Results
+    * needed beyond the scope must be materialized (written/collected)
+    * inside `body`.
+    */
+  def withCacheScope[T](body: => T): T = {
+    val before = caches.synchronized(caches.length)
+    try body
+    finally caches.synchronized {
+      caches.drop(before).foreach(_.unpersist(blocking = false))
+      caches.remove(before, caches.length - before)
+    }
   }
 
   /** Run `body` with a call-local cache registrar, materialize its result,

@@ -62,7 +62,10 @@ object Transports {
       auth = for {
         u <- options.get("auth.user"); pw <- options.get("auth.password")
       } yield Auth(u, pw),
-      timeoutMs = options.get("timeoutMs").map(_.toLong).getOrElse(30000L))
+      // DSv2's CaseInsensitiveStringMap folds option keys to lower case, so
+      // "timeoutMs" arrives as "timeoutms" — accept both spellings
+      timeoutMs = options.get("timeoutMs").orElse(options.get("timeoutms"))
+        .map(_.toLong).getOrElse(30000L))
   }
 
   /** `$NAME/rest` config-root substitution (`utils.js:22-28`): the first URL

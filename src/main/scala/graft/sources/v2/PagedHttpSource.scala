@@ -64,8 +64,16 @@ class PagedHttpTable(schema0: StructType, options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
+    // supportsExternalMetadata exists for the WRITE path (any frame schema
+    // serializes to JSON); the scan always emits (page int, value string),
+    // so a divergent user-supplied READ schema must fail loudly here, not
+    // produce mismatched InternalRows at execution
+    require(schema() == PagedHttp.schema,
+      s"graft-http read always produces ${PagedHttp.schema.simpleString}; " +
+        "drop the .schema(...) call and parse `value` downstream (from_json)")
     new PagedHttpScan(options.asScala.toMap)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
       override def toBatch: BatchWrite = new HttpBatchWrite(info.schema(), options.asScala.toMap)

@@ -124,17 +124,23 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val store =
-          try spark.read.parquet(storeDir)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            Dedup.minhashSignatures(batch.limit(0), idCol, textCol) }
-        val kept = Dedup.incrementalDedup(batch, store, idCol, textCol, threshold)
-          .persist()
-        try {
-          kept.write.mode("append").parquet(corpusDir)
-          Dedup.minhashSignatures(kept, idCol, textCol)
-            .write.mode("append").parquet(storeDir)
-        } finally kept.unpersist(blocking = false)
+        // scope the dedup operators' internal caches to THIS micro-batch:
+        // incrementalDedup registers its pair/membership relations in the
+        // session registry, which would otherwise grow by ~2 persisted
+        // relations per batch for the life of the stream
+        Dedup.withCacheScope {
+          val store =
+            try spark.read.parquet(storeDir)
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              Dedup.minhashSignatures(batch.limit(0), idCol, textCol) }
+          val kept = Dedup.incrementalDedup(batch, store, idCol, textCol, threshold)
+            .persist()
+          try {
+            kept.write.mode("append").parquet(corpusDir)
+            Dedup.minhashSignatures(kept, idCol, textCol)
+              .write.mode("append").parquet(storeDir)
+          } finally kept.unpersist(blocking = false)
+        }
         ()
       }
       .start()

@@ -176,6 +176,21 @@ class TransportsSpec extends SparkSpec {
     assert(e.getMessage.contains("Unknown URL parameter: nope"))
   }
 
+  test("reqOptions accepts the DSv2-lowercased timeoutms key") {
+    assert(ReqOptions.fromOptions(Map("timeoutMs" -> "5000")).timeoutMs == 5000L)
+    assert(ReqOptions.fromOptions(Map("timeoutms" -> "7000")).timeoutMs == 7000L)
+  }
+
+  test("DSv2 read rejects a divergent user schema loudly") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-http")
+        .schema("a STRING, b INT")
+        .option("url", "http://localhost:1/x?page={%page%}").option("pages", "1")
+        .load().collect()
+    }
+    assert(e.getMessage.contains("graft-http read always produces"))
+  }
+
   test("mongodb URL splits into db address + collection (utils.js:52-57)") {
     assert(Transports.mongoCollection("mongodb://h:27017/mydb/stuff") ==
       ("mongodb://h:27017/mydb", "stuff"))
