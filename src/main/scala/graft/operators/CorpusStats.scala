@@ -54,6 +54,25 @@ object CorpusStats {
     * heaps, driver merge — no global sort), and the grand total joins in as
     * a broadcast of a 1-row aggregate, not a driver collect.
     */
+  /** Approximate top terms by TOTAL occurrence count via the mergeable
+    * Misra–Gries summary ([[graft.functions.Sketches.FrequentItems]]) —
+    * the vocab path when the distinct-term set itself is too large to
+    * shuffle exactly (zipfian web-scale vocab): memory is `capacity`
+    * counters per partial regardless of vocabulary size, and the whole
+    * corpus reduces to ONE summary row. Counts undercount by at most
+    * N/(capacity+1); items above that threshold are guaranteed present.
+    * Output: `(term, est_count)` rows, descending (size ≤ capacity).
+    */
+  def topTermsApprox(df: DataFrame, textCol: String, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .select(col("term")).as[String](Encoders.STRING)
+      .select(graft.functions.Sketches.frequentItems(capacity).toColumn) // typed select
+      .toDF("top")
+      .select(explode(col("top")).as("t"))
+      .select(col("t._1").as("term"), col("t._2").as("est_count"))
+  }
+
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
                n: Int = 1): DataFrame = {
     require(k > 0 && n > 0, "k and n must be positive")

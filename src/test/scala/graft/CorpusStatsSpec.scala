@@ -45,6 +45,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("topTermsApprox surfaces the true heavy hitters within the MG bound") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val approx = CorpusStats.topTermsApprox(docs, "text", capacity = 64)
+      .as[(String, Long)].collect().toMap
+    assert(approx.nonEmpty && approx.size <= 64)
+    // exact total counts for comparison (small fixture)
+    val exact = docs.select(explode(graft.functions.TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val bound = n / 65
+    exact.filter(_._2 > bound).keys.foreach(k =>
+      assert(approx.contains(k), s"heavy hitter $k missing"))
+    approx.foreach { case (k, c) =>
+      assert(c <= exact(k) && exact(k) - c <= bound, s"$k count $c vs exact ${exact(k)}")
+    }
+  }
+
   test("topTerms plans the cut as TakeOrderedAndProject (no global sort)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = CorpusStats.topTerms(docs, "doc_id", "text", k = 5)
