@@ -41,19 +41,6 @@ object CorpusStats {
         round(sum(col("__df")).cast("double") / count(lit(1)), 4).as("mean_df"))
   }
 
-  /** Top-`k` terms by document frequency: `(term, doc_freq, total_count,
-    * token_share)`, ordered by `(doc_freq desc, term)` for a deterministic
-    * cut. `n = 1` counts whitespace tokens; `n > 1` counts order-preserving
-    * word n-grams (non-distinct — repetition inside one document counts).
-    *
-    * Scale shape: the `(id, term)` explode pre-aggregates per document
-    * first, so the map-side combine that absorbs a zipfian head operates on
-    * `(doc, term)` granularity and the wide shuffle carries one row per
-    * distinct term per doc, not one per occurrence. The final cut is
-    * `orderBy(...).limit(k)` → `TakeOrderedAndProject` (per-partition k-row
-    * heaps, driver merge — no global sort), and the grand total joins in as
-    * a broadcast of a 1-row aggregate, not a driver collect.
-    */
   /** Approximate top terms by TOTAL occurrence count via the mergeable
     * Misra–Gries summary ([[graft.functions.Sketches.FrequentItems]]) —
     * the vocab path when the distinct-term set itself is too large to
@@ -73,6 +60,19 @@ object CorpusStats {
       .select(col("t._1").as("term"), col("t._2").as("est_count"))
   }
 
+  /** Top-`k` terms by document frequency: `(term, doc_freq, total_count,
+    * token_share)`, ordered by `(doc_freq desc, term)` for a deterministic
+    * cut. `n = 1` counts whitespace tokens; `n > 1` counts order-preserving
+    * word n-grams (non-distinct — repetition inside one document counts).
+    *
+    * Scale shape: the `(id, term)` explode pre-aggregates per document
+    * first, so the map-side combine that absorbs a zipfian head operates on
+    * `(doc, term)` granularity and the wide shuffle carries one row per
+    * distinct term per doc, not one per occurrence. The final cut is
+    * `orderBy(...).limit(k)` → `TakeOrderedAndProject` (per-partition k-row
+    * heaps, driver merge — no global sort), and the grand total joins in as
+    * a broadcast of a 1-row aggregate, not a driver collect.
+    */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
                n: Int = 1): DataFrame = {
     require(k > 0 && n > 0, "k and n must be positive")

@@ -30,29 +30,42 @@ object Dedup {
     * passes — and are read non-blockingly, so this is a no-op for callers
     * that never ran an action.
     */
-  // single daemon thread for Observation reads: the timed-out task below is
-  // INTERRUPTED (obs.get waits interruptibly), so a misbehaving observation
-  // can never park a thread forever or starve a shared pool
+  // single daemon thread for Observation reads plus a scheduler that cancels
+  // stragglers: obs.get waits interruptibly, so a misbehaving observation can
+  // never park the log thread forever or starve a shared pool
   private lazy val obsExec = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
     val t = new Thread(r, "graft-dedup-observation"); t.setDaemon(true); t
   }
+  private lazy val obsCanceller =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-dedup-observation-cancel"); t.setDaemon(true); t
+    }
 
   private def logDroppedBuckets(op: String, obs: org.apache.spark.sql.Observation): Unit = {
-    // callers guarantee an action already ran (withScopedCaches counts), so
-    // obs.get resolves as soon as its listener fires; the bounded wait is
-    // belt-and-braces against ever hanging a production pipeline on a metric
-    val fut = obsExec.submit(new java.util.concurrent.Callable[Map[String, Any]] {
-      override def call(): Map[String, Any] = obs.get
+    // fully asynchronous: the caller's action already ran, so the listener
+    // normally fires within milliseconds, but the RETURNING call never waits
+    // on it — a suppressed CollectMetrics (e.g. a future cache/AQE
+    // interaction) must not turn a metrics read into a stall, nor serialize
+    // concurrent dedup calls behind the shared log thread. The scheduled
+    // interrupt below is belt-and-braces so such a straggler also cannot
+    // park the log thread past 10 s.
+    val fut = obsExec.submit(new Runnable {
+      override def run(): Unit = {
+        val m = try obs.get catch {
+          case _: InterruptedException => return
+          case scala.util.control.NonFatal(_) => return
+        }
+        def n(k: String) = m.get(k).collect { case x: Number => x.longValue }.getOrElse(0L)
+        val (buckets, rows) = (n("dropped_buckets"), n("dropped_rows"))
+        if (buckets > 0)
+          log.warn(s"$op: dropped $buckets oversized LSH bucket(s) covering $rows member rows " +
+            "(maxBucketSize cap) — pairs agreeing only inside them are not emitted; " +
+            "raise maxBucketSize to trade cost for recall")
+      }
     })
-    val m = try fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
-      catch { case _: java.util.concurrent.TimeoutException =>
-        fut.cancel(true); Map.empty[String, Any] }
-    def n(k: String) = m.get(k).collect { case x: Number => x.longValue }.getOrElse(0L)
-    val (buckets, rows) = (n("dropped_buckets"), n("dropped_rows"))
-    if (buckets > 0)
-      log.warn(s"$op: dropped $buckets oversized LSH bucket(s) covering $rows member rows " +
-        "(maxBucketSize cap) — pairs agreeing only inside them are not emitted; " +
-        "raise maxBucketSize to trade cost for recall")
+    obsCanceller.schedule(new Runnable {
+      override def run(): Unit = fut.cancel(true)
+    }, 10, java.util.concurrent.TimeUnit.SECONDS)
   }
 
   /** Spread a small-file input across the cluster before CPU-heavy narrow
@@ -328,13 +341,20 @@ object Dedup {
                        textCol: String, threshold: Double, shingleLen: Int = 5,
                        numHashes: Int = 128, bands: Int = 16,
                        maxBucketSize: Int = 1000): DataFrame = {
-    val pairs = incrementalDedupPairs(delta, storeSigs, idCol, textCol, threshold,
-      shingleLen, numHashes, bands, maxBucketSize)
-    val vsStore = pairs.filter(col("a_new") && !col("b_new")).select(col("id_a").as("id"))
-      .union(pairs.filter(col("b_new") && !col("a_new")).select(col("id_b").as("id")))
-    val withinDelta = clusters(pairs.filter(col("a_new") && col("b_new")))
-      .filter(col("id") =!= col("cluster")).select("id")
-    val losers = vsStore.union(withinDelta).distinct()
+    // scope every relation this call persists (the pair result and the
+    // clusters() membership) so batch ingest loops accumulate nothing in the
+    // session registry; the small loser id set is eagerly checkpointed so
+    // the returned frame survives the scope exit (ContextCleaner reclaims
+    // the checkpoint once the result is unreferenced)
+    val losers = withCacheScope {
+      val pairs = incrementalDedupPairs(delta, storeSigs, idCol, textCol, threshold,
+        shingleLen, numHashes, bands, maxBucketSize)
+      val vsStore = pairs.filter(col("a_new") && !col("b_new")).select(col("id_a").as("id"))
+        .union(pairs.filter(col("b_new") && !col("a_new")).select(col("id_b").as("id")))
+      val withinDelta = clusters(pairs.filter(col("a_new") && col("b_new")))
+        .filter(col("id") =!= col("cluster")).select("id")
+      vsStore.union(withinDelta).distinct().localCheckpoint(true)
+    }
     delta.join(losers, delta(idCol) === losers("id"), "left_anti")
   }
 
@@ -356,6 +376,13 @@ object Dedup {
     * handles. Lineage is truncated with an eager `localCheckpoint` per
     * round (on a real cluster with retry requirements, configure a
     * checkpoint dir and swap in `checkpoint()`).
+    *
+    * Cache hygiene: the returned membership relation is persisted and
+    * registered in the session cache registry. DIRECT callers that loop
+    * this per corpus must release it ([[withCacheScope]] around use +
+    * materialization, or [[unpersistCaches]] between corpora); the packaged
+    * entry points ([[dropNearDupsByPairs]], [[dropNearDups]],
+    * [[incrementalDedup]], the streaming ingest) already scope it.
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                maxIter: Int = 50): DataFrame = {
@@ -428,21 +455,35 @@ object Dedup {
     * duplicate cluster except its canonical (minimum-id) representative is
     * dropped from `df`. The anti-join keys on ids only — full rows never
     * ride through the clustering shuffles.
+    *
+    * Cache hygiene: the [[clusters]] membership relation is scoped to THIS
+    * call — the loser id set (one id per dropped row, ids only) is eagerly
+    * `localCheckpoint`ed inside the scope, so batch callers looping this
+    * per corpus accumulate nothing in the session cache registry. The
+    * checkpoint blocks themselves are reclaimed by Spark's ContextCleaner
+    * once the returned frame is unreferenced.
     */
   def dropNearDupsByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = clusters(pairs).filter(col("id") =!= col("cluster")).select("id")
+    val losers = withCacheScope {
+      clusters(pairs).filter(col("id") =!= col("cluster")).select("id")
+        .localCheckpoint(true)
+    }
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
   /** Tier-2 end-to-end corpus dedup: MinHash/LSH pairs → connected
-    * components → keep the minimum-id document per cluster.
+    * components → keep the minimum-id document per cluster. Scopes every
+    * relation it persists (the pair result and the clusters membership) to
+    * this call — safe to loop over corpora without [[unpersistCaches]].
     */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleLen: Int = 5, numHashes: Int = 128,
                    bands: Int = 16, maxBucketSize: Int = 1000): DataFrame =
-    dropNearDupsByPairs(df, idCol,
-      minhashDedupPairs(df, idCol, textCol, threshold, shingleLen, numHashes,
-        bands, maxBucketSize))
+    withCacheScope {
+      dropNearDupsByPairs(df, idCol,
+        minhashDedupPairs(df, idCol, textCol, threshold, shingleLen, numHashes,
+          bands, maxBucketSize))
+    }
 
   // --- Tier 3: SimHash ------------------------------------------------------
 

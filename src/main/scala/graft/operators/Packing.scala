@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -52,6 +52,18 @@ object Packing {
       .withColumn("n_toks", size(col("chunk_toks")).cast("long"))
   }
 
+  /** Fail loudly on a null packing input. The packers consume token counts /
+    * token arrays row-by-row; an unguarded null would NPE mid-fold in the
+    * imperative variants but silently yield a null bin in the window variant
+    * — divergent behavior on the same dirty corpus. `coalesce` only
+    * evaluates the error branch when the value IS null, so the guard is free
+    * on clean data. Corpora with expected nulls should filter them first.
+    */
+  private def notNull(c: Column, op: String, what: String, idCol: String): Column =
+    coalesce(c, raise_error(concat(
+      lit(s"$op: null $what for $idCol="),
+      coalesce(col(idCol).cast("string"), lit("null")))))
+
   private def shardHexChars(shards: Int): Int = {
     val hexChars = Seq(16, 256, 4096, 65536).indexOf(shards) + 1
     require(hexChars > 0, "shards must be a power of 16 (16/256/4096/65536)")
@@ -69,28 +81,14 @@ object Packing {
     val w = Window.partitionBy(shard)
       .orderBy(Sampling.hashBucket(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = sum(col(tokenCol)).over(w)
+    val tok = notNull(col(tokenCol), "packBins", tokenCol, idCol)
+    val cum = sum(tok).over(w)
     // floor of a double division, not a long cast: engines disagree on
     // double→int conversion (truncate vs round); floor() they agree on
     df.withColumn("shard", shard)
-      .withColumn("bin", floor((cum - col(tokenCol)) / budgetTokens).cast("long"))
+      .withColumn("bin", floor((cum - tok) / budgetTokens).cast("long"))
   }
 
-  /** True greedy first-fit packing (see object doc): within each shard, in
-    * the same deterministic `(md5 bucket, id)` order as [[packBins]], a bin
-    * accumulates documents until its fill reaches `budgetTokens`, then the
-    * next document opens a fresh bin (per-bin running reset). Guarantees:
-    * bins are contiguous from 0 per shard; every non-final bin's fill is
-    * ≥ the budget; a bin overflows past the budget by at most its last
-    * document.
-    *
-    * The bin recurrence is prefix-dependent (the reset makes it inexpressible
-    * as a window sum), so this is the one operator that runs imperatively:
-    * a `mapPartitions` fold over rows pre-sorted per shard. Parallelism is
-    * across shards (the same unit the window variant sorts in one task);
-    * only `(shard, id, tokens)` ride the sort shuffle, so the returned frame
-    * is that projection plus `bin` — join it back to the corpus on `idCol`.
-    */
   /** Materialize packed training sequences: every `(shard, bin)` from
     * [[packBins]]'s offset-range rule becomes ONE token sequence — the
     * bin's documents concatenated in the deterministic fill order, each
@@ -117,7 +115,8 @@ object Packing {
         substring(md5(col(idCol).cast("string")), 1, shardHexChars(shards)).as("shard"),
         Sampling.hashBucket(col(idCol)).as("__b"),
         col(idCol),
-        graft.functions.TextOps.tokens(col(textCol)).as("__toks"))
+        notNull(graft.functions.TextOps.tokens(col(textCol)),
+          "packSequences", s"$textCol tokens", idCol).as("__toks"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("__b"), col(idCol))
     val outSchema = StructType(Seq(
@@ -160,6 +159,21 @@ object Packing {
     }(Encoders.row(outSchema))
   }
 
+  /** True greedy first-fit packing (see object doc): within each shard, in
+    * the same deterministic `(md5 bucket, id)` order as [[packBins]], a bin
+    * accumulates documents until its fill reaches `budgetTokens`, then the
+    * next document opens a fresh bin (per-bin running reset). Guarantees:
+    * bins are contiguous from 0 per shard; every non-final bin's fill is
+    * ≥ the budget; a bin overflows past the budget by at most its last
+    * document.
+    *
+    * The bin recurrence is prefix-dependent (the reset makes it inexpressible
+    * as a window sum), so this is the one operator that runs imperatively:
+    * a `mapPartitions` fold over rows pre-sorted per shard. Parallelism is
+    * across shards (the same unit the window variant sorts in one task);
+    * only `(shard, id, tokens)` ride the sort shuffle, so the returned frame
+    * is that projection plus `bin` — join it back to the corpus on `idCol`.
+    */
   def packBinsGreedy(df: DataFrame, idCol: String, tokenCol: String,
                      budgetTokens: Long, shards: Int = 256): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
@@ -169,7 +183,8 @@ object Packing {
         substring(md5(col(idCol).cast("string")), 1, shardHexChars(shards)).as("shard"),
         Sampling.hashBucket(col(idCol)).as("__b"),
         col(idCol),
-        col(tokenCol).cast("long").as("__tok"))
+        notNull(col(tokenCol), "packBinsGreedy", tokenCol, idCol)
+          .cast("long").as("__tok"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("__b"), col(idCol))
     val outSchema = StructType(Seq(
