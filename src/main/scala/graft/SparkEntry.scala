@@ -504,17 +504,41 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Hash-gated slice: the full-corpus minhash run, restricted to the
+    * DuckDB-oracle-bounded id range. The oracle recomputes the exact
+    * character-5-gram Jaccard over all `doc_id < 512` pairs, so the gate
+    * verifies the LSH candidate recall AND the exact-verify jaccard values
+    * on the slice (hashed-shingle Jaccard = string-shingle Jaccard absent
+    * 31-bit collisions; none occur on the fixtures). The unbounded run is
+    * benchmarked via [[benchQueries]].
+    */
   private def qNDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.7, shingleLen = 5, numHashes = 128, bands = 16)
+      .filter(col("id_a") < 512 && col("id_b") < 512)
+      .orderBy("id_a", "id_b")
+
+  private def qNDedupMinhashFull(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
       threshold = 0.7, shingleLen = 5, numHashes = 128, bands = 16)
       .orderBy("id_a", "id_b")
 
-  /** Rows-only gate (no SQL simhash). NOTE: since round 4 the operator caps
-    * LSH buckets at `maxBucketSize = 1000` (default) — pairs whose only
-    * agreeing pigeonhole block sits in a dropped bucket are not emitted;
-    * dropped-bucket counts are logged by the operator (Observation metric).
+  /** Hash-gated via the PORTABLE md5 simhash: with uncapped buckets the
+    * pigeonhole construction provably emits exactly the brute-force
+    * `hamming(sig_a, sig_b) <= 3` pair set, and the 60-bit signature itself
+    * is bit-identical to the DuckDB oracle's md5 recomputation — a full
+    * equality proof of the banding/bucketing/Hamming plan, not a rows-only
+    * check. Bounded to `doc_id < 2048` so the oracle's O(n²) brute force
+    * stays small at any sf; the native-kernel full-corpus run is
+    * benchmarked via [[benchQueries]].
     */
   private def qNDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsPortable(
+      t(s, dir, "documents").filter(col("doc_id") < 2048), "doc_id", "text",
+      maxHamming = 3, maxBucketSize = Int.MaxValue)
+      .orderBy("id_a", "id_b")
+
+  private def qNDedupSimhashFull(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
@@ -706,7 +730,25 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
-  private def qNEmbDups(s: SparkSession, dir: String): DataFrame =
+  /** Hash-gated by planted twins: each corpus vector gets a ×2-scaled copy
+    * at `vec_id + 100000`. Scaling preserves direction exactly (powers of
+    * two are exact in IEEE floats), so a twin lands in ALL of its original's
+    * sign-LSH buckets — candidate recall 1 by construction — and scores
+    * cosine exactly 1.0; no organic pair clears 0.95 on the fixtures (max
+    * cos ≈ 0.51). The oracle is therefore the exact twin-pair relation. The
+    * organic threshold=0.2 full run is benchmarked via [[benchQueries]];
+    * recall at sub-1 cosines is CI-gated (DedupSpec planted-vector test).
+    */
+  private def qNEmbDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    Dedup.embeddingDupPairs(emb.unionByName(twins), "vec_id", "embedding",
+      dim = 64, threshold = 0.95, bands = 8, bits = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def qNEmbDupsFull(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.2, bands = 8, bits = 8)
       .orderBy("id_a", "id_b")
@@ -717,16 +759,60 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Hash-gated by planted twins: the corpus is augmented with four
+    * power-of-two-scaled copies of every query vector (scales 2/4/8/16 at
+    * ids `vec_id + j*100000`). Scaled copies share every sign-LSH bucket
+    * with their query (direction-preserving, so candidate recall 1 by
+    * construction), score cosine exactly 1.0, and tie-break by neighbor_id
+    * — the top-4 is therefore the deterministic, SQL-expressible twin list,
+    * verifying bucketing, candidate join, exact scoring, and ranked
+    * tie-break end to end. Organic top-k recall at this config is
+    * fixture-dependent (sign-LSH over near-orthogonal vectors) and remains
+    * CI-gated; the organic run is benchmarked via [[benchQueries]].
+    */
   private def qNAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    val twins = (1 to 4).map { j =>
+      queries.select((col("vec_id") + j * 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit((1 << j).toFloat)).as("embedding"))
+    }.reduce(_ unionByName _)
+    VectorOps.lshTopK(queries, emb.unionByName(twins), k = 4, dim = 64,
+      bands = 8, bits = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  private def qNAnnLshFull(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorOps.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5, dim = 64,
       bands = 8, bits = 8)
       .orderBy("query_id", "rank")
   }
 
+  /** Containment gate (VERDICT r6 §next #1): every IVF-returned neighbor
+    * must sit inside the exact cosine top-20 of its query — a join against
+    * [[VectorOps.bruteForceTopK]] whose per-query counts (5 returned, 5
+    * contained) the DuckDB oracle reproduces from the exact ranking alone.
+    * Any IVF result outside the exact top-20 drops a row / shifts a count
+    * and trips the hash. Measured headroom: worst observed exact rank of an
+    * IVF result on the fixtures is 7 (nprobe=8/nlist=16, recall ~0.86 vs
+    * top-5 — nprobe=4 sat at ~0.64, graft.tools.RecallProbe).
+    */
   private def qNAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    // nprobe=8/nlist=16 probes half the cells: recall ~0.86 vs brute force on
-    // the fixtures (graft.tools.RecallProbe) — nprobe=4 sat at ~0.64
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = VectorOps.ivfTopK(queries, emb, k = 5, nlist = 16, nprobe = 8)
+    val exact20 = VectorOps.bruteForceTopK(queries, emb, k = 20)
+      .select("query_id", "neighbor_id")
+    ivf.groupBy("query_id").agg(count(lit(1)).as("n_returned"))
+      .join(
+        ivf.join(exact20, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_in_top20")),
+        Seq("query_id"))
+      .orderBy("query_id")
+  }
+
+  private def qNAnnIvfFull(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorOps.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5, nlist = 16, nprobe = 8)
       .orderBy("query_id", "rank")
@@ -980,6 +1066,19 @@ object SparkEntry {
     "q_n_quality_gates"  -> (qNQualityGates _),
     "q_x_range_join"     -> (qXRangeJoin _),
     "q_n_multimodal"     -> (qNMultimodal _))
+
+  /** Bench-time overrides: the correctness gate runs the approximate tiers
+    * in their hash-verifiable form (bounded slice / planted twins /
+    * containment counts), but the benchmark must time the UNBOUNDED organic
+    * configuration — these entries shadow the gated [[queries]] under the
+    * same names for [[graft.Bench]].
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_n_dedup_minhash" -> (qNDedupMinhashFull _),
+    "q_n_dedup_simhash" -> (qNDedupSimhashFull _),
+    "q_n_emb_dups"      -> (qNEmbDupsFull _),
+    "q_n_ann_lsh"       -> (qNAnnLshFull _),
+    "q_n_ann_ivf"       -> (qNAnnIvfFull _))
 
   // --- DuckDB oracle SQL ----------------------------------------------------
 
@@ -1482,6 +1581,55 @@ object SparkEntry {
                    FROM f GROUP BY fp)
           SELECT lang, count(*) AS n_kept, CAST(sum(dup_count) AS BIGINT) AS n_total
           FROM kept GROUP BY lang ORDER BY lang""",
+    // exact character-5-gram Jaccard over the bounded slice: verifies the
+    // minhash tier's LSH recall and exact-verify values (VERDICT r6 §next #1)
+    "q_n_dedup_minhash" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(text) - 3, 1)),
+                    i -> substr(text, i, 5))) AS sh
+           FROM documents WHERE doc_id < 512),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
+    // full recomputation of the portable 60-bit md5 simhash + brute-force
+    // Hamming pairs — provably equal to the operator's pigeonhole output
+    // when buckets are uncapped (the gate runs it uncapped)
+    "q_n_dedup_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0))) AS tok
+           FROM documents WHERE doc_id < 2048),
+         th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+         votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                   FROM th, range(60) r(b) GROUP BY doc_id, b),
+         sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+                 FROM votes GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+               FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    // planted ×2-scaled twins: sign-LSH candidate recall 1 by construction,
+    // cosine exactly 1.0; no organic pair clears 0.95 (fixture max ≈ 0.51)
+    "q_n_emb_dups" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS cos_sim
+         FROM embeddings ORDER BY id_a""",
+    // planted power-of-two-scaled twins of each query: deterministic top-4
+    // at cosine 1.0 with neighbor_id tie-break
+    "q_n_ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id + j * 100000 AS neighbor_id,
+                CAST(1.0 AS DOUBLE) AS cos_sim, CAST(j AS INT) AS rank
+         FROM embeddings, range(1, 5) r(j) WHERE vec_id < 20
+         ORDER BY query_id, rank""",
+    // containment counts: 5 returned, all 5 inside the exact top-20
+    "q_n_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+                CAST(5 AS BIGINT) AS n_in_top20
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
     "q_n_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
               c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -514,11 +514,22 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    simhashPairsOfSigs(simhash64(df, idCol, textCol), maxHamming, maxBucketSize,
+      totalBits = 64, op = "simhashPairs")
+  }
+
+  /** Pigeonhole pair generation over a precomputed `(id, simhash)` relation —
+    * the shared core of [[simhashPairs]] (native 64-bit kernel) and
+    * [[simhashPairsPortable]] (md5-based, cross-engine-reproducible bits).
+    * `totalBits` must be divisible by `maxHamming + 1`.
+    */
+  private def simhashPairsOfSigs(sig: DataFrame, maxHamming: Int,
+                                 maxBucketSize: Int, totalBits: Int,
+                                 op: String): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     val result = withScopedCaches { _ =>
       val blocks = maxHamming + 1
-      val width = 64 / blocks
-      val sig = simhash64(df, idCol, textCol)
+      val width = totalBits / blocks
       // Unlike the minhash tier, the whole signature is ONE long — carry it
       // through the bucket shuffle (16 bytes/row instead of ids-only 8) and
       // filter Hamming distance INSIDE the bucket, before any pair row ever
@@ -548,9 +559,51 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
         .dropDuplicates("id_a", "id_b")
     }
-    logDroppedBuckets("simhashPairs", obs)
+    logDroppedBuckets(op, obs)
     result
   }
+
+  /** 60-bit SimHash with every step reproducible from SQL in any engine with
+    * an `md5` function: tokens = non-empty pieces of `lower(text)` split on
+    * `\s+`, deduplicated; token hash = first 15 hex chars of md5 (60 bits —
+    * the widest slice that fits a signed BIGINT in every engine); bit b of
+    * the signature is set iff strictly more tokens have bit b set than clear.
+    * Slower than [[simhash64]] (explodes to per-token rows and md5 is a
+    * cryptographic hash) — this is the correctness-audit variant; production
+    * near-dup detection should use the native kernel, which only needs a
+    * fixed hash family, not cross-engine parity.
+    */
+  def simhashPortableSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("id"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    // one row per (doc, token): 60 per-bit vote sums fold in a single
+    // hash aggregation, then the signature reassembles from the votes
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+    }
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by Hamming distance over the PORTABLE 60-bit simhash —
+    * identical pigeonhole plan to [[simhashPairs]] (4 blocks × 15 bits at
+    * the default `maxHamming = 3`), but the signature itself is
+    * cross-engine-reproducible, so the full pair set has an exact SQL oracle:
+    * with `maxBucketSize = Int.MaxValue` the pigeonhole guarantee makes the
+    * output *provably equal* to the brute-force `bit_count(xor) <= maxHamming`
+    * pair relation. Driver correctness gate `q_n_dedup_simhash` relies on
+    * exactly that equality.
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3,
+                           maxBucketSize: Int = 1000): DataFrame =
+    simhashPairsOfSigs(simhashPortableSigs(df, idCol, textCol), maxHamming,
+      maxBucketSize, totalBits = 60, op = "simhashPairsPortable")
 
   // --- Tier 4: exact n-gram Jaccard ----------------------------------------
 

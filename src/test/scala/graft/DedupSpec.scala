@@ -124,6 +124,36 @@ class DedupSpec extends SparkSpec {
       s"missed=${(brute -- lsh).take(5)} spurious=${(lsh -- brute).take(5)}")
   }
 
+  test("portable simhash: pigeonhole equals brute force AND sigs match the md5 formula") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = Dedup.simhashPortableSigs(corpus, "doc_id", "text")
+    // signature parity with the from-first-principles SQL formulation the
+    // DuckDB oracle uses: 60-bit md5 token hash, ±1 votes per bit
+    val sqlSig = corpus.select(col("doc_id").as("id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("id"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("id"), explode(sequence(lit(0), lit(59))).as("b"), col("h"))
+      .groupBy("id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1L, 1).otherwise(-1)).as("v"))
+      .groupBy("id")
+      .agg(sum(when(col("v") > 0, expr("cast(1 as bigint) << b")).otherwise(0L)).as("simhash"))
+    val a = sig.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = sqlSig.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b), "portable sigs diverge from the md5/votes formula")
+    // uncapped pigeonhole pairs == brute-force hamming<=3 pairs (the exact
+    // equality the q_n_dedup_simhash driver gate relies on)
+    val s2 = sig.withColumnRenamed("id", "id_b").withColumnRenamed("simhash", "hb")
+    val brute = sig.join(s2, col("id") < col("id_b"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("hb"))) <= 3)
+      .select(col("id").as("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val lsh = Dedup.simhashPairsPortable(corpus, "doc_id", "text",
+        maxHamming = 3, maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute,
+      s"missed=${(brute -- lsh).take(5)} spurious=${(lsh -- brute).take(5)}")
+  }
+
   test("embedding-dup gate cross-check: containment + planted near-dups recalled") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").filter(col("vec_id") < 250)
