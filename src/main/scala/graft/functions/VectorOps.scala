@@ -77,12 +77,23 @@ object VectorOps {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSampleCap: Long = 1000000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val toVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(toVec)
+    // Coarse-quantizer training only needs a representative sample: cap it
+    // with the deterministic md5 Bernoulli filter (engine-portable, seedless)
+    // so a 100 TB corpus trains k-means on ~trainSampleCap vectors instead
+    // of iterating the full relation 10×. Below the cap the filter is a
+    // no-op and results are bit-identical to training on everything.
+    val n = toVec.count()
+    val trainSet =
+      if (n <= trainSampleCap) toVec
+      else graft.operators.Sampling.hashSample(toVec, "neighbor_id",
+        trainSampleCap.toDouble / n)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(trainSet)
     val cells = model.clusterCenters.zipWithIndex // driver-side: nlist × dim doubles
     // corpus side: one cell per vector (the model's transform)
     val assigned = model.transform(toVec).withColumnRenamed("prediction", "cell")

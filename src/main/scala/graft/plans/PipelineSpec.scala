@@ -242,7 +242,9 @@ object PipelineCompiler {
     */
   def runToSinks(spec: PipelineSpec, spark: SparkSession,
                  sinks: Seq[(String, String, String)],
-                 params: Map[String, String] = Map.empty): Unit = {
+                 params: Map[String, String] = Map.empty,
+                 stores: graft.sinks.Writers.StoreClientFactory =
+                   graft.sinks.Writers.InMemoryStore): Unit = {
     require(sinks.nonEmpty, "runToSinks needs at least one sink")
     // count per sink ENTRY, not per distinct node: a node written directly to
     // two sinks must still persist once and multicast (else each sink write
@@ -264,6 +266,16 @@ object PipelineCompiler {
         case "http" =>
           graft.sinks.Writers.push(nodeDf(node), batchSize = 500,
             graft.sources.Transports.httpPoster(substitute(path, params), config = params))
+        // store-addressed sink: mongodb://host/db/collection through the
+        // injected client factory (reference's protocol dispatch,
+        // utils.js:52-57) — declared as format "store", or inferred when
+        // the resolved URL carries the mongodb: scheme
+        case "store" | "mongodb" =>
+          graft.sinks.Writers.store(nodeDf(node), substitute(path, params),
+            clients = stores, config = params)
+        case _ if substitute(path, params).startsWith("mongodb:") =>
+          graft.sinks.Writers.store(nodeDf(node), substitute(path, params),
+            clients = stores, config = params)
         case _ =>
           val w = nodeDf(node).write.mode("overwrite")
           format match {

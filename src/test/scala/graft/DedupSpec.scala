@@ -85,6 +85,14 @@ class DedupSpec extends SparkSpec {
     val ivf = pairs(VectorOps.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4))
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall too low: $recall")
+    // capped coarse-quantizer training (the 100 TB path: k-means on a
+    // deterministic hash sample, not the full corpus) still answers every
+    // query with k results and holds useful recall on the fixture
+    val capped = VectorOps.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4,
+      trainSampleCap = 100L)
+    assert(capped.count() == 50)
+    val cappedRecall = (exact intersect pairs(capped)).size.toDouble / exact.size
+    assert(cappedRecall >= 0.7, s"capped-training IVF recall too low: $cappedRecall")
   }
 
   // --- brute-force cross-checks for the rows-only gate queries -------------

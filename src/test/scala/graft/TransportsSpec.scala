@@ -199,6 +199,41 @@ class TransportsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Transports.mongoCollection("mongodb://h:27017"))
   }
 
+  test("store sink upserts executor-side batches into the addressed collection") {
+    import graft.sinks.Writers
+    Writers.InMemoryStore.clear()
+    val df = spark.read.parquet(s"$sf/nation.parquet").repartition(3)
+    // $VAR root resolves like every URL surface (utils.js:22-28)
+    Writers.store(df, "$MONGO/etl/nations", batchSize = 4,
+      config = Map("MONGO" -> "mongodb://h:27017"))
+    val got = Writers.InMemoryStore.collection("mongodb://h:27017/etl", "nations")
+    assert(got.size == 25)
+    assert(got.forall(_.contains("n_nationkey")))
+    // a second write APPENDS (store semantics are upsert/insert, not truncate)
+    Writers.store(df.limit(1), "mongodb://h:27017/etl/nations")
+    assert(Writers.InMemoryStore.collection("mongodb://h:27017/etl", "nations").size == 26)
+    intercept[IllegalArgumentException](
+      Writers.store(df, "mongodb://h:27017")) // no collection path
+  }
+
+  test("runToSinks routes mongodb: URLs through the store sink (utils.js:52-57)") {
+    import graft.plans._
+    import graft.sinks.Writers
+    Writers.InMemoryStore.clear()
+    val spec = PipelineSpec(nodes = Seq(
+      "li"  -> SourceSpec("parquet", s"$sf/region.parquet"),
+      "out" -> MapSpec(RefSpec("li"), Seq("k" -> "r_regionkey"))), out = "out")
+    // scheme-sniffed (format left as ndjson) AND {%var%}-templated
+    PipelineCompiler.runToSinks(spec, spark,
+      sinks = Seq(("out", "ndjson", "mongodb://db-host/app/{%coll%}")),
+      params = Map("coll" -> "regions"))
+    assert(Writers.InMemoryStore.collection("mongodb://db-host/app", "regions").size == 5)
+    // explicit format "store" dispatches too
+    PipelineCompiler.runToSinks(spec, spark,
+      sinks = Seq(("out", "store", "mongodb://db-host/app/regions2")))
+    assert(Writers.InMemoryStore.collection("mongodb://db-host/app", "regions2").size == 5)
+  }
+
   test("urlFetch reads non-http protocol-handler URLs (file: stands in for ftp:)") {
     val f = java.io.File.createTempFile("graft_url", ".txt")
     java.nio.file.Files.writeString(f.toPath, "payload-bytes")
