@@ -38,20 +38,42 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     graft.operators.Dedup.unpersistCaches() // warm-up caches must not linger
-    val results = headline.map { name =>
+    // Host-load noise control (VERDICT r6 §next #5): every query runs
+    // `reps` times and the MEDIAN is the reported number; min/max ride
+    // along so round-over-round regressions are attributable to the code,
+    // not to a co-tenant burning the machine during one rep.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { queryFn(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      // failures are reported as -1, never as a plausible elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { queryFn(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = headline.map { name =>
+      val times = (1 to reps).map { _ =>
+        val t = timeOnce(name)
+        graft.operators.Dedup.unpersistCaches()
+        t
+      }
+      name -> times
+    }
+    def median(ts: Seq[Double]): Double = {
+      // failures are reported as -1, never as a plausible elapsed time
+      val ok = ts.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
+    }
+    def obj(f: Seq[Double] => Double) = results
+      .map { case (k, ts) => "\"" + k + "\":" + f"${f(ts)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qs = obj(median)
+    val total = results.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
+    val spread = obj(ts => ts.filter(_ >= 0).maxOption.getOrElse(-1.0)
+      - ts.filter(_ >= 0).minOption.getOrElse(0.0))
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"queries_spread":$spread,"sf":"$sfDir"}"""
     // sbt runMain wraps System.out/err with "[info] "/"[error] " prefixes,
     // defeating a ^{-anchored parse (VERDICT r1 §wrong #2). Write the line
     // to the RAW process file descriptors (sbt substitutes the JVM stream
