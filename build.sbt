@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Non-exhaustive matches are ERRORS: the spec-JSON serializer matches over
+// the sealed OpSpec trait, so a new pipeline node cannot be added without
+// its serialization case (and SpecJsonSpec's round-trip witness).
+ThisBuild / scalacOptions += "-Wconf:cat=other-match-analysis:error"
 Test / fork := true
 run / fork := true
 // The forked runMain JVM inherits sbt's real stdout instead of being piped

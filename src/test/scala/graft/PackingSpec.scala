@@ -143,6 +143,7 @@ class PackingSpec extends SparkSpec {
       seq.foldLeft(List(List.empty[String])) {
         case (acc, "<eos>") => Nil :: acc
         case (h :: t, tok)  => (tok :: h) :: t
+        case (Nil, tok)     => List(List(tok)) // unreachable: seed is non-empty
       }.map(_.reverse).reverse.filter(_.nonEmpty || false) // drop trailing empty
     }.filter(_.nonEmpty).map(_.mkString(" ")).toSet
     assert(allSegs == Set("a b c", "d e", "f g h i"))

@@ -17,6 +17,50 @@ class SpecJsonSpec extends SparkSpec {
     "top"  -> LimitSpec(SortSpec(RefSpec("agg"), Seq("n desc")), 5)),
     out = "top")
 
+  test("EVERY OpSpec node round-trips: serialize -> deserialize -> identical spec") {
+    // One exemplar per sealed-trait subclass, every field set to a
+    // NON-default value so a dropped/renamed field can't hide behind a
+    // default. The match below has no wildcard: adding an OpSpec subclass
+    // without extending it is a compile ERROR (build escalates
+    // match-analysis warnings), the same guarantee SpecJson.opNode has.
+    val in: OpSpec = RefSpec("prev")
+    def exemplar(shape: OpSpec): OpSpec = shape match {
+      case _: SourceSpec  => SourceSpec("csv", "$ROOT/x.csv", Map("sep" -> ";"), "data.items")
+      case _: RefSpec     => RefSpec("other")
+      case _: FilterSpec  => FilterSpec(in, "a > 1")
+      case _: MapSpec     => MapSpec(in, Seq("b" -> "a + 1", "c" -> "upper(s)"))
+      case _: WithColumnsSpec => WithColumnsSpec(in, Seq("d" -> "b * 2"))
+      case _: ExplodeSpec => ExplodeSpec(in, "split(s, ' ')", "tok")
+      case _: AggSpec     => AggSpec(in, Seq("k1", "k2"), Seq("n" -> "count(1)", "m" -> "max(a)"))
+      case _: SortSpec    => SortSpec(in, Seq("n desc", "k1"))
+      case _: DistinctSpec => DistinctSpec(in, Seq("k1"), Seq("ts desc"))
+      case _: LimitSpec   => LimitSpec(in, 7)
+      case _: JoinSpec    => JoinSpec(in, RefSpec("vocab"), "lk", "rk", "inner", broadcastVocab = false)
+      case _: JoinDetailSpec => JoinDetailSpec(in, RefSpec("det"), "mk", "dk", "rows", Seq("c1", "c2"))
+      case _: UnionSpec   => UnionSpec(Seq(in, RefSpec("other")))
+      case _: DedupNodeSpec => DedupNodeSpec(in, "id", "txt", "exact", 0.65)
+      case _: SplitNodeSpec => SplitNodeSpec(in, "id", Seq("train" -> 0.75, "test" -> 0.25))
+      case _: MixNodeSpec => MixNodeSpec(in, "id", "lang", Map("fr" -> 2.0, "en" -> 0.5), 1.5)
+      case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2)
+      case _: PackNodeSpec => PackNodeSpec(in, "id", "txt", 2048L, 64)
+    }
+    val shapes: Seq[OpSpec] = Seq(
+      SourceSpec("parquet", "p"), RefSpec("r"), FilterSpec(in, "1=1"),
+      MapSpec(in, Nil), WithColumnsSpec(in, Nil), ExplodeSpec(in, "a", "b"),
+      AggSpec(in, Nil, Nil), SortSpec(in, Nil), DistinctSpec(in, Nil),
+      LimitSpec(in, 1), JoinSpec(in, in, "l", "r"),
+      JoinDetailSpec(in, in, "m", "d"), UnionSpec(Seq(in)),
+      DedupNodeSpec(in, "i", "t"), SplitNodeSpec(in, "i", Nil),
+      MixNodeSpec(in, "i", "s", Map.empty), DecontamNodeSpec(in, in, "i", "t"),
+      PackNodeSpec(in, "i", "t", 1L))
+    shapes.foreach { shape =>
+      val op = exemplar(shape)
+      val ps = PipelineSpec(Seq("n" -> op), "n")
+      val back = SpecJson.fromJson(SpecJson.toJson(ps))
+      assert(back == ps, s"round-trip mutated ${op.getClass.getSimpleName}:\n $op\n ${back.nodes.head._2}")
+    }
+  }
+
   test("spec JSON roundtrip preserves the pipeline (persisted-job fidelity)") {
     val json = SpecJson.toJson(spec)
     val back = SpecJson.fromJson(json)
