@@ -1,34 +1,101 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
+
+/** Scaling stress harness: times each dedup tier over synthetic corpora of
+  * increasing size, recording wall seconds, output rows, pairs/minute and
+  * SHUFFLE BYTES per stage (the number that decides whether a plan survives
+  * 100 TB). Results feed the table in SCALING.md.
+  *
+  * Corpus construction (per target size): every base document from sf0.1
+  * is replicated `copies` times — the first [[DupGroup]] copies keep the
+  * text verbatim-plus-marker (a fixed-size near-duplicate group, the
+  * realistic dedup load), all later copies run through a per-copy character
+  * `translate` that destroys shingle overlap (unique content). Duplicate
+  * GROUP SIZE is constant as the corpus grows, so measured cost tracks
+  * corpus size, not a quadratically exploding pair output — the regime
+  * where scan/banding/bucket scaling is visible.
+  *
+  * `SPARK_GRAFT_STRESS_SIZES` (comma-separated doc counts, default
+  * "50000,200000,1000000") picks the corpus ladder.
+  */
 object Stress {
+
+  private val DupGroup = 10
+
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    // N copies with distinct ids (default 10 → 50k docs): every doc has N-1
-    // exact replicas → every bucket holds >= N ids; near-dup pairs explode
-    // to N(N-1)/2 per original. SPARK_GRAFT_STRESS_COPIES scales the probe.
-    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
-    val big = (0 until copies).map(i =>
-      docs.select((col("doc_id") + lit(i * 10000)).as("doc_id"), col("text"))).reduce(_ union _)
-      .repartition(32).persist()
-    println(s"STRESS corpus=${big.count()}")
-    def time(n: String)(f: => Long) = { val t0 = System.nanoTime(); val r = f
-      println(f"STRESS $n ${(System.nanoTime()-t0)/1e9}%.2f s rows=$r") }
-    time("minhash_pairs")(Dedup.minhashDedupPairs(big, "doc_id", "text", 0.7).count())
-    time("simhash_pairs")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
-    time("exact_dedup")(Dedup.exact(big, "text", "doc_id").count())
-    // end-to-end: pairs → connected components → keep one per cluster.
-    // 50k docs in 5k clusters of >=10 — dense worst case for the star rounds
-    time("drop_near_dups")(Dedup.dropNearDups(big, "doc_id", "text", 0.7).count())
-    // incremental ingest: 10% of the corpus arrives as a delta and dedups
-    // against the signature STORE of the other 90% — the index-only path
-    val store = Dedup.minhashSignatures(
-      big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").persist()
-    println(s"STRESS store=${store.count()}")
-    time("incremental_dedup")(Dedup.incrementalDedup(
-      big.filter(col("doc_id") % 10 === 0), store, "doc_id", "text", 0.7).count())
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val baseN = base.count()
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_STRESS_SIZES", "50000,200000,1000000")
+      .split(",").map(_.trim.toLong)
+
+    // Unique filler copies are built by SPLICING two base documents (first
+    // half of doc d + second half of a stride-chosen partner): overlap with
+    // either parent sits far below every tier's similarity bar, every
+    // (doc, copy) combination is textually distinct, and construction is
+    // one broadcast join — no per-copy rotation scheme that silently
+    // repeats and reintroduces quadratic duplicate groups.
+    def corpus(n: Long): DataFrame = {
+      val copies = math.max(1, (n / baseN).toInt)
+      val dups = (0 until math.min(DupGroup, copies)).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          (if (i == 0) col("text") else concat(col("text"), lit(s" copymark$i"))).as("text"))
+      }.reduce(_ unionByName _)
+      val all =
+        if (copies <= DupGroup) dups
+        else {
+          val partner = base.select(col("doc_id").as("pid"), col("text").as("ptext"))
+          val idx = spark.range(DupGroup.toLong, copies.toLong).toDF("i")
+          val spliced = base.crossJoin(idx)
+            .withColumn("pid", (col("doc_id") + col("i") * 131L) % baseN)
+            .join(broadcast(partner), "pid")
+            .select((col("doc_id") + col("i") * 1000000L).as("doc_id"),
+              concat(
+                expr("substring(text, 1, cast(length(text) / 2 as int))"),
+                expr("substring(ptext, cast(length(ptext) / 2 as int), 100000)")).as("text"))
+          dups.unionByName(spliced)
+        }
+      all.repartition(32)
+    }
+
+    for (n <- sizes) {
+      val big = corpus(n).persist()
+      val actual = big.count()
+      println(s"STRESS corpus=$actual (target $n, dup-group=${math.min(DupGroup, (n / baseN).toInt)})")
+      def time(name: String)(f: => Long): Unit = {
+        val b0 = meter.bytes.get(); val t0 = System.nanoTime()
+        val rows = f
+        val secs = (System.nanoTime() - t0) / 1e9
+        val mb = (meter.bytes.get() - b0) / 1e6
+        val perMin = if (secs > 0) rows / (secs / 60.0) else 0.0
+        println(f"STRESS $name%-18s n=$actual%9d $secs%8.2f s rows=$rows%9d shuffleMB=$mb%9.1f rowsPerMin=$perMin%12.0f")
+      }
+      time("exact_dedup")(Dedup.exact(big, "text", "doc_id").count())
+      time("minhash_pairs")(Dedup.minhashDedupPairs(big, "doc_id", "text", 0.7).count())
+      time("simhash_pairs")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
+      time("drop_near_dups")(Dedup.dropNearDups(big, "doc_id", "text", 0.7).count())
+      val store = Dedup.minhashSignatures(
+        big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").persist()
+      store.count()
+      time("incremental_dedup")(Dedup.incrementalDedup(
+        big.filter(col("doc_id") % 10 === 0), store, "doc_id", "text", 0.7).count())
+      store.unpersist(false)
+      big.unpersist(false)
+      Dedup.unpersistCaches()
+    }
     spark.stop()
   }
 }
