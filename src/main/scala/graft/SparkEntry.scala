@@ -1614,6 +1614,36 @@ object SparkEntry {
                    FROM f GROUP BY fp)
           SELECT lang, count(*) AS n_kept, CAST(sum(dup_count) AS BIGINT) AS n_total
           FROM kept GROUP BY lang ORDER BY lang""",
+    // Exact replay of the incremental-dedup verdict: a delta doc (doc_id>=250)
+    // is dropped iff some store doc (doc_id<250) has exact char-5-gram
+    // Jaccard >= 0.5, or it loses a within-delta duplicate cluster
+    // (keep-min-id; clusters via recursive CTE). The operator decides on the
+    // 128-hash signature ESTIMATOR, but on these fixtures no pair has exact
+    // Jaccard in (0.31, 0.93) — the estimator (std err ~0.04) cannot flip a
+    // 0.5-threshold decision, so estimator and exact verdicts provably agree.
+    "q_n_dedup_incr" ->
+      """WITH RECURSIVE g AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 3, 1)),
+                  i -> substr(text, i, 5))) AS sh
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE (a.doc_id >= 250 OR b.doc_id >= 250)
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         vs_store AS (
+           SELECT id_b AS id FROM p WHERE id_a < 250 AND id_b >= 250
+           UNION SELECT id_a FROM p WHERE id_b < 250 AND id_a >= 250),
+         dp AS (SELECT id_a, id_b FROM p WHERE id_a >= 250 AND id_b >= 250),
+         und AS (SELECT id_a AS a, id_b AS b FROM dp UNION SELECT id_b, id_a FROM dp),
+         reach(a, b) AS (SELECT a, b FROM und
+                         UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         cl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         losers AS (SELECT id FROM vs_store UNION SELECT id FROM cl WHERE id != cluster)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
     // exact character-5-gram Jaccard over the bounded slice: verifies the
     // minhash tier's LSH recall and exact-verify values (VERDICT r6 §next #1)
     "q_n_dedup_minhash" ->

@@ -10,16 +10,16 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key names a registered query; rows-only set is incr alone") {
+  test("every oracle key names a registered query; every query has an oracle") {
     val queries = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
     assert(oracles.subsetOf(queries), s"orphan oracles: ${oracles.diff(queries)}")
-    val rowsOnly = queries.diff(oracles)
-    // the one remaining rows-only query: incremental dedup's verdict is the
-    // signature-Jaccard ESTIMATOR (the store carries no text), which has no
-    // SQL form; its planted-scenario semantics are CI-gated in DedupSpec
-    assert(rowsOnly == Set("q_n_dedup_incr"),
-      s"unexpected rows-only queries (add an oracle or update this lock): $rowsOnly")
+    // since r8 the full gate is hash-verified: incremental dedup (the last
+    // rows-only query) now has an exact-Jaccard replay oracle, valid because
+    // the fixtures leave a (0.31, 0.93) exact-Jaccard dead zone around the
+    // 0.5 estimator threshold
+    assert(queries.diff(oracles).isEmpty,
+      s"queries without an oracle (add one or document rows-only): ${queries.diff(oracles)}")
   }
 
   test("bench overrides shadow only registered gate queries") {
