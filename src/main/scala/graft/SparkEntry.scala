@@ -725,6 +725,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Flagship LLM-corpus pipeline as ONE persisted spec document — the
+    * composition the engine exists for: quality filter → benchmark holdout →
+    * exact dedup → decontamination → deterministic train/val/test split →
+    * sequence packing, declared as a [[graft.plans.PipelineSpec]] DAG
+    * (the reference's persisted-pipeline model, `jobs/hi-order/
+    * job-pipeline.js:16-20`, carrying our LLM nodes). The spec is
+    * round-tripped through [[graft.plans.SpecJson]] BEFORE compiling, so the
+    * gate also proves the LLM nodes survive JSON persistence; compilation
+    * yields one DataFrame chain, so Catalyst pushes the corpus filters into
+    * the single documents scan shared by every stage. The oracle replays all
+    * six stages in SQL (fingerprint keep-first, trigram hits, md5-bucket
+    * split, per-shard greedy packing as a window recurrence).
+    */
+  private def qNLlmPipeline(s: SparkSession, dir: String): DataFrame = {
+    val spec = PipelineSpec(nodes = Seq(
+      "docs"    -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
+      "bench"   -> FilterSpec(RefSpec("docs"), "doc_id % 50 = 0"),
+      "corpus"  -> FilterSpec(RefSpec("docs"), "doc_id % 50 != 0 AND n_chars >= 100"),
+      "deduped" -> DedupNodeSpec(RefSpec("corpus"), "doc_id", "text", mode = "exact"),
+      "cleaned" -> DecontamNodeSpec(RefSpec("deduped"), RefSpec("bench"),
+                     "doc_id", "text", n = 3, minHits = 1),
+      "split"   -> SplitNodeSpec(RefSpec("cleaned"), "doc_id",
+                     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      "train"   -> FilterSpec(RefSpec("split"), "split = 'train'"),
+      "packed"  -> PackNodeSpec(RefSpec("train"), "doc_id", "text",
+                     budgetTokens = 500, shards = 16)),
+      out = "packed")
+    val persisted = SpecJson.fromJson(SpecJson.toJson(spec))
+    PipelineCompiler.compile(persisted, s, Map("dir" -> dir))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_toks"),
+        md5(concat_ws(" ", col("seq"))).as("seq_md5"))
+      .orderBy("shard", "bin")
+  }
+
   private def qNSampleExact(s: SparkSession, dir: String): DataFrame =
     Sampling.exactSample(t(s, dir, "documents"), "doc_id", k = 100)
       .select("doc_id", "lang")
@@ -1087,6 +1121,7 @@ object SparkEntry {
     "q_n_text_clean"     -> (qNTextClean _),
     "q_n_quality_gates"  -> (qNQualityGates _),
     "q_x_range_join"     -> (qXRangeJoin _),
+    "q_n_llm_pipeline"   -> (qNLlmPipeline _),
     "q_n_multimodal"     -> (qNMultimodal _))
 
   /** Bench-time overrides: the correctness gate runs the approximate tiers
@@ -1413,6 +1448,48 @@ object SparkEntry {
           SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
           FROM tr JOIN bg USING (g)
           GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    // full six-stage replay of the flagship spec pipeline: quality filter +
+    // holdout → fingerprint keep-first dedup → trigram decontamination →
+    // md5-bucket split → train slice → per-shard greedy packing (window
+    // recurrence), reusing the per-stage constructions gated individually by
+    // q_n_dedup_exact / q_n_decontam / q_n_hash_split / q_n_pack_seq
+    "q_n_llm_pipeline" ->
+      s"""WITH d AS (
+            SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
+          corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0 AND n_chars >= 100),
+          fp AS (SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+                 FROM corpus),
+          keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+          dd AS (SELECT fp.* FROM fp JOIN keep USING (doc_id)),
+          tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> concat(toks[i], chr(1), toks[i+1], chr(1), toks[i+2]))) AS sh,
+                    toks
+                  FROM dd),
+          bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> concat(toks[i], chr(1), toks[i+1], chr(1), toks[i+2])))) AS g
+                 FROM d WHERE doc_id % 50 = 0),
+          hits AS (SELECT DISTINCT t.doc_id
+                   FROM (SELECT doc_id, unnest(sh) AS g FROM tri) t JOIN bg USING (g)),
+          train AS (SELECT doc_id, toks FROM tri
+                    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+                      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '${Sampling.hexThreshold(0.8)}'),
+          w AS (SELECT doc_id, toks,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b,
+                       CAST(len(toks) AS BIGINT) AS tokens
+                FROM train),
+          w2 AS (SELECT *, sum(tokens) OVER (PARTITION BY shard
+                   ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM w),
+          g AS (SELECT shard, CAST(floor((cum - tokens) / 500) AS BIGINT) AS bin,
+                       count(*) AS n_docs,
+                       flatten(list(list_append(toks, '<eos>') ORDER BY b, doc_id)) AS seq
+                FROM w2 GROUP BY 1, 2)
+          SELECT shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(len(seq) AS BIGINT) AS n_toks,
+                 md5(array_to_string(seq, ' ')) AS seq_md5
+          FROM g ORDER BY shard, bin""",
     "q_n_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

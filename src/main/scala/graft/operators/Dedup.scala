@@ -662,6 +662,12 @@ object Dedup {
     * `n`-grams with the benchmark set (ids-only anti-join; full rows never
     * shuffle).
     */
+  /** Scale note: `train` feeds BOTH the gram explosion and the anti-join
+    * left side, so an unpersisted upstream (e.g. a dedup aggregation) is
+    * computed twice in the one plan. At corpus scale persist/checkpoint the
+    * input first — `PipelineCompiler.runToSinks` does this automatically
+    * when the upstream node is also written as its own sink.
+    */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3, minHits: Int = 1,
                     hashKeys: Boolean = false): DataFrame = {
