@@ -504,6 +504,33 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** 16 whitespace tokens exactly — prepended as one aligned window so the
+    * span dedup sees it as cross-document boilerplate (C4's repeated-lines
+    * case, here at window granularity).
+    */
+  private val boilerplate = "subscribe to our newsletter and accept the " +
+    "terms of service to continue reading this premium content"
+
+  /** Span-level exact dedup over a corpus with planted repetition: every
+    * tenth document gets a 16-token boilerplate header (kept only in its
+    * globally-first occurrence) and documents `doc_id < 100` get full twins
+    * at `doc_id + 100000` (whose every window duplicates the original, so
+    * they rebuild empty). The oracle replays the window fingerprinting,
+    * global first-occurrence ranking, and document rebuild in SQL.
+    */
+  private def qNDedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val withBoiler = docs.withColumn("text",
+      when(col("doc_id") % 10 === 0, concat(lit(boilerplate + " "), col("text")))
+        .otherwise(col("text")))
+    val twins = withBoiler.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    Dedup.dropRepeatedSpans(withBoiler.unionByName(twins), "doc_id", "text", k = 16)
+      .select(col("id").as("doc_id"), col("n_toks"), col("n_kept"),
+        md5(col("text_out")).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Hash-gated slice: the full-corpus minhash run, restricted to the
     * DuckDB-oracle-bounded id range. The oracle recomputes the exact
     * character-5-gram Jaccard over all `doc_id < 512` pairs, so the gate
@@ -1109,6 +1136,7 @@ object SparkEntry {
     "q_x_scd2"           -> (qXScd2 _),
     "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
+    "q_n_dedup_spans"    -> (qNDedupSpans _),
     "q_n_dedup_minhash"  -> (qNDedupMinhash _),
     "q_n_dedup_simhash"  -> (qNDedupSimhash _),
     "q_n_jaccard_pairs"  -> (qNJaccardPairs _),
@@ -1691,6 +1719,38 @@ object SparkEntry {
                    FROM f GROUP BY fp)
           SELECT lang, count(*) AS n_kept, CAST(sum(dup_count) AS BIGINT) AS n_total
           FROM kept GROUP BY lang ORDER BY lang""",
+    // span-level exact dedup replay: k=16 aligned windows, md5 content
+    // fingerprints, global first-occurrence (min doc_id, start) wins, docs
+    // rebuilt from surviving windows — same planted boilerplate + twins
+    "q_n_dedup_spans" ->
+      s"""WITH src AS (
+            SELECT doc_id, CASE WHEN doc_id % 10 = 0
+                                THEN '$boilerplate ' || text ELSE text END AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, CASE WHEN doc_id % 10 = 0
+                                         THEN '$boilerplate ' || text ELSE text END
+            FROM documents WHERE doc_id < 100),
+          d AS (SELECT doc_id, $toksSql AS toks FROM src),
+          occ AS (
+            SELECT doc_id, s AS start,
+                   md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
+            FROM d, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
+            WHERE len(list_slice(toks, s + 1, s + 16)) > 0),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY fp
+                       ORDER BY doc_id, start) AS rn FROM occ),
+          drops AS (SELECT doc_id, list(start) AS ds FROM ranked
+                    WHERE rn > 1 GROUP BY doc_id),
+          rebuilt AS (
+            SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                   flatten(list_transform(
+                     list_filter(range(0, greatest(len(toks), 1), 16),
+                       s -> NOT list_contains(coalesce(ds, []), s)),
+                     s -> list_slice(toks, s + 1, s + 16))) AS kept
+            FROM d LEFT JOIN drops USING (doc_id))
+          SELECT doc_id, n_toks, CAST(len(kept) AS BIGINT) AS n_kept,
+                 md5(coalesce(array_to_string(kept, ' '), '')) AS out_md5
+          FROM rebuilt ORDER BY doc_id""",
     // Exact replay of the incremental-dedup verdict: a delta doc (doc_id>=250)
     // is dropped iff some store doc (doc_id<250) has exact char-5-gram
     // Jaccard >= 0.5, or it loses a within-delta duplicate cluster

@@ -146,6 +146,55 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Tier 1.5: span-level exact dedup — the scalable variant of
+    * exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"; C4's repeated-boilerplate removal).
+    * Documents are cut into non-overlapping k-token aligned windows; every
+    * occurrence of a window's content beyond the globally-first one
+    * (smallest `(id, start)`) is deleted, and each document is rebuilt from
+    * its surviving windows in order. Removes cross-document boilerplate
+    * (headers, terms-of-service blocks) and within-document repetition that
+    * document-level fingerprints can't touch.
+    *
+    * Returns `(id, n_toks, n_kept, text_out)` — token counts before/after
+    * and the surviving token stream re-joined with single spaces.
+    *
+    * Scale shape: the wide shuffle carries ONLY `(fp, id, start)` triples —
+    * token arrays never ride an Exchange. The first-occurrence choice is a
+    * `groupBy(fp).agg(min(...))` (map-side partial absorbs mega-repeated
+    * boilerplate fingerprints — the skew case — instead of funnelling them
+    * through one window task), losers join back fp-keyed (AQE handles the
+    * residual skew), the per-doc drop set is a small `collect_set`, and the
+    * rebuild is a narrow HOF projection over the original tokens.
+    */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16): DataFrame = {
+    val base = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    // aligned window starts: 0, k, 2k, … (sequence is inclusive of its stop)
+    val starts = sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(k))
+    val occ = base
+      .select(col("id"), explode(starts).as("start"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(k)))).as("fp"),
+        size(slice(col("toks"), col("start") + 1, lit(k))).as("__n"))
+      .filter(col("__n") > 0) // empty docs contribute no window
+      .select("id", "start", "fp")
+    val first = occ.groupBy("fp")
+      .agg(min(struct(col("id"), col("start"))).as("keep"))
+    val drops = occ.join(first, "fp")
+      .filter(struct(col("id"), col("start")) =!= col("keep"))
+      .groupBy("id").agg(collect_set(col("start")).as("drop_starts"))
+    base.join(drops, Seq("id"), "left")
+      .withColumn("drop_starts", coalesce(col("drop_starts"), typedLit(Array.empty[Int])))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        flatten(transform(
+          filter(starts, s => !array_contains(col("drop_starts"), s)),
+          s => slice(col("toks"), s + 1, lit(k)))).as("__kept"))
+      .select(col("id"), col("n_toks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("text_out"))
+  }
+
   // --- Tier 2: MinHash + LSH ------------------------------------------------
 
   /** MinHash signature over murmur3 shingle hashes. The string hashes are a

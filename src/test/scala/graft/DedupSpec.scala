@@ -341,4 +341,27 @@ class DedupSpec extends SparkSpec {
     assert(top.getLong(1) == 1L) // nearest neighbor of 0 is 1
     assert(top.getDouble(2) > 0.999)
   }
+
+  test("dropRepeatedSpans: first occurrence wins, twins empty out, tails dedupe too") {
+    // k=4 windows; doc 1 carries the original content, doc 2 is a full twin,
+    // doc 3 shares only the first (boilerplate) window, doc 4 is unique,
+    // doc 5 repeats a window WITHIN itself
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // windows: [a b c d] [e f g h]
+      (2L, "a b c d e f g h"),        // exact twin -> rebuilds empty
+      (3L, "a b c d x y z w"),        // loses the shared first window only
+      (4L, "p q r s t"),              // unique windows survive, incl. 1-token tail
+      (5L, "m n o k m n o k")         // within-doc repeat: second window dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("id")
+      .select("id", "n_toks", "n_kept", "text_out")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 8L, 8L, "a b c d e f g h"),
+      (2L, 8L, 0L, ""),
+      (3L, 8L, 4L, "x y z w"),
+      (4L, 5L, 5L, "p q r s t"),
+      (5L, 8L, 4L, "m n o k")))
+  }
 }
