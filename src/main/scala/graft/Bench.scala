@@ -56,6 +56,14 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t = timeOnce(name)
         graft.operators.Dedup.unpersistCaches()
+        // settle the heap between reps: dropping DataFrame references lets
+        // the ContextCleaner reclaim their broadcast variables, but only
+        // after a GC notices them — without this, queries that build a
+        // broadcast per rep (q_h2's packed detail side) were measured at
+        // 4-10 s inside the full bench vs 1.4 s in isolation, purely from
+        // prior queries' garbage (observed r8; medians can't fix a bias
+        // that hits every rep)
+        System.gc()
         t
       }
       name -> times
