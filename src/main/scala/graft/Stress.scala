@@ -84,6 +84,12 @@ object Stress {
         println(f"STRESS $name%-18s n=$actual%9d $secs%8.2f s rows=$rows%9d shuffleMB=$mb%9.1f rowsPerMin=$perMin%12.0f")
       }
       time("exact_dedup")(Dedup.exact(big, "text", "doc_id").count())
+      // NOT count(): the drop relation is unique per id, so Catalyst
+      // ELIMINATES the rebuild left-join from a bare count (measured 0.2 s /
+      // 0 shuffle at 1M — nothing ran). sum(n_kept) forces windowing,
+      // global ranking, and the rebuild join; "rows" = surviving tokens.
+      time("span_dedup")(Dedup.dropRepeatedSpans(big, "doc_id", "text", 16)
+        .select(sum(col("n_kept"))).head.getLong(0))
       time("minhash_pairs")(Dedup.minhashDedupPairs(big, "doc_id", "text", 0.7).count())
       time("simhash_pairs")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
       time("drop_near_dups")(Dedup.dropNearDups(big, "doc_id", "text", 0.7).count())

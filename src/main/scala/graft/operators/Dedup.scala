@@ -159,13 +159,17 @@ object Dedup {
     * Returns `(id, n_toks, n_kept, text_out)` — token counts before/after
     * and the surviving token stream re-joined with single spaces.
     *
-    * Scale shape: the wide shuffle carries ONLY `(fp, id, start)` triples —
-    * token arrays never ride an Exchange. The first-occurrence choice is a
+    * Scale shape: the fingerprint-wide shuffle carries ONLY `(fp, id,
+    * start)` triples. The first-occurrence choice is a
     * `groupBy(fp).agg(min(...))` (map-side partial absorbs mega-repeated
     * boilerplate fingerprints — the skew case — instead of funnelling them
     * through one window task), losers join back fp-keyed (AQE handles the
-    * residual skew), the per-doc drop set is a small `collect_set`, and the
-    * rebuild is a narrow HOF projection over the original tokens.
+    * residual skew), and the per-doc drop set is a small `collect_set`.
+    * The rebuild attaches drop sets with a join that broadcasts while the
+    * drop relation fits (PlanQualitySpec locks that no token array rides a
+    * shuffle in that regime); on a boilerplate-saturated corpus it degrades
+    * to ONE id-keyed corpus shuffle — the floor for any rebuild that must
+    * pair documents with their deletions.
     */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16): DataFrame = {

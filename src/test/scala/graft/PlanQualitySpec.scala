@@ -244,4 +244,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("Project") && l.trim.startsWith("*(")),
       p.take(1000))
   }
+
+  test("span dedup: no Exchange carries token arrays (ids-only wide shuffles)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // AQE hides Exchange nodes inside an un-executed AdaptiveSparkPlanExec;
+    // the property under test (WHICH columns ride each shuffle) is fixed
+    // before AQE re-plans, so assert on the static plan
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    val exchanges = try {
+      spark.conf.set(aqe, "false")
+      graft.operators.Dedup.dropRepeatedSpans(docs, "doc_id", "text", 16)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+    } finally spark.conf.set(aqe, prev)
+    assert(exchanges.nonEmpty, "expected the fingerprint groupBy shuffle")
+    // every shuffled attribute must be scalar (fp/id/start or the small
+    // per-doc drop set) - a token array riding an Exchange means the rebuild
+    // regressed to shuffling document payloads
+    exchanges.foreach { e =>
+      val arrayStringCols = e.child.output.filter(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          a.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType == org.apache.spark.sql.types.StringType)
+      assert(arrayStringCols.isEmpty,
+        s"token array ${arrayStringCols.map(_.name)} rides a shuffle:\n$e")
+    }
+  }
 }
