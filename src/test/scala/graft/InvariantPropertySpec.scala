@@ -77,4 +77,51 @@ class InvariantPropertySpec extends SparkSpec {
       assert(out.map(r => r._1 -> r._4).toMap == expected.toMap, s"budget=$budget")
     }
   }
+
+  test("span dedup invariants hold for random corpora and window sizes") {
+    // random word-soup corpora with planted twins: every surviving token
+    // multiset is a subset of the original, the globally-first document is
+    // untouched, exact twins of an earlier doc rebuild empty, and the
+    // surviving windows are globally unique contents
+    val vocab = Vector("a", "b", "c", "d", "e")
+    (1 to 3).foreach { _ =>
+      val k = 2 + rnd.nextInt(4)
+      val nDocs = 8 + rnd.nextInt(8)
+      val texts = Seq.tabulate(nDocs) { i =>
+        val len = 1 + rnd.nextInt(40)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant an exact twin of doc 0 at the highest id
+      val corpus = (texts :+ (nDocs.toLong, texts.head._2)).toDF("doc_id", "text")
+      val out = graft.operators.Dedup.dropRepeatedSpans(corpus, "doc_id", "text", k)
+        .select("id", "n_toks", "n_kept", "text_out")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      assert(out.length == nDocs + 1)
+      out.foreach { case (_, nToks, nKept, _) => assert(nKept <= nToks) }
+      // doc 0 holds the global minimum (id, start) for each of its windows
+      // unless an identical window appears EARLIER WITHIN doc 0 itself;
+      // its first window always survives
+      val first = out.head
+      assert(first._4.split("\\s+").filter(_.nonEmpty).take(k).toSeq ==
+        texts.head._2.split(" ").take(k).toSeq)
+      // the twin of doc 0 loses every window to doc 0
+      assert(out.last._3 == 0L && out.last._4.isEmpty,
+        s"twin not emptied: ${out.last}")
+      // surviving aligned windows are globally unique
+      val survivingWindows = out.flatMap { case (_, _, _, t) =>
+        t.split("\\s+").filter(_.nonEmpty).grouped(k).map(_.mkString(" "))
+      }
+      // grouped() re-windows the SURVIVING stream, which only matches the
+      // operator's original alignment when no window was dropped in the
+      // middle of a doc - so assert uniqueness only over full-k windows of
+      // docs that lost nothing (their alignment is unchanged)
+      val untouched = out.filter(o => o._2 == o._3)
+      val windows = untouched.flatMap { case (_, _, _, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        toks.grouped(k).filter(_.length == k).map(_.mkString(" "))
+      }
+      assert(windows.distinct.length == windows.length,
+        s"duplicate k-window survived in untouched docs (k=$k)")
+    }
+  }
 }
