@@ -77,6 +77,16 @@ case class UnionSpec(inputs: Seq[OpSpec]) extends OpSpec
   */
 case class DedupNodeSpec(input: OpSpec, idCol: String, textCol: String,
                          mode: String = "near", threshold: Double = 0.8) extends OpSpec
+/** Span-level exact-substring dedup ([[graft.operators.Dedup.dropRepeatedSpans]]):
+  * rewrites `textCol` to the surviving k-token window stream (duplicated
+  * window contents keep only their globally-first occurrence), preserving
+  * every other column. Documents whose text dedups away entirely stay in
+  * the corpus with empty text — chain a `FilterSpec` to drop them. Like
+  * [[DecontamNodeSpec]], the input subtree feeds two plan branches; persist
+  * the upstream node (its own sink under `runToSinks`) at corpus scale.
+  */
+case class SpanDedupNodeSpec(input: OpSpec, idCol: String, textCol: String,
+                             k: Int = 16) extends OpSpec
 /** Deterministic split column over md5(id) (train/val/test). */
 case class SplitNodeSpec(input: OpSpec, idCol: String,
                          splits: Seq[(String, Double)]) extends OpSpec
@@ -181,6 +191,14 @@ object PipelineCompiler {
           graft.operators.Dedup.dropNearDups(build(in), sub(id), sub(text), threshold)
         case other => throw new IllegalArgumentException(s"dedup mode '$other' (exact|near)")
       }
+      case SpanDedupNodeSpec(in, id, text, k) =>
+        val df = build(in)
+        val idc = sub(id); val tc = sub(text)
+        val rebuilt = graft.operators.Dedup.dropRepeatedSpans(df, idc, tc, k)
+          .select(col("id").as("__span_id"), col("text_out"))
+        df.join(rebuilt, df(idc) === rebuilt("__span_id"))
+          .withColumn(tc, col("text_out"))
+          .drop("__span_id", "text_out")
       case SplitNodeSpec(in, id, splits) =>
         graft.operators.Sampling.hashSplit(build(in), sub(id), splits)
       case MixNodeSpec(in, id, stratum, weights, dw) =>
@@ -213,6 +231,7 @@ object PipelineCompiler {
     case JoinDetailSpec(m, d, _, _, _, _)  => refsOf(m) ++ refsOf(d)
     case UnionSpec(ins)                 => ins.flatMap(refsOf).toSet
     case DedupNodeSpec(in, _, _, _, _)  => refsOf(in)
+    case SpanDedupNodeSpec(in, _, _, _) => refsOf(in)
     case SplitNodeSpec(in, _, _)        => refsOf(in)
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
     case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)

@@ -66,6 +66,9 @@ object SpecJson {
       case DedupNodeSpec(in, id, text, mode, threshold) =>
         pairs(n, "op" -> "dedup", "idCol" -> id, "textCol" -> text, "mode" -> mode)
         n.put("threshold", threshold); n.set[JsonNode]("input", opNode(in))
+      case SpanDedupNodeSpec(in, id, text, k) =>
+        pairs(n, "op" -> "spanDedup", "idCol" -> id, "textCol" -> text)
+        n.put("k", k); n.set[JsonNode]("input", opNode(in))
       case SplitNodeSpec(in, id, splits) =>
         pairs(n, "op" -> "split", "idCol" -> id); n.set[JsonNode]("input", opNode(in))
         val a = n.putArray("splits")
@@ -130,6 +133,9 @@ object SpecJson {
     case "dedup"   => DedupNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "textCol"),
                         str(n, "mode", "near"),
                         Option(n.get("threshold")).map(_.asDouble).getOrElse(0.8))
+    case "spanDedup" => SpanDedupNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
+                        str(n, "textCol"),
+                        Option(n.get("k")).map(_.asInt).getOrElse(16))
     case "split"   => SplitNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
                         Option(n.get("splits")).map(_.elements().asScala.map(e =>
                           str(e, "name") -> e.get("weight").asDouble).toSeq).getOrElse(Nil))
@@ -190,6 +196,7 @@ object SpecJson {
         case JoinDetailSpec(m, d, _, _, _, _) => link(m); link(d)
         case UnionSpec(ins) => ins.foreach(link)
         case DedupNodeSpec(in, _, _, _, _) => link(in)
+        case SpanDedupNodeSpec(in, _, _, _) => link(in)
         case SplitNodeSpec(in, _, _) => link(in)
         case MixNodeSpec(in, _, _, _, _) => link(in)
         case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)

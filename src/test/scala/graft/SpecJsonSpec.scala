@@ -39,6 +39,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: JoinDetailSpec => JoinDetailSpec(in, RefSpec("det"), "mk", "dk", "rows", Seq("c1", "c2"))
       case _: UnionSpec   => UnionSpec(Seq(in, RefSpec("other")))
       case _: DedupNodeSpec => DedupNodeSpec(in, "id", "txt", "exact", 0.65)
+      case _: SpanDedupNodeSpec => SpanDedupNodeSpec(in, "id", "txt", 24)
       case _: SplitNodeSpec => SplitNodeSpec(in, "id", Seq("train" -> 0.75, "test" -> 0.25))
       case _: MixNodeSpec => MixNodeSpec(in, "id", "lang", Map("fr" -> 2.0, "en" -> 0.5), 1.5)
       case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2)
@@ -50,7 +51,8 @@ class SpecJsonSpec extends SparkSpec {
       AggSpec(in, Nil, Nil), SortSpec(in, Nil), DistinctSpec(in, Nil),
       LimitSpec(in, 1), JoinSpec(in, in, "l", "r"),
       JoinDetailSpec(in, in, "m", "d"), UnionSpec(Seq(in)),
-      DedupNodeSpec(in, "i", "t"), SplitNodeSpec(in, "i", Nil),
+      DedupNodeSpec(in, "i", "t"), SpanDedupNodeSpec(in, "i", "t"),
+      SplitNodeSpec(in, "i", Nil),
       MixNodeSpec(in, "i", "s", Map.empty), DecontamNodeSpec(in, in, "i", "t"),
       PackNodeSpec(in, "i", "t", 1L))
     shapes.foreach { shape =>
@@ -81,7 +83,8 @@ class SpecJsonSpec extends SparkSpec {
     val prep = PipelineSpec(nodes = Seq(
       "docs"  -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
       "bench" -> FilterSpec(RefSpec("docs"), "doc_id % 17 = 0"),
-      "dedup" -> DedupNodeSpec(RefSpec("docs"), "doc_id", "text", "near", 0.7),
+      "spans" -> SpanDedupNodeSpec(RefSpec("docs"), "doc_id", "text", 16),
+      "dedup" -> DedupNodeSpec(RefSpec("spans"), "doc_id", "text", "near", 0.7),
       "decon" -> DecontamNodeSpec(RefSpec("dedup"), RefSpec("bench"), "doc_id", "text", 8, 1),
       "split" -> SplitNodeSpec(RefSpec("decon"), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.1)),
@@ -104,7 +107,8 @@ class SpecJsonSpec extends SparkSpec {
     assert(exact.columns.contains("doc_id") && !exact.columns.contains("dup_count"))
     // DAG export names the new node types
     val dag = SpecJson.dag(prep)
-    Seq("dedupnode", "decontamnode", "splitnode", "mixnode", "packnode")
+    Seq("dedupnode", "spandedupnode", "decontamnode", "splitnode", "mixnode",
+        "packnode")
       .foreach(t => assert(dag.contains(t), s"dag missing $t"))
   }
 
