@@ -1756,8 +1756,9 @@ object SparkEntry {
     // Jaccard >= 0.5, or it loses a within-delta duplicate cluster
     // (keep-min-id; clusters via recursive CTE). The operator decides on the
     // 128-hash signature ESTIMATOR, but on these fixtures no pair has exact
-    // Jaccard in (0.31, 0.93) — the estimator (std err ~0.04) cannot flip a
-    // 0.5-threshold decision, so estimator and exact verdicts provably agree.
+    // Jaccard in (0.31, 0.92) — the nearest pairs sit at ≤0.309 and ≥0.9286 —
+    // so the estimator (std err ~0.04) cannot flip a 0.5-threshold decision
+    // and the estimator and exact verdicts provably agree.
     "q_n_dedup_incr" ->
       """WITH RECURSIVE g AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 3, 1)),

@@ -714,12 +714,16 @@ object Dedup {
   /** Drop every training document sharing at least `minHits` distinct word
     * `n`-grams with the benchmark set (ids-only anti-join; full rows never
     * shuffle).
-    */
-  /** Scale note: `train` feeds BOTH the gram explosion and the anti-join
-    * left side, so an unpersisted upstream (e.g. a dedup aggregation) is
-    * computed twice in the one plan. At corpus scale persist/checkpoint the
-    * input first — `PipelineCompiler.runToSinks` does this automatically
-    * when the upstream node is also written as its own sink.
+    *
+    * Scale note: `train` feeds BOTH the gram explosion and the anti-join
+    * left side, so an unpersisted upstream (e.g. a dedup aggregation) can
+    * be computed twice in the one plan — AQE's runtime exchange reuse
+    * absorbs a duplicated subtree only when both occurrences are identical
+    * after column pruning (LlmPlanProbe measures one ReusedExchange in the
+    * flagship pipeline; the pruned-differently parts still run twice). At
+    * corpus scale persist/checkpoint the input first —
+    * `PipelineCompiler.runToSinks` does this automatically when the
+    * upstream node is also written as its own sink.
     */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3, minHits: Int = 1,

@@ -15,9 +15,12 @@ object H2Probe {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"h2 rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val df = fn(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    df.explain()
+    // execute THROUGH this QueryExecution so the printed adaptive plan is
+    // the final one (a df.write would run a separate QueryExecution and
+    // leave this plan isFinalPlan=false, hiding AQE's runtime decisions)
+    val qe = fn(spark, sfDir).queryExecution
+    qe.executedPlan.executeCollect()
+    println(qe.executedPlan.toString)
     spark.stop()
   }
 }

@@ -16,7 +16,7 @@ class EntrySmokeSpec extends SparkSpec {
     assert(oracles.subsetOf(queries), s"orphan oracles: ${oracles.diff(queries)}")
     // since r8 the full gate is hash-verified: incremental dedup (the last
     // rows-only query) now has an exact-Jaccard replay oracle, valid because
-    // the fixtures leave a (0.31, 0.93) exact-Jaccard dead zone around the
+    // the fixtures leave a (0.31, 0.92) exact-Jaccard dead zone around the
     // 0.5 estimator threshold
     assert(queries.diff(oracles).isEmpty,
       s"queries without an oracle (add one or document rows-only): ${queries.diff(oracles)}")
