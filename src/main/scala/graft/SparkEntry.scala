@@ -531,6 +531,12 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bench form of span dedup: the raw corpus without planted twins or
+    * boilerplate — times the organic window/rank/rebuild cost.
+    */
+  private def qNDedupSpansFull(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 16)
+
   /** Hash-gated slice: the full-corpus minhash run, restricted to the
     * DuckDB-oracle-bounded id range. The oracle recomputes the exact
     * character-5-gram Jaccard over all `doc_id < 512` pairs, so the gate
@@ -1159,6 +1165,7 @@ object SparkEntry {
     * same names for [[graft.Bench]].
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_n_dedup_spans"   -> (qNDedupSpansFull _),
     "q_n_dedup_minhash" -> (qNDedupMinhashFull _),
     "q_n_dedup_simhash" -> (qNDedupSimhashFull _),
     "q_n_emb_dups"      -> (qNEmbDupsFull _),
