@@ -171,6 +171,47 @@ object Writers {
     ranged.sortWithinPartitions(keys: _*).write.mode("overwrite").parquet(path)
   }
 
+  /** Z-order (Morton) clustering layout: MULTI-dimension scan pruning.
+    * [[sortedLayout]] gives tight min/max stats only on its LEADING column —
+    * a filter on the second column still touches every file. Z-ordering
+    * interleaves the bits of per-column quantile-bucket indices into one
+    * clustering key, so every clustered column gets usable footer stats
+    * (the Delta/Iceberg `OPTIMIZE ZORDER` play, public algorithm).
+    *
+    * Mechanics: per column, `2^bits − 1` approximate quantile boundaries
+    * (one driver-side Greenwald–Khanna pass, broadcast as an array literal;
+    * quantile — not uniform-width — bucketization keeps buckets balanced
+    * under skew); per row, bucket = count of boundaries ≤ value (a ~1k-step
+    * codegen'd HOF scan, negligible next to the write shuffle); the Morton
+    * key interleaves bucket bits across columns; rows are range-partitioned
+    * and sorted on that key. Numeric/date/timestamp columns only (values
+    * are bucketized through a double cast; nulls land in bucket 0).
+    */
+  def zorderLayout(df: DataFrame, path: String, cols: Seq[String],
+                   files: Int = 64, bits: Int = 10): Unit = {
+    require(cols.size >= 2, "zorderLayout needs >= 2 columns (sortedLayout covers 1)")
+    require(bits * cols.size <= 62, s"bits=$bits × ${cols.size} cols overflows the long z-key")
+    val nb = 1 << bits
+    val buckets = cols.map { c =>
+      val probes = (1 until nb).map(_.toDouble / nb).toArray
+      val qs = df.stat.approxQuantile(c, probes, math.min(0.01, 1.0 / (4.0 * nb)))
+        .distinct.sorted
+      if (qs.isEmpty) lit(0L)
+      else {
+        val bounds = array(qs.map(lit(_)): _*)
+        size(filter(bounds, b => col(c).cast("double") >= b)).cast("long")
+      }
+    }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (bc, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), i * cols.size + j))
+      }
+    }
+    df.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed managed table: data is hash-partitioned into `buckets` files
     * per partition on `bucketCol` AND sorted within buckets at WRITE time, so
     * every later join/aggregation on that column reads pre-shuffled,
