@@ -192,10 +192,13 @@ object Writers {
     require(cols.size >= 2, "zorderLayout needs >= 2 columns (sortedLayout covers 1)")
     require(bits * cols.size <= 62, s"bits=$bits × ${cols.size} cols overflows the long z-key")
     val nb = 1 << bits
-    val buckets = cols.map { c =>
-      val probes = (1 until nb).map(_.toDouble / nb).toArray
-      val qs = df.stat.approxQuantile(c, probes, math.min(0.01, 1.0 / (4.0 * nb)))
-        .distinct.sorted
+    val probes = (1 until nb).map(_.toDouble / nb).toArray
+    // one Greenwald-Khanna pass for ALL columns (the multi-column overload),
+    // not one scan per clustered column
+    val quantiles = df.stat.approxQuantile(cols.toArray, probes,
+      math.min(0.01, 1.0 / (4.0 * nb)))
+    val buckets = cols.zip(quantiles).map { case (c, raw) =>
+      val qs = raw.distinct.sorted
       if (qs.isEmpty) lit(0L)
       else {
         val bounds = array(qs.map(lit(_)): _*)
