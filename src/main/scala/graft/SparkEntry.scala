@@ -792,6 +792,20 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  /** Bigram-LM quality scoring, gated on its engine-exact integer anchors:
+    * `n_bigrams` / `sum_c2` / `sum_c1` verify the occurrence explode, both
+    * count aggregations, and both joins — everything except the final `ln`
+    * (floats from `ln` are not cross-engine hash-safe, cf.
+    * [[graft.operators.CorpusStats.commonnessScore]]'s design note; the
+    * log score itself is pinned in CorpusStatsSpec on a hand-computed
+    * corpus).
+    */
+  private def qNLmScore(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.lmScore(t(s, dir, "documents"), "doc_id", "text", k = 0.5)
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        col("sum_c2"), col("sum_c1"))
+      .orderBy("doc_id")
+
   private def qNSampleExact(s: SparkSession, dir: String): DataFrame =
     Sampling.exactSample(t(s, dir, "documents"), "doc_id", k = 100)
       .select("doc_id", "lang")
@@ -1133,6 +1147,7 @@ object SparkEntry {
     "q_n_pack_seq"       -> (qNPackSeq _),
     "q_n_vocab_topk"     -> (qNVocabTopk _),
     "q_n_commonness"     -> (qNCommonness _),
+    "q_n_lm_score"       -> (qNLmScore _),
     "q_n_dedup_incr"     -> (qNDedupIncr _),
     "q_n_mix"            -> (qNMix _),
     "q_n_ann_int8"       -> (qNAnnInt8 _),
@@ -1525,6 +1540,22 @@ object SparkEntry {
                  CAST(len(seq) AS BIGINT) AS n_toks,
                  md5(array_to_string(seq, ' ')) AS seq_md5
           FROM g ORDER BY shard, bin""",
+    // bigram-LM integer anchors: occurrence bigrams (chr(1)-joined), corpus
+    // bigram counts, left-context counts — the ln itself is CI-pinned
+    "q_n_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          o AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || chr(1) || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+          c2 AS (SELECT bg, count(*) AS c2 FROM o GROUP BY 1),
+          c1 AS (SELECT split_part(bg, chr(1), 1) AS w1, count(*) AS c1
+                 FROM o GROUP BY 1)
+          SELECT o.doc_id, count(*) AS n_bigrams,
+                 CAST(sum(c2.c2) AS BIGINT) AS sum_c2,
+                 CAST(sum(c1.c1) AS BIGINT) AS sum_c1
+          FROM o JOIN c2 USING (bg)
+               JOIN c1 ON split_part(o.bg, chr(1), 1) = c1.w1
+          GROUP BY o.doc_id ORDER BY o.doc_id""",
     "q_n_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

@@ -41,6 +41,55 @@ object CorpusStats {
         round(sum(col("__df")).cast("double") / count(lit(1)), 4).as("mean_df"))
   }
 
+  /** Corpus-self-trained bigram language-model score — the perplexity-proxy
+    * quality signal (CCNet-style: score documents against an n-gram LM and
+    * filter the tail; here the LM is the corpus itself, so the score flags
+    * documents whose token transitions are atypical FOR THIS CORPUS —
+    * gibberish, OCR noise, boilerplate with unusual phrasing).
+    *
+    * Model: add-k smoothed bigram LM, `P(w2|w1) = (C(w1,w2) + k) /
+    * (C(w1,·) + k·V)` with `V` = corpus distinct-token count; a document's
+    * score is the mean `ln P` over its bigram OCCURRENCES (non-distinct —
+    * repetition counts). Returns `(id, n_bigrams, sum_c2, sum_c1,
+    * avg_logp)` for documents with at least one bigram; the integer count
+    * sums ride along because they are engine-exact (the float mean is the
+    * useful signal, the integers are the cross-engine anchor).
+    *
+    * Scale shape: bigram and left-context counts are two hash aggregations
+    * over the exploded occurrence relation (map-side combine absorbs the
+    * zipfian head); `V` joins in as a broadcast 1-row aggregate, never a
+    * driver collect; the per-doc re-aggregation combines map-side. Bigram
+    * strings ride two shuffles — for web-scale vocabularies hash them first
+    * (the [[commonnessScore]] `hashKeys` trade).
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              k: Double = 0.5): DataFrame = {
+    val sep = "\u0001"
+    val toks = TextOps.tokens(col(textCol))
+    val bigramArr = when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(sep, element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1))))
+      .otherwise(array())
+    val base = df.select(col(idCol).as("id"), toks.as("__toks"))
+    val occ = base.select(col("id"), explode(bigramArr).as("bg"))
+    val c2 = occ.groupBy("bg").agg(count(lit(1)).as("__c2"))
+    val c1 = occ.select(substring_index(col("bg"), sep, 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val vocab = base.select(explode(col("__toks")).as("t"))
+      .agg(count_distinct(col("t")).as("__v"))
+    occ.join(c2, "bg")
+      .withColumn("w1", substring_index(col("bg"), sep, 1))
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__c2")).as("sum_c2"),
+        sum(col("__c1")).as("sum_c1"),
+        round(avg(log((col("__c2") + k) / (col("__c1") + col("__v") * k))), 4)
+          .as("avg_logp"))
+  }
+
   /** Approximate top terms by TOTAL occurrence count via the mergeable
     * Misra–Gries summary ([[graft.functions.Sketches.FrequentItems]]) —
     * the vocab path when the distinct-term set itself is too large to

@@ -68,4 +68,28 @@ class CorpusStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("lmScore: hand-computed bigram LM on a 3-doc corpus (counts AND log)") {
+    // corpus: "a b a b", "a b c", "c c"
+    // bigram occurrences: d1: ab, ba, ab ; d2: ab, bc ; d3: cc
+    // C2: ab=3, ba=1, bc=1, cc=1 ; C1(left occurrences): a=3, b=2, c=1
+    // V = 3 distinct tokens; k = 0.5 -> P = (c2+0.5)/(c1+1.5)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.lmScore(docs, "doc_id", "text", k = 0.5)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    def p(c2: Int, c1: Int) = (c2 + 0.5) / (c1 + 1.5)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r4((math.log(p(3, 3)) + math.log(p(1, 2)) + math.log(p(3, 3))) / 3)
+    val d2 = r4((math.log(p(3, 3)) + math.log(p(1, 2))) / 2)
+    val d3 = r4(math.log(p(1, 1)))
+    assert(out == Seq(
+      (1L, 3L, 7L, 8L, d1),   // sum_c2 = 3+1+3, sum_c1 = 3+2+3
+      (2L, 2L, 4L, 5L, d2),   // sum_c2 = 3+1,   sum_c1 = 3+2
+      (3L, 1L, 1L, 1L, d3)))
+    // single-token/empty docs contribute no row
+    val sparse = Seq((1L, "a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    assert(CorpusStats.lmScore(sparse, "doc_id", "text").count() == 1)
+  }
 }
