@@ -173,30 +173,73 @@ object Dedup {
     */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16): DataFrame = {
-    val base = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-    // aligned window starts: 0, k, 2k, … (sequence is inclusive of its stop)
-    val starts = sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(k))
-    val occ = base
-      .select(col("id"), explode(starts).as("start"),
-        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(k)))).as("fp"),
-        size(slice(col("toks"), col("start") + 1, lit(k))).as("__n"))
-      .filter(col("__n") > 0) // empty docs contribute no window
-      .select("id", "start", "fp")
+    val base = spanBase(df, idCol, textCol)
+    val occ = spanOcc(base, k)
     val first = occ.groupBy("fp")
       .agg(min(struct(col("id"), col("start"))).as("keep"))
     val drops = occ.join(first, "fp")
       .filter(struct(col("id"), col("start")) =!= col("keep"))
       .groupBy("id").agg(collect_set(col("start")).as("drop_starts"))
+    spanRebuild(base, drops, k)
+  }
+
+  /** `(id, toks)` projection shared by the span tier. */
+  private def spanBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+
+  /** Aligned window starts 0, k, 2k, … (sequence is inclusive of its stop). */
+  private def spanStarts(k: Int) =
+    sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(k))
+
+  /** Window-occurrence relation `(id, start, fp)` — the ids-only shape that
+    * rides every wide operator in this tier.
+    */
+  private def spanOcc(base: DataFrame, k: Int): DataFrame =
+    base.select(col("id"), explode(spanStarts(k)).as("start"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(k)))).as("fp"),
+        size(slice(col("toks"), col("start") + 1, lit(k))).as("__n"))
+      .filter(col("__n") > 0) // empty docs contribute no window
+      .select("id", "start", "fp")
+
+  /** Rebuild each document from its surviving windows in order. */
+  private def spanRebuild(base: DataFrame, drops: DataFrame, k: Int): DataFrame =
     base.join(drops, Seq("id"), "left")
       .withColumn("drop_starts", coalesce(col("drop_starts"), typedLit(Array.empty[Int])))
       .select(col("id"),
         size(col("toks")).cast("long").as("n_toks"),
         flatten(transform(
-          filter(starts, s => !array_contains(col("drop_starts"), s)),
+          filter(spanStarts(k), s => !array_contains(col("drop_starts"), s)),
           s => slice(col("toks"), s + 1, lit(k)))).as("__kept"))
       .select(col("id"), col("n_toks"),
         size(col("__kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("__kept")).as("text_out"))
+
+  /** Incremental span dedup of a delta batch against a persisted window
+    * store: a delta window is deleted iff its content fingerprint already
+    * exists in `storeFps` (the corpus ingested so far) or it loses the
+    * within-delta first-occurrence rule of [[dropRepeatedSpans]]. Returns
+    * `(rebuilt, newFps)`: the rebuilt delta in the batch operator's output
+    * shape (documents whose every window was already known rebuild to empty
+    * text — filter them), and the DISTINCT fresh fingerprints to append to
+    * the store to complete the ingest. The delta never re-windows the
+    * corpus — the store is fp-only (16 B/window), the span analogue of the
+    * minhash signature store.
+    */
+  def incrementalSpanDedup(delta: DataFrame, storeFps: DataFrame, idCol: String,
+                           textCol: String, k: Int = 16): (DataFrame, DataFrame) = {
+    val base = spanBase(delta, idCol, textCol)
+    val occ = spanOcc(base, k)
+    val store = storeFps.select(col("fp")).distinct()
+    val first = occ.groupBy("fp")
+      .agg(min(struct(col("id"), col("start"))).as("keep"))
+    val storeHits = occ.join(store, Seq("fp"), "left_semi").select("id", "start")
+    val freshLosers = occ.join(first, "fp")
+      .filter(struct(col("id"), col("start")) =!= col("keep"))
+      .select("id", "start")
+    val drops = storeHits.union(freshLosers).distinct()
+      .groupBy("id").agg(collect_set(col("start")).as("drop_starts"))
+    val newFps = first.select("fp").join(store, Seq("fp"), "left_anti")
+    (spanRebuild(base, drops, k), newFps)
   }
 
   // --- Tier 2: MinHash + LSH ------------------------------------------------

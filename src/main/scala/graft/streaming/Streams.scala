@@ -146,6 +146,43 @@ object Streams {
       .start()
   }
 
+  /** Streaming corpus ingest with cross-batch SPAN dedup: every micro-batch
+    * drops k-token windows whose content already entered the corpus (or
+    * repeats within the batch — [[graft.operators.Dedup.incrementalSpanDedup]]),
+    * appends the rebuilt documents to `corpusDir` and the fresh window
+    * fingerprints to `storeDir`. The boilerplate case this exists for:
+    * a crawler re-ingesting pages whose header/footer blocks were seen in
+    * earlier batches keeps only each block's first occurrence ever.
+    * Same restart semantics as [[ingestDedup]]: a checkpoint-replayed batch
+    * re-dedups against the store; give `storeDir` readers a
+    * `dropDuplicates("fp")` if duplicate fp rows matter. Documents that
+    * rebuild to empty text are still appended (with `n_kept = 0`) so the
+    * corpus row count is auditable — filter `n_kept > 0` downstream.
+    */
+  def ingestSpanDedup(stream: DataFrame, idCol: String, textCol: String,
+                      k: Int, corpusDir: String, storeDir: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val store =
+          try spark.read.parquet(storeDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Seq.empty[String].toDF("fp") }
+        val (rebuilt, newFps) = Dedup.incrementalSpanDedup(batch, store, idCol, textCol, k)
+        val kept = rebuilt.persist()
+        try {
+          kept.write.mode("append").parquet(corpusDir)
+          newFps.write.mode("append").parquet(storeDir)
+        } finally kept.unpersist(blocking = false)
+        ()
+      }
+      .start()
+  }
+
   /** Sessionization (batch form): assign a session id per key where a gap
     * of more than `gap` between consecutive events starts a new session.
     * lag → new-session flag → running sum. Streaming form would use

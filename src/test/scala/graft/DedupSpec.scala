@@ -364,4 +364,32 @@ class DedupSpec extends SparkSpec {
       (4L, 5L, 5L, "p q r s t"),
       (5L, 8L, 4L, "m n o k")))
   }
+
+  test("incrementalSpanDedup: store windows drop everywhere, fresh ones keep-first") {
+    // store corpus: "a b c d" -> fp of window [a b c d]
+    val store0 = Seq.empty[String].toDF("fp")
+    val (r0, fps0) = Dedup.incrementalSpanDedup(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), store0, "doc_id", "text", k = 4)
+    assert(r0.select("text_out").as[String].head() == "a b c d")
+    val store1 = fps0
+    assert(store1.count() == 1)
+    // delta: doc 10 repeats the stored window + fresh tail; docs 11/12 are
+    // in-batch twins of a fresh window; doc 13 fully known -> empties out
+    val delta = Seq(
+      (10L, "a b c d x y z w"),
+      (11L, "p q r s"),
+      (12L, "p q r s"),
+      (13L, "a b c d")).toDF("doc_id", "text")
+    val (rebuilt, newFps) = Dedup.incrementalSpanDedup(delta, store1, "doc_id", "text", k = 4)
+    val out = rebuilt.orderBy("id")
+      .select("id", "n_kept", "text_out").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (10L, 4L, "x y z w"),   // stored window dropped, fresh tail kept
+      (11L, 4L, "p q r s"),   // within-delta first occurrence
+      (12L, 0L, ""),          // within-delta twin
+      (13L, 0L, "")))         // fully known
+    // the store grows by exactly the two fresh window contents
+    val fresh = newFps.as[String].collect().toSet
+    assert(fresh.size == 2 && !fresh.exists(store1.as[String].collect().toSet))
+  }
 }

@@ -97,4 +97,27 @@ class StreamsSpec extends SparkSpec {
     val sigIds = spark.read.parquet(store).select("id").as[Long].collect().toSet
     assert(sigIds == kept)
   }
+
+  test("ingestSpanDedup: cross-batch boilerplate windows keep only their first occurrence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_spans").toString
+    val (corpus, store, ckpt) = (s"$dir/corpus", s"$dir/store", s"$dir/ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.ingestSpanDedup(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", k = 4, corpus, store, ckpt)
+    try {
+      in.addData((1L, "sign up for our newsletter"
+        .split(" ").padTo(4, "x").take(4).mkString(" ") + " real content one two"))
+      q.processAllAvailable()
+      // batch 2 repeats batch 1's leading 4-token block (the boilerplate)
+      in.addData((2L, "sign up for our fresh tail words here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(corpus).orderBy("id")
+      .select("id", "text_out").as[(Long, String)].collect().toSeq
+    assert(rows.head == (1L -> "sign up for our real content one two"))
+    // doc 2's first window ("sign up for our") was ingested in batch 1
+    assert(rows(1) == (2L -> "fresh tail words here"), s"got ${rows(1)}")
+  }
 }
