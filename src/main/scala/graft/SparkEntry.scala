@@ -537,6 +537,23 @@ object SparkEntry {
   private def qNDedupSpansFull(s: SparkSession, dir: String): DataFrame =
     Dedup.dropRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 16)
 
+  /** Incremental span dedup, fully SQL-replayable (unlike the minhash
+    * incremental tier there is no estimator): store = window fingerprints
+    * of docs < 250, delta = docs >= 250; a delta window drops iff its
+    * content is in the store or loses the within-delta first-occurrence
+    * rule.
+    */
+  private def qNSpanIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store = Dedup.spanFingerprints(docs.filter(col("doc_id") < 250), "doc_id", "text")
+    val (rebuilt, _) = Dedup.incrementalSpanDedup(
+      docs.filter(col("doc_id") >= 250), store, "doc_id", "text")
+    rebuilt
+      .select(col("id").as("doc_id"), col("n_toks"), col("n_kept"),
+        md5(col("text_out")).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Hash-gated slice: the full-corpus minhash run, restricted to the
     * DuckDB-oracle-bounded id range. The oracle recomputes the exact
     * character-5-gram Jaccard over all `doc_id < 512` pairs, so the gate
@@ -1158,6 +1175,7 @@ object SparkEntry {
     "q_x_ntile"          -> (qXNtile _),
     "q_n_dedup_exact"    -> (qNDedupExact _),
     "q_n_dedup_spans"    -> (qNDedupSpans _),
+    "q_n_span_incr"      -> (qNSpanIncr _),
     "q_n_dedup_minhash"  -> (qNDedupMinhash _),
     "q_n_dedup_simhash"  -> (qNDedupSimhash _),
     "q_n_jaccard_pairs"  -> (qNJaccardPairs _),
@@ -1786,6 +1804,39 @@ object SparkEntry {
                        s -> NOT list_contains(coalesce(ds, []), s)),
                      s -> list_slice(toks, s + 1, s + 16))) AS kept
             FROM d LEFT JOIN drops USING (doc_id))
+          SELECT doc_id, n_toks, CAST(len(kept) AS BIGINT) AS n_kept,
+                 md5(coalesce(array_to_string(kept, ' '), '')) AS out_md5
+          FROM rebuilt ORDER BY doc_id""",
+    // incremental span dedup replay: store = distinct window fps of
+    // doc_id<250; delta windows drop on store membership or within-delta
+    // first-occurrence loss; rebuild as in q_n_dedup_spans
+    "q_n_span_incr" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sfp AS (
+            SELECT DISTINCT md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
+            FROM d, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
+            WHERE doc_id < 250 AND len(list_slice(toks, s + 1, s + 16)) > 0),
+          o AS (
+            SELECT doc_id, s AS start,
+                   md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
+            FROM d, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
+            WHERE doc_id >= 250 AND len(list_slice(toks, s + 1, s + 16)) > 0),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY fp
+                       ORDER BY doc_id, start) AS rn FROM o),
+          drops AS (SELECT doc_id, list(start) AS ds FROM (
+                      SELECT doc_id, start FROM o
+                      WHERE fp IN (SELECT fp FROM sfp)
+                      UNION
+                      SELECT doc_id, start FROM ranked WHERE rn > 1)
+                    GROUP BY doc_id),
+          rebuilt AS (
+            SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                   flatten(list_transform(
+                     list_filter(range(0, greatest(len(toks), 1), 16),
+                       s -> NOT list_contains(coalesce(ds, []), s)),
+                     s -> list_slice(toks, s + 1, s + 16))) AS kept
+            FROM d LEFT JOIN drops USING (doc_id)
+            WHERE d.doc_id >= 250)
           SELECT doc_id, n_toks, CAST(len(kept) AS BIGINT) AS n_kept,
                  md5(coalesce(array_to_string(kept, ' '), '')) AS out_md5
           FROM rebuilt ORDER BY doc_id""",

@@ -99,6 +99,16 @@ object Stress {
       time("incremental_dedup")(Dedup.incrementalDedup(
         big.filter(col("doc_id") % 10 === 0), store, "doc_id", "text", 0.7).count())
       store.unpersist(false)
+      val fpStore = Dedup.spanFingerprints(
+        big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").persist()
+      fpStore.count()
+      // same count() caveat as span_dedup: force via sum(n_kept)
+      time("incremental_spans") {
+        val (rebuilt, _) = Dedup.incrementalSpanDedup(
+          big.filter(col("doc_id") % 10 === 0), fpStore, "doc_id", "text")
+        rebuilt.select(sum(col("n_kept"))).head.getLong(0)
+      }
+      fpStore.unpersist(false)
       big.unpersist(false)
       Dedup.unpersistCaches()
     }

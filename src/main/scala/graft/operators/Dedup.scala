@@ -214,6 +214,14 @@ object Dedup {
         size(col("__kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("__kept")).as("text_out"))
 
+  /** Distinct window-content fingerprints of a corpus — the persisted store
+    * [[incrementalSpanDedup]] dedups deltas against (16 B/window; build once
+    * at corpus bootstrap, then append each batch's `newFps`).
+    */
+  def spanFingerprints(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16): DataFrame =
+    spanOcc(spanBase(df, idCol, textCol), k).select("fp").distinct()
+
   /** Incremental span dedup of a delta batch against a persisted window
     * store: a delta window is deleted iff its content fingerprint already
     * exists in `storeFps` (the corpus ingested so far) or it loses the
