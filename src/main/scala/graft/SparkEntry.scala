@@ -776,24 +776,28 @@ object SparkEntry {
   }
 
   /** Flagship LLM-corpus pipeline as ONE persisted spec document — the
-    * composition the engine exists for: quality filter → benchmark holdout →
-    * exact dedup → decontamination → deterministic train/val/test split →
-    * sequence packing, declared as a [[graft.plans.PipelineSpec]] DAG
-    * (the reference's persisted-pipeline model, `jobs/hi-order/
+    * composition the engine exists for, in the canonical prep order:
+    * quality filter → benchmark holdout → span-level boilerplate dedup →
+    * exact document dedup → decontamination → deterministic train/val/test
+    * split → sequence packing, declared as a [[graft.plans.PipelineSpec]]
+    * DAG (the reference's persisted-pipeline model, `jobs/hi-order/
     * job-pipeline.js:16-20`, carrying our LLM nodes). The spec is
     * round-tripped through [[graft.plans.SpecJson]] BEFORE compiling, so the
     * gate also proves the LLM nodes survive JSON persistence; compilation
     * yields one DataFrame chain, so Catalyst pushes the corpus filters into
-    * the single documents scan shared by every stage. The oracle replays all
-    * six stages in SQL (fingerprint keep-first, trigram hits, md5-bucket
-    * split, per-shard greedy packing as a window recurrence).
+    * the documents scans shared by every stage. The oracle replays all
+    * seven stages in SQL (window rebuild, fingerprint keep-first, trigram
+    * hits, md5-bucket split, per-shard greedy packing as a window
+    * recurrence).
     */
   private def qNLlmPipeline(s: SparkSession, dir: String): DataFrame = {
     val spec = PipelineSpec(nodes = Seq(
       "docs"    -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
       "bench"   -> FilterSpec(RefSpec("docs"), "doc_id % 50 = 0"),
       "corpus"  -> FilterSpec(RefSpec("docs"), "doc_id % 50 != 0 AND n_chars >= 100"),
-      "deduped" -> DedupNodeSpec(RefSpec("corpus"), "doc_id", "text", mode = "exact"),
+      "spans"   -> SpanDedupNodeSpec(RefSpec("corpus"), "doc_id", "text", k = 16),
+      "nonempty"-> FilterSpec(RefSpec("spans"), "text != ''"),
+      "deduped" -> DedupNodeSpec(RefSpec("nonempty"), "doc_id", "text", mode = "exact"),
       "cleaned" -> DecontamNodeSpec(RefSpec("deduped"), RefSpec("bench"),
                      "doc_id", "text", n = 3, minHits = 1),
       "split"   -> SplitNodeSpec(RefSpec("cleaned"), "doc_id",
@@ -1516,17 +1520,36 @@ object SparkEntry {
           SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
           FROM tr JOIN bg USING (g)
           GROUP BY tr.doc_id ORDER BY tr.doc_id""",
-    // full six-stage replay of the flagship spec pipeline: quality filter +
-    // holdout → fingerprint keep-first dedup → trigram decontamination →
-    // md5-bucket split → train slice → per-shard greedy packing (window
-    // recurrence), reusing the per-stage constructions gated individually by
-    // q_n_dedup_exact / q_n_decontam / q_n_hash_split / q_n_pack_seq
+    // full seven-stage replay of the flagship spec pipeline: quality filter +
+    // holdout → span-level boilerplate dedup (within the corpus slice) →
+    // fingerprint keep-first dedup → trigram decontamination → md5-bucket
+    // split → train slice → per-shard greedy packing (window recurrence),
+    // reusing the per-stage constructions gated individually by
+    // q_n_dedup_spans / q_n_dedup_exact / q_n_decontam / q_n_hash_split /
+    // q_n_pack_seq
     "q_n_llm_pipeline" ->
       s"""WITH d AS (
             SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
           corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0 AND n_chars >= 100),
+          socc AS (
+            SELECT doc_id, s AS start,
+                   md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
+            FROM corpus, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
+            WHERE len(list_slice(toks, s + 1, s + 16)) > 0),
+          sranked AS (SELECT *, row_number() OVER (PARTITION BY fp
+                        ORDER BY doc_id, start) AS rn FROM socc),
+          sdrops AS (SELECT doc_id, list(start) AS ds FROM sranked
+                     WHERE rn > 1 GROUP BY doc_id),
+          sreb AS (
+            SELECT corpus.doc_id,
+                   flatten(list_transform(
+                     list_filter(range(0, greatest(len(toks), 1), 16),
+                       s -> NOT list_contains(coalesce(ds, []), s)),
+                     s -> list_slice(toks, s + 1, s + 16))) AS toks
+            FROM corpus LEFT JOIN sdrops USING (doc_id)),
+          sp AS (SELECT doc_id, toks FROM sreb WHERE len(toks) > 0),
           fp AS (SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
-                 FROM corpus),
+                 FROM sp),
           keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
           dd AS (SELECT fp.* FROM fp JOIN keep USING (doc_id)),
           tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
