@@ -914,6 +914,30 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Int8-quantized IVF, containment-gated like the float tier: every
+    * returned neighbor must sit in the exact FLOAT top-20 — so the gate
+    * bounds cell-routing loss AND quantization-induced rank drift at once.
+    */
+  private def qNAnnIvfInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = VectorOps.ivfTopKInt8(queries, emb, k = 5, nlist = 16, nprobe = 8)
+    val exact20 = VectorOps.bruteForceTopK(queries, emb, k = 20)
+      .select("query_id", "neighbor_id")
+    ivf.groupBy("query_id").agg(count(lit(1)).as("n_returned"))
+      .join(
+        ivf.join(exact20, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_in_top20")),
+        Seq("query_id"))
+      .orderBy("query_id")
+  }
+
+  private def qNAnnIvfInt8Full(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorOps.ivfTopKInt8(emb.filter(col("vec_id") < 20), emb, k = 5, nlist = 16, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   private def qNAnnIvfFull(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorOps.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5, nlist = 16, nprobe = 8)
@@ -1187,6 +1211,7 @@ object SparkEntry {
     "q_n_ann_cosine"     -> (qNAnnCosine _),
     "q_n_ann_lsh"        -> (qNAnnLsh _),
     "q_n_ann_ivf"        -> (qNAnnIvf _),
+    "q_n_ann_ivf_int8"   -> (qNAnnIvfInt8 _),
     "q_n_vector_stats"   -> (qNVectorStats _),
     "q_n_text_stats"     -> (qNTextStats _),
     "q_n_text_clean"     -> (qNTextClean _),
@@ -1207,7 +1232,8 @@ object SparkEntry {
     "q_n_dedup_simhash" -> (qNDedupSimhashFull _),
     "q_n_emb_dups"      -> (qNEmbDupsFull _),
     "q_n_ann_lsh"       -> (qNAnnLshFull _),
-    "q_n_ann_ivf"       -> (qNAnnIvfFull _))
+    "q_n_ann_ivf"       -> (qNAnnIvfFull _),
+    "q_n_ann_ivf_int8"  -> (qNAnnIvfInt8Full _))
 
   // --- DuckDB oracle SQL ----------------------------------------------------
 
@@ -1940,6 +1966,12 @@ object SparkEntry {
          ORDER BY query_id, rank""",
     // containment counts: 5 returned, all 5 inside the exact top-20
     "q_n_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+                CAST(5 AS BIGINT) AS n_in_top20
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // int8 IVF: same containment contract as the float tier — quantization
+    // must not push any returned neighbor out of the exact float top-20
+    "q_n_ann_ivf_int8" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
                 CAST(5 AS BIGINT) AS n_in_top20
          FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",

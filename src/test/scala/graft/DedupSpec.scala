@@ -392,4 +392,21 @@ class DedupSpec extends SparkSpec {
     val fresh = newFps.as[String].collect().toSet
     assert(fresh.size == 2 && !fresh.exists(store1.as[String].collect().toSet))
   }
+
+  test("int8 IVF routes and ranks the planted neighbor like float IVF") {
+    val rnd = new scala.util.Random(31)
+    val base = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val near = base.map(v => v * 1.002f)
+    val vecs = Seq((0L, base), (1L, near)) ++
+      (2L to 80L).map(i => i -> Array.fill(32)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 2)
+    val floatTop = VectorOps.ivfTopK(q, df, k = 1, nlist = 4, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val int8Top = VectorOps.ivfTopKInt8(q, df, k = 1, nlist = 4, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // same coarse routing (shared ivfAssign) + clear-margin ranking ->
+    // quantization cannot flip the planted nearest neighbor
+    assert(int8Top == floatTop && int8Top == Map(0L -> 1L, 1L -> 0L))
+  }
 }
