@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training, in the scalable word-vocabulary
+  * formulation (the one production tokenizer trainers use): the corpus is
+  * touched ONCE to build `(word, count)` — every later iteration runs on
+  * that weighted vocabulary relation, whose size is the DISTINCT-word
+  * count, not the corpus size. At 100 TB the corpus pass is one
+  * shuffle-light word count; the K merge iterations then operate on a
+  * relation millions of times smaller.
+  *
+  * Training is the textbook BPE loop (Sennrich et al. 2016): each word is
+  * a symbol sequence (characters + `</w>` end marker); per iteration the
+  * corpus-weighted count of every ADJACENT symbol pair is aggregated, the
+  * most frequent pair (deterministic `(count desc, pair asc)` tie-break)
+  * becomes the next merge, and the vocabulary is rewritten with that pair
+  * fused. The driver holds only the K chosen merges (the model — KB-sized);
+  * the vocabulary stays distributed, with `localCheckpoint` every few
+  * rounds so the iteration count never builds a deep lineage.
+  */
+object Bpe {
+
+  /** End-of-word marker (attached to a word's last character, so merges
+    * distinguish word-final from word-internal contexts).
+    */
+  val EndOfWord = "</w>"
+
+  /** `(word, count)` over the whitespace tokens of `textCol` — the single
+    * corpus pass. One hash aggregation; map-side combine absorbs the
+    * zipfian head.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** A word as its initial symbol sequence: characters, with [[EndOfWord]]
+    * fused onto the final one.
+    */
+  private def initialSymbols(word: Column): Column = {
+    val chars = filter(split(word, ""), c => length(c) > 0)
+    transform(chars, (c, i) =>
+      when(i === size(chars) - 1, concat(c, lit(EndOfWord))).otherwise(c))
+  }
+
+  /** Rewrite a symbol sequence with ONE merge `(a, b) → ab` applied
+    * left-to-right (the BPE application order): a fold over the sequence
+    * that fuses an element onto the accumulator's tail when the pair
+    * matches. O(len²) array copying per word — fine for word-length
+    * sequences, which is why the vocab formulation matters.
+    */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) => {
+      // try_element_at: ANSI-safe on the empty accumulator (null, not error)
+      val last = try_element_at(acc, lit(-1))
+      when(last === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x)))
+    })
+
+  /** Train `numMerges` BPE merges over the corpus. Returns the ordered
+    * merge list — the tokenizer model. `vocab` must be a `(word, cnt)`
+    * relation ([[wordCounts]]); pass `checkpointEvery` down for long runs.
+    */
+  def trainMerges(vocab: DataFrame, numMerges: Int,
+                  checkpointEvery: Int = 8): Seq[(String, String)] = {
+    var v = vocab.select(col("cnt"), initialSymbols(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      // corpus-weighted adjacent-pair counts over the vocab relation
+      val top = v.select(col("cnt"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              j => struct(element_at(col("syms"), j).as("a"),
+                element_at(col("syms"), j + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy("p").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("p.a"), col("p.b"))
+        .limit(1).collect() // the argmax row only — the model is driver-side by design
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head.getStruct(0)
+        val (a, b) = (row.getString(0), row.getString(1))
+        merges += ((a, b))
+        v = v.select(col("cnt"), applyMerge(col("syms"), a, b).as("syms"))
+        // truncate lineage so iteration K doesn't replay K rewrites
+        if ((i + 1) % checkpointEvery == 0) v = v.localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The trained segmentation of every vocabulary word: `(word, subwords)`.
+    * This is the ENCODE path's lookup table — broadcast it and encoding the
+    * corpus is a narrow join, with no per-row merge loop.
+    */
+  def vocabSegmentation(vocab: DataFrame,
+                        merges: Seq[(String, String)]): DataFrame =
+    vocab.select(col("word"),
+      merges.foldLeft(initialSymbols(col("word"))) {
+        case (syms, (a, b)) => applyMerge(syms, a, b)
+      }.as("subwords"))
+
+  /** Encode a corpus with a trained segmentation table: whitespace words
+    * join the (broadcast-size-gated) table; out-of-vocabulary words fall
+    * back to their character sequence. Output: `(id, n_words, n_subwords,
+    * subwords)` — the real token count a packing budget should use.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             segmentation: DataFrame): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "word")))
+    words.join(graft.operators.Joins.maybeBroadcast(segmentation), Seq("word"), "left")
+      .withColumn("subwords",
+        coalesce(col("subwords"), initialSymbols(col("word"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("subwords"))).cast("long").as("n_subwords"),
+        flatten(array_sort(collect_list(struct(col("pos"), col("subwords"))))
+          .getField("subwords")).as("subwords"))
+  }
+}

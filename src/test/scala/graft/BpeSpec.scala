@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** BPE merge training against the hand-computable Sennrich-style corpus:
+  * {low×5, lower×2, newest×6, widest×3}. First merges derived by hand:
+  *   pair counts round 1: (e,s)=9, (s,t</w>)=9 → tie-break (a asc) picks (e,s)
+  *   round 2: (es,t</w>)=9
+  *   round 3: (l,o)=7
+  *   round 4: (n,e)=(e,w)=(w,est</w>)=6 → tie-break picks (e,w)
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, Seq.fill(5)("low").mkString(" ")),
+    (2L, Seq.fill(2)("lower").mkString(" ")),
+    (3L, Seq.fill(6)("newest").mkString(" ")),
+    (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+
+  test("trainMerges reproduces the hand-computed BPE merge sequence") {
+    val vocab = Bpe.wordCounts(corpus, "text")
+    assert(vocab.count() == 4)
+    val merges = Bpe.trainMerges(vocab, numMerges = 4)
+    assert(merges == Seq(
+      ("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")), s"got $merges")
+  }
+
+  test("vocabSegmentation applies merges in order; encode joins it and counts subwords") {
+    val vocab = Bpe.wordCounts(corpus, "text")
+    val merges = Bpe.trainMerges(vocab, numMerges = 4)
+    val seg = Bpe.vocabSegmentation(vocab, merges)
+    val newest = seg.filter(col("word") === "newest")
+      .select("subwords").as[Seq[String]].head()
+    assert(newest == Seq("n", "ew", "est</w>"), s"got $newest")
+    // encode: "newest" resolves via the table; "lowest" is OOV -> char fallback
+    val docs = Seq((7L, "newest lowest")).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, "doc_id", "text", seg)
+      .select("id", "n_words", "n_subwords", "subwords")
+      .as[(Long, Long, Long, Seq[String])].head()
+    assert(enc._2 == 2 && enc._3 == 9, s"got $enc")
+    assert(enc._4 == Seq("n", "ew", "est</w>", "l", "o", "w", "e", "s", "t</w>"))
+  }
+
+  test("merge application is position-correct: overlapping pair runs fuse left-to-right") {
+    // word "aaa": chars a a a</w>; merge (a,a) must produce [aa, a</w>]
+    val v = Seq(("aaa", 1L)).toDF("word", "cnt")
+    val seg = Bpe.vocabSegmentation(v, Seq(("a", "a")))
+    assert(seg.select("subwords").as[Seq[String]].head() == Seq("aa", "a</w>"))
+  }
+}
