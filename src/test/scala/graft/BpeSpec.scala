@@ -49,4 +49,29 @@ class BpeSpec extends SparkSpec {
     val seg = Bpe.vocabSegmentation(v, Seq(("a", "a")))
     assert(seg.select("subwords").as[Seq[String]].head() == Seq("aa", "a</w>"))
   }
+
+  test("BPE subword counts drive the packing budget (tokenizer-true packing)") {
+    val vocab = Bpe.wordCounts(corpus, "text")
+    val seg = Bpe.vocabSegmentation(vocab, Bpe.trainMerges(vocab, numMerges = 4))
+    val docs = Seq((1L, "newest newest"), (2L, "low lower"), (3L, "widest"))
+      .toDF("doc_id", "text")
+    val encoded = Bpe.encode(docs, "doc_id", "text", seg)
+    // whitespace count would say 2/2/1 tokens; the subword truth differs:
+    // newest=[n,ew,est</w>]x2=6, low=[lo,w</w>] + lower=[lo,w,e,r</w>]=6,
+    // widest=[w,i,d,est</w>]=4
+    val counts = encoded.select("id", "n_subwords")
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 6L, 2L -> 6L, 3L -> 4L), s"got $counts")
+    // pack on the SUBWORD counts (budget in tokenizer tokens, not words);
+    // packBinsGreedy's contract: a bin closes once fill REACHES the budget,
+    // so non-final bins are >= budget and overflow is bounded by the last
+    // doc — with subword sizes (6,6,4) and budget 7 that is bins {12, 4}
+    val bins = graft.operators.Packing.packBinsGreedy(
+        encoded.withColumnRenamed("id", "doc_id"), "doc_id", "n_subwords",
+        budgetTokens = 7, shards = 16)
+      .groupBy("shard", "bin")
+      .agg(sum(col("n_subwords")).as("fill"))
+      .select("fill").as[Long].collect()
+    assert(bins.sorted.toSeq == Seq(4L, 12L), s"got ${bins.sorted.toSeq}")
+  }
 }
