@@ -832,6 +832,43 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Pinned BPE tokenizer model for the encode gate: the first 24 merges
+    * [[graft.functions.Bpe.trainMerges]] learns on the sf0.01 fixtures
+    * (reproduce with `runMain graft.tools.BpeProbe`). Pinning the model is
+    * what makes ENCODE DuckDB-replayable — training's iterative argmax has
+    * no SQL form (it is CI-gated in BpeSpec), but applying a fixed merge
+    * list is pure string algebra both engines can express. None of the
+    * pinned merges has `a == b`: that is the one case where the oracle's
+    * replace-to-fixpoint formulation diverges from the engine's
+    * left-to-right fold (overlapping occurrences in a same-symbol run),
+    * so it is excluded from the gate model by construction.
+    */
+  private val bpeGateMerges: Seq[(String, String)] = Seq(
+    ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"),
+    ("l", "u"), ("a", "s"), ("i", "n"), ("e", "r"),
+    ("o", "r"), ("a", "r"), ("p", "ar"), ("i", "n</w>"),
+    ("j", "o"), ("jo", "in</w>"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"))
+
+  /** BPE encode under the pinned model, gated on its full anchors:
+    * `(n_words, n_subwords, md5(subword sequence))` per document — the
+    * word count verifies tokenization, the subword count verifies every
+    * merge application, and the md5 verifies the exact segmented sequence
+    * in document order. The segmentation table is built over the corpus's
+    * own vocabulary ([[graft.functions.Bpe.vocabSegmentation]]), so the
+    * broadcast-join encode path — not a per-row merge loop — is what the
+    * gate exercises.
+    */
+  private def qNBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val seg = Bpe.vocabSegmentation(Bpe.wordCounts(docs, "text"), bpeGateMerges)
+    Bpe.encode(docs, "doc_id", "text", seg)
+      .select(col("id").as("doc_id"), col("n_words"), col("n_subwords"),
+        md5(concat_ws("\u0001", col("subwords"))).as("sub_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Hash-gated by planted twins: each corpus vector gets a ×2-scaled copy
     * at `vec_id + 100000`. Scaling preserves direction exactly (powers of
     * two are exact in IEEE floats), so a twin lands in ALL of its original's
@@ -1218,7 +1255,8 @@ object SparkEntry {
     "q_n_quality_gates"  -> (qNQualityGates _),
     "q_x_range_join"     -> (qXRangeJoin _),
     "q_n_llm_pipeline"   -> (qNLlmPipeline _),
-    "q_n_multimodal"     -> (qNMultimodal _))
+    "q_n_multimodal"     -> (qNMultimodal _),
+    "q_n_bpe_encode"     -> (qNBpeEncode _))
 
   /** Bench-time overrides: the correctness gate runs the approximate tiers
     * in their hash-verifiable form (bounded slice / planted twins /
@@ -1239,6 +1277,24 @@ object SparkEntry {
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  /** The [[bpeGateMerges]] replay as a DuckDB expression over a
+    * chr(1)-delimited symbol string (`chr(1) || sym || chr(1) || … ||
+    * chr(1)`): each merge `(a, b) → ab` is `replace(s, §a§b§, §ab§)`
+    * applied TWICE — `replace` consumes the shared trailing/leading
+    * delimiter of back-to-back occurrences, so pass one fuses every other
+    * occurrence of a chain and pass two fuses the (now isolated) rest;
+    * for `a != b` occurrences cannot overlap, so two passes reach the
+    * fixpoint and equal the engine's left-to-right fold
+    * ([[graft.functions.Bpe]]'s `applyMerge`). `a == b` merges (where
+    * greedy fold and fixpoint differ) are excluded from the pinned model.
+    */
+  private def bpeSegSql(symsExpr: String): String =
+    bpeGateMerges.foldLeft(symsExpr) { case (e, (a, b)) =>
+      val pat = s"chr(1) || '$a' || chr(1) || '$b' || chr(1)"
+      val rep = s"chr(1) || '$a$b' || chr(1)"
+      s"replace(replace($e, $pat, $rep), $pat, $rep)"
+    }
 
   /** Shared oracle prelude for the clustering queries: word-bigram Jaccard
     * pairs (same shingling as [[graft.functions.TextOps.wordShingles]])
@@ -2046,6 +2102,33 @@ object SparkEntry {
                  CAST(n_tokens BETWEEN 30 AND 1000 AND mean_wlen BETWEEN 3.0 AND 10.0
                       AND top2_frac <= 0.05 AND stop_hits >= 1 AS BIGINT) AS pass_gates
           FROM m ORDER BY doc_id""",
+    // BPE encode under the pinned merge list: distinct-word segmentation
+    // (vocab formulation, same shape as the engine's broadcast-join encode),
+    // then per-doc anchors in token order
+    "q_n_bpe_encode" -> {
+      val syms0 =
+        """chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+             i -> CASE WHEN i = length(word) THEN word[i] || '</w>'
+                       ELSE word[i] END), chr(1)) || chr(1)"""
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          w AS (SELECT DISTINCT unnest(toks) AS word FROM t),
+          seg AS (SELECT word,
+                    list_filter(string_split(${bpeSegSql(syms0)}, chr(1)),
+                                x -> len(x) > 0) AS sub
+                  FROM w),
+          o AS (SELECT doc_id, i AS pos, toks[i] AS word
+                FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+          e AS (SELECT o.doc_id, count(*) AS n_words,
+                       CAST(sum(len(sub)) AS BIGINT) AS n_subwords,
+                       flatten(list(sub ORDER BY pos)) AS seq
+                FROM o JOIN seg USING (word) GROUP BY o.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+                 CAST(coalesce(n_subwords, 0) AS BIGINT) AS n_subwords,
+                 md5(array_to_string(coalesce(seq, []), chr(1))) AS sub_md5
+          FROM (SELECT doc_id FROM documents) d LEFT JOIN e USING (doc_id)
+          ORDER BY doc_id"""
+    },
     "q_n_text_stats" -> {
       val en = """len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b'))"""
       val fr = """len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une|est|dans)\b'))"""

@@ -10,6 +10,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [nameFilter]")
+        sys.exit(2)
     }
     // Same planner config (AQE, broadcast threshold, UTC) as Bench/production
     // — the correctness gate must exercise the plans the engine actually runs.

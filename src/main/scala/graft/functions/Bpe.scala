@@ -115,7 +115,8 @@ object Bpe {
              segmentation: DataFrame): DataFrame = {
     val words = df.select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "word")))
-    words.join(graft.operators.Joins.maybeBroadcast(segmentation), Seq("word"), "left")
+    val enc = words
+      .join(graft.operators.Joins.maybeBroadcast(segmentation), Seq("word"), "left")
       .withColumn("subwords",
         coalesce(col("subwords"), initialSymbols(col("word"))))
       .groupBy("id")
@@ -123,5 +124,13 @@ object Bpe {
         sum(size(col("subwords"))).cast("long").as("n_subwords"),
         flatten(array_sort(collect_list(struct(col("pos"), col("subwords"))))
           .getField("subwords")).as("subwords"))
+    // posexplode emits nothing for zero-token docs — left-join the id set
+    // back so empty documents survive with n_words = 0 (auditable row
+    // counts, same contract as Dedup.dropRepeatedSpans' n_kept = 0)
+    df.select(col(idCol).as("id")).join(enc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("subwords"), array().cast("array<string>")).as("subwords"))
   }
 }

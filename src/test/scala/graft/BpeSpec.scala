@@ -50,6 +50,17 @@ class BpeSpec extends SparkSpec {
     assert(seg.select("subwords").as[Seq[String]].head() == Seq("aa", "a</w>"))
   }
 
+  test("encode keeps zero-token documents with n_words = 0 (auditable row counts)") {
+    val vocab = Bpe.wordCounts(corpus, "text")
+    val seg = Bpe.vocabSegmentation(vocab, Bpe.trainMerges(vocab, numMerges = 4))
+    val docs = Seq((1L, "newest"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, "doc_id", "text", seg)
+      .select("id", "n_words", "n_subwords", "subwords")
+      .as[(Long, Long, Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(enc.map(_._1) == Seq(1L, 2L, 3L), s"got $enc")
+    assert(enc(1) == ((2L, 0L, 0L, Seq.empty)) && enc(2) == ((3L, 0L, 0L, Seq.empty)))
+  }
+
   test("BPE subword counts drive the packing budget (tokenizer-true packing)") {
     val vocab = Bpe.wordCounts(corpus, "text")
     val seg = Bpe.vocabSegmentation(vocab, Bpe.trainMerges(vocab, numMerges = 4))
