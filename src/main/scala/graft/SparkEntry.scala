@@ -869,6 +869,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Z-order layout gate ([[graft.sinks.Writers.zorderLayout]]) THROUGH the
+    * [[graft.plans.LayoutNodeSpec]] spec surface: a lineitem projection is
+    * rewritten into a Morton-clustered parquet layout by a pipeline compiled
+    * from its own persisted JSON (LayoutNode round-trip), read back, and
+    * compared row-for-row against the source — a clustered layout must be a
+    * pure physical reordering, zero row or value drift. File-pruning
+    * efficacy (the reason the layout exists) is CI-gated in ZorderSpec on
+    * footer min/max overlap and decoded-row scan metrics; this gate pins
+    * end-to-end data fidelity of the rewrite.
+    */
+  private def qXZorder(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("x_zorder", dir)
+    val spec = PipelineSpec(nodes = Seq(
+      "li"     -> SourceSpec("parquet", "{%dir%}/lineitem.parquet"),
+      "narrow" -> MapSpec(RefSpec("li"), Seq(
+        "l_orderkey" -> "l_orderkey", "l_linenumber" -> "l_linenumber",
+        "l_partkey" -> "l_partkey", "l_quantity" -> "l_quantity",
+        "l_extendedprice" -> "l_extendedprice")),
+      "z"      -> LayoutNodeSpec(RefSpec("narrow"), "zorder", s"$out/z",
+                    Seq("l_partkey", "l_extendedprice"), files = 16, bits = 8)),
+      out = "z")
+    val back = SpecJson.fromJson(SpecJson.toJson(spec))
+    PipelineCompiler.compile(back, s, Map("dir" -> dir))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Hash-gated by planted twins: each corpus vector gets a ×2-scaled copy
     * at `vec_id + 100000`. Scaling preserves direction exactly (powers of
     * two are exact in IEEE floats), so a twin lands in ALL of its original's
@@ -1256,7 +1282,8 @@ object SparkEntry {
     "q_x_range_join"     -> (qXRangeJoin _),
     "q_n_llm_pipeline"   -> (qNLlmPipeline _),
     "q_n_multimodal"     -> (qNMultimodal _),
-    "q_n_bpe_encode"     -> (qNBpeEncode _))
+    "q_n_bpe_encode"     -> (qNBpeEncode _),
+    "q_x_zorder"         -> (qXZorder _))
 
   /** Bench-time overrides: the correctness gate runs the approximate tiers
     * in their hash-verifiable form (bounded slice / planted twins /
@@ -2129,6 +2156,11 @@ object SparkEntry {
           FROM (SELECT doc_id FROM documents) d LEFT JOIN e USING (doc_id)
           ORDER BY doc_id"""
     },
+    // Z-order layout: the rewrite is a pure physical reordering, so the
+    // read-back relation must equal the source projection row-for-row
+    "q_x_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_n_text_stats" -> {
       val en = """len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b'))"""
       val fr = """len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une|est|dans)\b'))"""

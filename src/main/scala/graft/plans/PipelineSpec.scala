@@ -100,6 +100,20 @@ case class DecontamNodeSpec(input: OpSpec, bench: OpSpec, idCol: String,
 /** Pack documents into ≈budgetTokens sequences (EOS-joined token arrays). */
 case class PackNodeSpec(input: OpSpec, idCol: String, textCol: String,
                         budgetTokens: Long, shards: Int = 256) extends OpSpec
+/** Clustered-layout materialization barrier: write the input with a named
+  * physical layout, yield the read-back relation — downstream nodes scan
+  * the laid-out files (footer-stat pruning; zero-shuffle bucketed joins).
+  * `layout`: `"sorted"` ([[graft.sinks.Writers.sortedLayout]]),
+  * `"zorder"` ([[graft.sinks.Writers.zorderLayout]] — `bits` applies), or
+  * `"bucketed"` ([[graft.sinks.Writers.bucketedTable]] — `path` is the
+  * TABLE name, `cols.head` the bucket column, `files` the bucket count).
+  * Compiling this node is EAGER (the write happens at compile time): the
+  * one deliberate materialization point in an otherwise lazy spec — at
+  * 100 TB a layout is a run-once asset, not a per-query transform.
+  */
+case class LayoutNodeSpec(input: OpSpec, layout: String, path: String,
+                          cols: Seq[String], files: Int = 64,
+                          bits: Int = 10) extends OpSpec
 
 /** A named-node pipeline: `nodes` define the DAG, `out` names the result. */
 case class PipelineSpec(nodes: Seq[(String, OpSpec)], out: String)
@@ -208,6 +222,20 @@ object PipelineCompiler {
           ngram, minHits)
       case PackNodeSpec(in, id, text, budget, shards) =>
         graft.operators.Packing.packSequences(build(in), sub(id), sub(text), budget, shards)
+      case LayoutNodeSpec(in, layout, path, cols, files, bits) =>
+        val df = build(in)
+        val p = sub(path)
+        val cs = cols.map(sub)
+        layout match {
+          case "sorted" =>
+            graft.sinks.Writers.sortedLayout(df, p, cs, files); spark.read.parquet(p)
+          case "zorder" =>
+            graft.sinks.Writers.zorderLayout(df, p, cs, files, bits); spark.read.parquet(p)
+          case "bucketed" =>
+            graft.sinks.Writers.bucketedTable(df, p, cs.head, files); spark.table(p)
+          case other =>
+            throw new IllegalArgumentException(s"layout '$other' (sorted|zorder|bucketed)")
+        }
     }
 
     spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }
@@ -236,6 +264,7 @@ object PipelineCompiler {
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
     case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
+    case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)
   }
 
   /** All spec nodes (transitively) feeding `name`, including itself. */

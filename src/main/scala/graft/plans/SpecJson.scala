@@ -85,6 +85,11 @@ object SpecJson {
         pairs(n, "op" -> "pack", "idCol" -> id, "textCol" -> text)
         n.put("budgetTokens", budget); n.put("shards", shards)
         n.set[JsonNode]("input", opNode(in))
+      case LayoutNodeSpec(in, layout, path, cols, files, bits) =>
+        pairs(n, "op" -> "layout", "layout" -> layout, "path" -> path)
+        val c = n.putArray("cols"); cols.foreach(c.add)
+        n.put("files", files); n.put("bits", bits)
+        n.set[JsonNode]("input", opNode(in))
     }
     n
   }
@@ -151,6 +156,10 @@ object SpecJson {
     case "pack"    => PackNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "textCol"),
                         n.get("budgetTokens").asLong,
                         Option(n.get("shards")).map(_.asInt).getOrElse(256))
+    case "layout"  => LayoutNodeSpec(parseOp(n.get("input")), str(n, "layout"), str(n, "path"),
+                        strs(n, "cols"),
+                        Option(n.get("files")).map(_.asInt).getOrElse(64),
+                        Option(n.get("bits")).map(_.asInt).getOrElse(10))
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
 
@@ -201,6 +210,7 @@ object SpecJson {
         case MixNodeSpec(in, _, _, _, _) => link(in)
         case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)
+        case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
       }
     }
     spec.nodes.foreach { case (name, op) => visit(op, name) }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Sink connectors (SURVEY §2.5). The reference writes to `file:`/`http:`/
@@ -184,8 +184,11 @@ object Writers {
     * under skew); per row, bucket = count of boundaries ≤ value (a ~1k-step
     * codegen'd HOF scan, negligible next to the write shuffle); the Morton
     * key interleaves bucket bits across columns; rows are range-partitioned
-    * and sorted on that key. Numeric/date/timestamp columns only (values
-    * are bucketized through a double cast; nulls land in bucket 0).
+    * and sorted on that key. Numeric/date/timestamp columns only: date and
+    * timestamp values are projected to epoch-second doubles BEFORE the
+    * quantile pass (`approxQuantile` accepts only NumericType columns —
+    * a raw DateType would throw), numerics through a plain double cast;
+    * nulls land in bucket 0.
     */
   def zorderLayout(df: DataFrame, path: String, cols: Seq[String],
                    files: Int = 64, bits: Int = 10): Unit = {
@@ -193,16 +196,28 @@ object Writers {
     require(bits * cols.size <= 62, s"bits=$bits × ${cols.size} cols overflows the long z-key")
     val nb = 1 << bits
     val probes = (1 until nb).map(_.toDouble / nb).toArray
+    // epoch-double projection: the SAME expression feeds the quantile pass
+    // and the bucketization scan, so boundaries and values agree
+    import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+    def asDouble(c: String): Column = df.schema(c).dataType match {
+      case DateType | TimestampType | TimestampNTZType =>
+        col(c).cast("timestamp").cast("double")
+      case _ => col(c).cast("double")
+    }
+    val qNames = cols.indices.map(i => s"__zq_$i")
+    val projected = cols.zip(qNames).foldLeft(df) {
+      case (d, (c, qn)) => d.withColumn(qn, asDouble(c))
+    }
     // one Greenwald-Khanna pass for ALL columns (the multi-column overload),
     // not one scan per clustered column
-    val quantiles = df.stat.approxQuantile(cols.toArray, probes,
+    val quantiles = projected.stat.approxQuantile(qNames.toArray, probes,
       math.min(0.01, 1.0 / (4.0 * nb)))
     val buckets = cols.zip(quantiles).map { case (c, raw) =>
       val qs = raw.distinct.sorted
       if (qs.isEmpty) lit(0L)
       else {
         val bounds = array(qs.map(lit(_)): _*)
-        size(filter(bounds, b => col(c).cast("double") >= b)).cast("long")
+        size(filter(bounds, b => asDouble(c) >= b)).cast("long")
       }
     }
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>

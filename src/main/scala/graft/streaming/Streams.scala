@@ -113,8 +113,11 @@ object Streams {
     * Structured Streaming shape for transforms that need batch-only
     * multi-pass joins (LSH banding); restart safety comes from the
     * checkpoint — a replayed batch re-dedups against the store and its
-    * survivors' signatures are re-appended, so give `storeDir` readers a
-    * `dropDuplicates("id")` if duplicate sig rows matter.
+    * survivors' signatures are re-appended. The two sinks are not atomic
+    * (corpus is written first — duplicates are recoverable, dropped
+    * content is not), so after an unclean restart give `corpusDir`
+    * readers a `dropDuplicates(idCol)` and `storeDir` readers a
+    * `dropDuplicates("id")`.
     */
   def ingestDedup(stream: DataFrame, idCol: String, textCol: String,
                   threshold: Double, corpusDir: String, storeDir: String,
@@ -153,11 +156,17 @@ object Streams {
     * fingerprints to `storeDir`. The boilerplate case this exists for:
     * a crawler re-ingesting pages whose header/footer blocks were seen in
     * earlier batches keeps only each block's first occurrence ever.
-    * Same restart semantics as [[ingestDedup]]: a checkpoint-replayed batch
-    * re-dedups against the store; give `storeDir` readers a
-    * `dropDuplicates("fp")` if duplicate fp rows matter. Documents that
-    * rebuild to empty text are still appended (with `n_kept = 0`) so the
-    * corpus row count is auditable — filter `n_kept > 0` downstream.
+    * Restart semantics: the two sinks are not atomic, and the corpus is
+    * deliberately written FIRST — a crash between the writes makes the
+    * checkpoint replay re-dedup against a store missing that batch's
+    * fingerprints and append the same documents AGAIN. The reverse order
+    * would be worse: a replay against a store already holding the batch's
+    * own fps rebuilds every document to empty — silent content loss.
+    * Duplicates are recoverable, loss is not; so after an unclean restart
+    * give `corpusDir` readers a `dropDuplicates(idCol)` and `storeDir`
+    * readers a `dropDuplicates("fp")`. Documents that rebuild to empty
+    * text are still appended (with `n_kept = 0`) so the corpus row count
+    * is auditable — filter `n_kept > 0` downstream.
     */
   def ingestSpanDedup(stream: DataFrame, idCol: String, textCol: String,
                       k: Int, corpusDir: String, storeDir: String,

@@ -44,6 +44,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: MixNodeSpec => MixNodeSpec(in, "id", "lang", Map("fr" -> 2.0, "en" -> 0.5), 1.5)
       case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2)
       case _: PackNodeSpec => PackNodeSpec(in, "id", "txt", 2048L, 64)
+      case _: LayoutNodeSpec => LayoutNodeSpec(in, "zorder", "/data/z", Seq("a", "b"), 32, 8)
     }
     val shapes: Seq[OpSpec] = Seq(
       SourceSpec("parquet", "p"), RefSpec("r"), FilterSpec(in, "1=1"),
@@ -54,7 +55,7 @@ class SpecJsonSpec extends SparkSpec {
       DedupNodeSpec(in, "i", "t"), SpanDedupNodeSpec(in, "i", "t"),
       SplitNodeSpec(in, "i", Nil),
       MixNodeSpec(in, "i", "s", Map.empty), DecontamNodeSpec(in, in, "i", "t"),
-      PackNodeSpec(in, "i", "t", 1L))
+      PackNodeSpec(in, "i", "t", 1L), LayoutNodeSpec(in, "sorted", "p", Nil))
     shapes.foreach { shape =>
       val op = exemplar(shape)
       val ps = PipelineSpec(Seq("n" -> op), "n")
@@ -110,6 +111,27 @@ class SpecJsonSpec extends SparkSpec {
     Seq("dedupnode", "spandedupnode", "decontamnode", "splitnode", "mixnode",
         "packnode")
       .foreach(t => assert(dag.contains(t), s"dag missing $t"))
+  }
+
+  test("layout node: JSON round-trip compiles and materializes the clustered copy") {
+    val base = java.nio.file.Files.createTempDirectory("layoutnode").toString
+    val spec = PipelineSpec(nodes = Seq(
+      "li"     -> SourceSpec("parquet", "{%dir%}/lineitem.parquet"),
+      "narrow" -> MapSpec(RefSpec("li"), Seq(
+        "k" -> "l_orderkey", "p" -> "l_partkey", "q" -> "l_quantity")),
+      "z"      -> LayoutNodeSpec(RefSpec("narrow"), "zorder", s"$base/z",
+                    Seq("p", "q"), files = 8, bits = 6)),
+      out = "z")
+    val back = SpecJson.fromJson(SpecJson.toJson(spec))
+    assert(back == spec)
+    val df = PipelineCompiler.compile(back, spark, Map("dir" -> sf))
+    // the layout is a materialization barrier: the compiled node reads the
+    // laid-out files, and the rewrite preserved every row/value
+    val src = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(df.count() == src.count())
+    assert(df.agg(sum("k")).head.getLong(0)
+      == src.agg(sum("l_orderkey")).head.getLong(0))
+    assert(SpecJson.dag(spec).contains("layoutnode"))
   }
 
   test("unknown op discriminator fails loudly") {

@@ -66,4 +66,49 @@ class ZorderSpec extends SparkSpec {
     // and z must beat lexicographic decisively on the trailing dimension
     assert(zB < sB - 0.3, f"zorder b=$zB%.2f not better than sorted b=$sB%.2f")
   }
+
+  test("2-D box scan over z-ordered files DECODES fewer rows (measured scan metric)") {
+    // the overlap-fraction test above models pruning from footer stats; this
+    // one measures it: parquet row-group pruning (filterPushdown) means the
+    // scan's numOutputRows is the rows DECODED from surviving row groups —
+    // the cost a 100 TB point query actually pays
+    val base = java.nio.file.Files.createTempDirectory("zmetrics").toString
+    Writers.zorderLayout(data, s"$base/z", Seq("a", "b"), files = 16, bits = 8)
+    data.repartition(16).write.parquet(s"$base/u") // unsorted: random layout
+    def decodedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .filter(col("a").between(100L, 150L) && col("b").between(10.0, 15.0))
+      df.collect()
+      // no exchange in scan+filter+collect, so the plan is non-adaptive and
+      // the scan node is directly collectible
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      scan.metrics("numOutputRows").value
+    }
+    val z = decodedRows(s"$base/z")
+    val u = decodedRows(s"$base/u")
+    info(s"decoded rows for the 5%x5% box: zorder=$z unsorted=$u (total 4000)")
+    // random layout: every row group's [min,max] spans the box -> decodes all
+    assert(u >= 3500, s"expected the unsorted copy to decode ~everything, got $u")
+    // z-order: footer stats skip most row groups
+    assert(z <= u / 2, s"zorder decoded $z rows vs unsorted $u - no real pruning")
+  }
+
+  test("date/timestamp clustering columns bucketize via the epoch projection") {
+    // approxQuantile accepts only numeric columns; dates must flow through
+    // the epoch-double projection rather than throw
+    val dated = data.withColumn("d", expr("date_add(date '2020-01-01', cast(a % 365 as int))"))
+    val dir = java.nio.file.Files.createTempDirectory("zdate").toString + "/t"
+    Writers.zorderLayout(dated, dir, Seq("d", "b"), files = 8, bits = 6)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4000)
+    // the date dimension must actually cluster: files cover narrow date spans
+    val spans = back.groupBy(input_file_name())
+      .agg((max(col("d").cast("timestamp").cast("double")) -
+            min(col("d").cast("timestamp").cast("double"))).as("span"))
+      .agg(avg("span")).head.getDouble(0)
+    val full = 364.0 * 86400
+    assert(spans < full * 0.8, s"files span ${spans / 86400}%.0f days each - no date clustering")
+  }
 }
