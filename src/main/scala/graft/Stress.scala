@@ -10,16 +10,20 @@ import graft.operators.Dedup
   * 100 TB). Results feed the table in SCALING.md.
   *
   * Corpus construction (per target size): every base document from sf0.1
-  * is replicated `copies` times — the first [[DupGroup]] copies keep the
-  * text verbatim-plus-marker (a fixed-size near-duplicate group, the
-  * realistic dedup load), all later copies run through a per-copy character
-  * `translate` that destroys shingle overlap (unique content). Duplicate
-  * GROUP SIZE is constant as the corpus grows, so measured cost tracks
-  * corpus size, not a quadratically exploding pair output — the regime
-  * where scan/banding/bucket scaling is visible.
+  * is replicated `copies` times — the first [[DupGroup]] copies form a
+  * fixed-size duplicate group: the first HALF are verbatim EXACT copies
+  * (the dominant dup class in a real crawl — identical pages under
+  * different URLs; this is what exact-dup canonicalization collapses),
+  * the second half marker-suffixed NEAR duplicates (distinct shingle
+  * sets, the LSH load). All later copies are spliced unique filler.
+  * Duplicate GROUP SIZE is constant as the corpus grows, so measured cost
+  * tracks corpus size, not a quadratically exploding pair output — the
+  * regime where scan/banding/bucket scaling is visible.
   *
   * `SPARK_GRAFT_STRESS_SIZES` (comma-separated doc counts, default
-  * "50000,200000,1000000") picks the corpus ladder.
+  * "50000,200000,1000000") picks the corpus ladder;
+  * `SPARK_GRAFT_STRESS_STAGES` (comma-separated stage names) restricts the
+  * run to named tiers for single-row re-measurement.
   */
 object Stress {
 
@@ -52,7 +56,8 @@ object Stress {
       val copies = math.max(1, (n / baseN).toInt)
       val dups = (0 until math.min(DupGroup, copies)).map { i =>
         base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-          (if (i == 0) col("text") else concat(col("text"), lit(s" copymark$i"))).as("text"))
+          (if (i < DupGroup / 2) col("text")
+           else concat(col("text"), lit(s" copymark$i"))).as("text"))
       }.reduce(_ unionByName _)
       val all =
         if (copies <= DupGroup) dups
@@ -75,7 +80,8 @@ object Stress {
       val big = corpus(n).persist()
       val actual = big.count()
       println(s"STRESS corpus=$actual (target $n, dup-group=${math.min(DupGroup, (n / baseN).toInt)})")
-      def time(name: String)(f: => Long): Unit = {
+      val only = sys.env.get("SPARK_GRAFT_STRESS_STAGES").map(_.split(",").map(_.trim).toSet)
+      def time(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
         val b0 = meter.bytes.get(); val t0 = System.nanoTime()
         val rows = f
         val secs = (System.nanoTime() - t0) / 1e9
@@ -91,24 +97,43 @@ object Stress {
       time("span_dedup")(Dedup.dropRepeatedSpans(big, "doc_id", "text", 16)
         .select(sum(col("n_kept"))).head.getLong(0))
       time("minhash_pairs")(Dedup.minhashDedupPairs(big, "doc_id", "text", 0.7).count())
+      // exact-duplicate-SATURATED variant (the boilerplate-crawl regime the
+      // rep canonicalization exists for): every base doc replicated
+      // verbatim, so the whole corpus collapses to baseN distinct shingle
+      // sets — banding/verify run on baseN reps and the quadratic
+      // duplicate pair volume is emitted via the array-free intra path
+      if (only.forall(_.contains("minhash_exactdup"))) {
+        val copies = math.max(1, (n / baseN).toInt)
+        val exactHeavy = (0 until copies).map(i =>
+          base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _).repartition(32).persist()
+        exactHeavy.count()
+        time("minhash_exactdup")(
+          Dedup.minhashDedupPairs(exactHeavy, "doc_id", "text", 0.7).count())
+        exactHeavy.unpersist(false)
+      }
       time("simhash_pairs")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
       time("drop_near_dups")(Dedup.dropNearDups(big, "doc_id", "text", 0.7).count())
-      val store = Dedup.minhashSignatures(
-        big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").persist()
-      store.count()
-      time("incremental_dedup")(Dedup.incrementalDedup(
-        big.filter(col("doc_id") % 10 === 0), store, "doc_id", "text", 0.7).count())
-      store.unpersist(false)
-      val fpStore = Dedup.spanFingerprints(
-        big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").persist()
-      fpStore.count()
-      // same count() caveat as span_dedup: force via sum(n_kept)
-      time("incremental_spans") {
-        val (rebuilt, _) = Dedup.incrementalSpanDedup(
-          big.filter(col("doc_id") % 10 === 0), fpStore, "doc_id", "text")
-        rebuilt.select(sum(col("n_kept"))).head.getLong(0)
+      if (only.forall(_.contains("incremental_dedup"))) {
+        val store = Dedup.minhashSignatures(
+          big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").persist()
+        store.count()
+        time("incremental_dedup")(Dedup.incrementalDedup(
+          big.filter(col("doc_id") % 10 === 0), store, "doc_id", "text", 0.7).count())
+        store.unpersist(false)
       }
-      fpStore.unpersist(false)
+      if (only.forall(_.contains("incremental_spans"))) {
+        val fpStore = Dedup.spanFingerprints(
+          big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text").persist()
+        fpStore.count()
+        // same count() caveat as span_dedup: force via sum(n_kept)
+        time("incremental_spans") {
+          val (rebuilt, _) = Dedup.incrementalSpanDedup(
+            big.filter(col("doc_id") % 10 === 0), fpStore, "doc_id", "text")
+          rebuilt.select(sum(col("n_kept"))).head.getLong(0)
+        }
+        fpStore.unpersist(false)
+      }
       big.unpersist(false)
       Dedup.unpersistCaches()
     }

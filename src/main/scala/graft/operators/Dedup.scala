@@ -345,6 +345,27 @@ object Dedup {
     * estimate pre-filter would add two joins to the hot path only to *drop*
     * pairs the (noisy) estimator underrates — verification cost is already
     * bounded by the candidate count via the semi-join below.
+    *
+    * Exact-duplicate canonicalization: documents with identical DISTINCT
+    * shingle sets have identical signatures, band keys and Jaccard against
+    * every other document — fully interchangeable to this tier — so the
+    * corpus is first collapsed to one REPRESENTATIVE per distinct shingle
+    * set (md5 of the sorted hash array; min-id member). Banding and the
+    * shingle-array verify join run on representatives only; verified pairs
+    * expand back through the `(id, fp)` member map afterwards. On
+    * boilerplate-heavy corpora this removes the dominant verify cost: the
+    * ~KB shingle arrays ride the pair join once per DISTINCT pair, not
+    * once per duplicate pair. Memory shape: only id/fp-scalar relations
+    * are ever cached — the rep signature is picked inside the fp
+    * aggregation (`first(sig)`: every member's signature is identical by
+    * construction, and the partial agg collapses duplicates map-side), so
+    * no shingle-array or signature relation persists, at any corpus size.
+    * The price over the uncanonicalized plan is one extra narrow shingle
+    * pass (fingerprinting) and the fp-keyed signature shuffle; both
+    * scan-like, measured in SCALING.md. Within-group pairs (identical
+    * shingle sets) are emitted directly with the rep's self-Jaccard (the
+    * verdict the un-canonicalized verify produced for them), capped at
+    * `maxBucketSize` members per group like any other degenerate bucket.
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleLen: Int = 5,
@@ -352,26 +373,65 @@ object Dedup {
                         maxBucketSize: Int = 1000): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     val result = withScopedCaches { localCached =>
-      // the signature relation has a single consumer here (banding) — no
-      // persist; cands feeds two branches (id collection + the final join)
-      val cands = localCached(bandedPairs(
-        signatures(df, idCol, textCol, shingleLen, numHashes),
-        numHashes, bands, maxBucketSize, Some(obs)))
+      def shOf(c: Column) = graft.functions.ShingleHashes.shingleHashes(c, shingleLen)
+      // canonical fingerprint per doc: md5 over the sorted distinct shingle
+      // hashes — order-free, 128-bit so corpus-scale collisions are
+      // negligible. A narrow projection; recomputed per consuming pass
+      // rather than cached (the array column must never persist)
+      def withFp = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
+        .withColumn("__fp",
+          md5(concat_ws(" ", transform(sort_array(shOf(col("__text"))), x => x.cast("string")))))
+      // (id, fp) member map: ~50 B/row — the only corpus-sized cache
+      val members = localCached(withFp.select("id", "__fp"))
+      // rep choice is ids-only and map-side combinable
+      val repIds = localCached(members.groupBy("__fp").agg(min(col("id")).as("id")))
+      // one signature per DISTINCT shingle set: every member's sig is
+      // identical, so `first` inside the fp agg is deterministic and the
+      // partial agg drops duplicate sigs before the shuffle; single
+      // consumer (banding) — never cached
+      val repSigs = withFp.select(col("__fp"),
+          graft.functions.MinHashSig.minhashSig(shOf(col("__text")), numHashes).as("sig"))
+        .groupBy("__fp").agg(first(col("sig")).as("sig"))
+        .join(repIds, "__fp").select(col("id"), col("sig"))
+      val cands = localCached(bandedPairs(repSigs, numHashes, bands, maxBucketSize, Some(obs)))
       // exact verify on the hashed shingle sets (identical to string-shingle
-      // Jaccard up to 31-bit hash collisions), computed ONLY for docs that
-      // appear in a candidate pair — a semi-join keeps the shingling cost
-      // proportional to candidates, not corpus
+      // Jaccard up to 31-bit hash collisions), shingled ONLY for reps that
+      // appear in a candidate pair — join BEFORE the expensive projection
       val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
       val sh = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
-        .join(candIds, "id") // join BEFORE the expensive projection
-        .select(col("id"),
-          graft.functions.ShingleHashes.shingleHashes(col("__text"), shingleLen).as("sh"))
-      cands
+        .join(candIds, "id")
+        .select(col("id"), shOf(col("__text")).as("sh"))
+      val repPairs = cands
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn("jaccard", ngramJaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+      // expand verified rep pairs through the member map (pair-sized joins;
+      // AQE broadcasts the pair side), re-normalizing id_a < id_b
+      val cross = repPairs
+        .join(repIds.select(col("id").as("id_a"), col("__fp").as("fp_a")), "id_a")
+        .join(repIds.select(col("id").as("id_b"), col("__fp").as("fp_b")), "id_b")
+        .join(members.select(col("__fp").as("fp_a"), col("id").as("ma")), "fp_a")
+        .join(members.select(col("__fp").as("fp_b"), col("id").as("mb")), "fp_b")
+        .select(least(col("ma"), col("mb")).as("id_a"),
+                greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+      // within-group pairs: identical shingle sets, so the verdict is the
+      // rep's self-Jaccard, shingled only for duplicated groups — no LSH
+      // or pair-side array join involved
+      val groups = members.groupBy("__fp")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucketSize))
+      val selfJ = withFp.join(repIds.join(groups.select("__fp"), Seq("__fp"), "left_semi")
+          .select("id"), Seq("id"), "left_semi")
+        .select(col("__fp"), ngramJaccard(shOf(col("__text")), shOf(col("__text"))).as("jaccard"))
+      val intra = groups.join(selfJ, "__fp")
+        .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"), col("jaccard"))
+        .select(col("id_a"),
+          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"),
+          col("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      cross.unionByName(intra)
     }
     logDroppedBuckets("minhashDedupPairs", obs)
     result
