@@ -6,29 +6,117 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with a
   * typed metadata struct, plus per-batch feature extraction.
   *
-  * Spark-side plumbing (schema, partition sizing, batch iteration) is real
-  * and tested; the *actual media decode* is stubbed behind
-  * [[MediaCodec.decodeStub]] — the container has no image/audio libraries,
-  * so the stub is a clearly-marked deterministic fake with the same
-  * signature a real decoder (e.g. javacv / a JNI codec) would have.
+  * The decode is JDK-native — `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF)
+  * and `javax.sound.sampled.AudioSystem` (WAV) ship in every JDK, so no
+  * external codec library is involved. Payloads in formats the JDK cannot
+  * read (video, exotic codecs) fall back to a deterministic byte-histogram
+  * feature under kind `"opaque"` — the honest stub is now confined to the
+  * genuinely undecodable tail.
   */
 object Multimodal {
 
   /** Canonical media row: id + payload + typed metadata. */
   case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte],
                          width: Int, height: Int, sample_rate: Int)
-  /** Extracted features: fixed-size vector + payload digest + size. */
-  case class MediaFeatures(media_id: Long, modality: String, byte_len: Int,
-                           digest: String, features: Array[Float])
+  /** Extracted features: decoded metadata + fixed-size vector + digest.
+    * `kind` is the decoder verdict (png/jpeg/gif/bmp/wav/opaque);
+    * width/height are decoded pixels (0 for non-images), `sample_rate`
+    * the decoded audio rate (0 for non-audio).
+    */
+  case class MediaFeatures(media_id: Long, modality: String, kind: String,
+                           byte_len: Int, digest: String,
+                           width: Int, height: Int, sample_rate: Int,
+                           features: Array[Float])
 
   object MediaCodec {
-    /** STUB — stands in for a real image/audio decoder (none available in
-      * this container). Deterministic: features are derived from the bytes
-      * (histogram of byte values folded to 16 bins, L1-normalized), so tests
-      * and oracles are stable. A real implementation would decode pixels /
-      * PCM frames here with the same signature.
+
+    /** Decoded payload: format verdict + modality metadata + 16-dim feature
+      * vector (L1-normalized histogram — luminance for images, |PCM| for
+      * audio, raw bytes for opaque payloads).
       */
-    def decodeStub(payload: Array[Byte]): Array[Float] = {
+    case class Decoded(kind: String, width: Int, height: Int,
+                       sampleRate: Int, features: Array[Float])
+
+    /** Magic-byte sniff — which decoder to hand the payload to. */
+    def sniff(p: Array[Byte]): String =
+      if (p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+      else if (p.length >= 2 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) "jpeg"
+      else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') "gif"
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+      else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+               p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "wav"
+      else "opaque"
+
+    /** JDK-native decode. Images: integer luminance `(r+g+b)/3` per pixel,
+      * 16-bin histogram (bin = lum >> 4). WAV: 16-bin histogram of
+      * `|sample| * 16 / fullScale` over the PCM stream (16- or 8-bit).
+      * A sniff miss, a corrupt payload, or a format ImageIO/AudioSystem
+      * rejects all land in the `"opaque"` byte-histogram fallback — decode
+      * never throws on bad bytes (a 100 TB crawl WILL contain them).
+      */
+    def decode(payload: Array[Byte]): Decoded = sniff(payload) match {
+      case k @ ("png" | "jpeg" | "gif" | "bmp") =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          if (img == null) opaque(payload)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val bins = new Array[Float](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                bins(lum >> 4) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = math.max(1, w * h).toFloat
+            Decoded(k, w, h, 0, bins.map(_ / n))
+          }
+        } catch { case scala.util.control.NonFatal(_) => opaque(payload) }
+      case "wav" =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            val data = in.readAllBytes()
+            val bins = new Array[Float](16)
+            var cnt = 0
+            if (fmt.getSampleSizeInBits == 16) {
+              val le = !fmt.isBigEndian
+              var i = 0
+              while (i + 1 < data.length) {
+                val s = if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+                        else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort
+                bins(math.min(15, math.abs(s.toInt) * 16 / 32768)) += 1f
+                cnt += 1; i += 2
+              }
+            } else { // 8-bit WAV PCM is unsigned, centered at 128
+              var i = 0
+              while (i < data.length) {
+                bins(math.min(15, math.abs((data(i) & 0xff) - 128) * 16 / 128)) += 1f
+                cnt += 1; i += 1
+              }
+            }
+            Decoded("wav", 0, 0, fmt.getSampleRate.toInt,
+              bins.map(_ / math.max(1, cnt).toFloat))
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => opaque(payload) }
+      case _ => opaque(payload)
+    }
+
+    private def opaque(payload: Array[Byte]): Decoded =
+      Decoded("opaque", 0, 0, 0, byteHistogram(payload))
+
+    /** Deterministic fallback features for undecodable payloads: histogram
+      * of byte values folded to 16 bins, L1-normalized (the former decode
+      * stub, now only the opaque tail's path).
+      */
+    def byteHistogram(payload: Array[Byte]): Array[Float] = {
       val bins = new Array[Float](16)
       var i = 0
       while (i < payload.length) { bins((payload(i) & 0xff) % 16) += 1f; i += 1 }
@@ -36,16 +124,82 @@ object Multimodal {
       bins.map(_ / n)
     }
 
-    /** STUB resize — a real implementation would decode pixels, scale
-      * (bilinear), and re-encode with the same signature. The stub
-      * nearest-neighbor-samples payload bytes down/up to `targetBytes`, so
-      * it is deterministic, size-exact, and an identity when sizes match.
+    /** Real image resize: decode (JDK formats), bilinear-scale to
+      * `targetW`×`targetH`, re-encode as PNG. Undecodable payloads return
+      * unchanged — resizing bytes that aren't pixels is meaningless.
       */
-    def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null || targetW <= 0 || targetH <= 0) payload
+        else {
+          val out = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      } catch { case scala.util.control.NonFatal(_) => payload }
+
+    /** Byte-level resample for OPAQUE payloads (no pixel semantics):
+      * nearest-neighbor-samples payload bytes down/up to `targetBytes` —
+      * deterministic, size-exact, identity when sizes match.
+      */
+    def resizeBytes(payload: Array[Byte], targetBytes: Int): Array[Byte] =
       if (payload.isEmpty || targetBytes <= 0) Array.emptyByteArray
       else if (targetBytes == payload.length) payload
       else Array.tabulate(targetBytes)(i =>
         payload(((i.toLong * payload.length) / targetBytes).toInt))
+  }
+
+  /** Deterministic media fixture generators — gate/CI scaffolding that
+    * exercises the REAL decode path with payloads whose decoded metadata
+    * and histograms are computable in plain SQL (the DuckDB oracle side).
+    */
+  object MediaGen {
+    /** Solid-gray PNG: every pixel `(gray, gray, gray)` — decoded luminance
+      * histogram is exactly one bin at `gray >> 4` with mass 1.0.
+      */
+    def solidPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Constant-amplitude 16-bit mono PCM WAV (canonical 44-byte RIFF
+      * header, hand-assembled so the bytes are fully deterministic) —
+      * decoded |PCM| histogram is exactly one bin at
+      * `amplitude * 16 / 32768` with mass 1.0.
+      */
+    def constWav(sampleRate: Int, amplitude: Int, nSamples: Int): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)            // PCM
+        .putShort(1.toShort)            // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)         // byte rate
+        .putShort(2.toShort)            // block align
+        .putShort(16.toShort)           // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) { b.putShort(amplitude.toShort); i += 1 }
+      b.array()
+    }
   }
 
   /** Wrap a DataFrame that has a binary column into the canonical media
@@ -59,35 +213,44 @@ object Multimodal {
       lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
 
   /** Batch feature extraction: the decode runs per-partition over an
-    * iterator (the JVM analogue of `mapInPandas` batches) so a real codec
-    * would amortize model/codec init per partition, not per row. Partition
-    * count should be sized so `payload` batches fit executor memory —
-    * callers `repartition` by bytes upstream for large media.
+    * iterator (the JVM analogue of `mapInPandas` batches) so codec state
+    * (the digest; ImageIO's reader caches) amortizes per partition, not
+    * per row. Partition count should be sized so `payload` batches fit
+    * executor memory — callers `repartition` by bytes upstream for large
+    * media.
     */
   def extractFeatures(media: Dataset[MediaRecord])(
       implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] =
     media.mapPartitions { it =>
-      // per-partition init: one digest instance (and, in a real codec, one
-      // decoder) reused across the batch
+      // per-partition init: one digest instance reused across the batch
       val md5 = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val feats = MediaCodec.decodeStub(m.payload)
+        val d = MediaCodec.decode(m.payload)
         md5.reset()
-        MediaFeatures(m.media_id, m.modality, m.payload.length,
+        MediaFeatures(m.media_id, m.modality, d.kind, m.payload.length,
           md5.digest(m.payload).map("%02x".format(_)).mkString,
-          feats)
+          d.width, d.height, d.sampleRate, d.features)
       }
     }
 
-  /** Batch resize: per-partition iterator like [[extractFeatures]] (codec
-    * init amortized per partition). Only the payload is replaced in place —
-    * `MediaRecord` carries no size metadata; `byte_len` lives on
-    * [[MediaFeatures]] and is recomputed downstream by [[extractFeatures]].
+  /** Batch resize: per-partition iterator like [[extractFeatures]]. JDK
+    * image payloads are pixel-resized (bilinear, PNG re-encode) to
+    * `targetW`×`targetH`; everything else passes through unchanged.
+    */
+  def resizeImages(media: Dataset[MediaRecord], targetW: Int, targetH: Int)(
+      implicit enc: org.apache.spark.sql.Encoder[MediaRecord]): Dataset[MediaRecord] =
+    media.mapPartitions { it =>
+      it.map(m => m.copy(payload = MediaCodec.resizeImage(m.payload, targetW, targetH),
+        width = targetW, height = targetH))
+    }
+
+  /** Byte-level batch resample for opaque payloads (see
+    * [[MediaCodec.resizeBytes]]); kept for media with no pixel semantics.
     */
   def resize(media: Dataset[MediaRecord], targetBytes: Int)(
       implicit enc: org.apache.spark.sql.Encoder[MediaRecord]): Dataset[MediaRecord] =
     media.mapPartitions { it =>
-      it.map(m => m.copy(payload = MediaCodec.resizeStub(m.payload, targetBytes)))
+      it.map(m => m.copy(payload = MediaCodec.resizeBytes(m.payload, targetBytes)))
     }
 
   /** Frame sampling for video-like payloads: keep every `stride`-th chunk of
