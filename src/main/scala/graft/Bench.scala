@@ -53,7 +53,11 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
     val results = headline.map { name =>
-      val times = (1 to reps).map { _ =>
+      // rep 0 runs at the BENCH sf and is DISCARDED: the sf0.01 warm-up
+      // reaches JIT steady state but not the sfDir-sized working set (OS
+      // page cache, AQE runtime stats, shuffle-file reuse) — the r8 LSH
+      // spread (66% of the minhash median) was first-rep dominated
+      val times = (0 to reps).map { _ =>
         val t = timeOnce(name)
         graft.operators.Dedup.unpersistCaches()
         // settle the heap between reps: dropping DataFrame references lets
@@ -65,7 +69,7 @@ object Bench {
         // that hits every rep)
         System.gc()
         t
-      }
+      }.tail
       name -> times
     }
     def median(ts: Seq[Double]): Double = {
@@ -96,5 +100,8 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     spark.stop()
+    // hard exit, same rationale as Verify: a gate query's per-JVM service
+    // threads must not keep the bench process alive after the line is out
+    sys.exit(0)
   }
 }

@@ -287,6 +287,58 @@ object SparkEntry {
       .orderBy("grp")
   }
 
+  /** In-process NDJSON page server backing the DSv2 gate: pages 0–4 serve
+    * 100 deterministic records each (`{"id":p*100+j,"grp":id%7}`), pages
+    * beyond that an empty body — content the oracle recomputes with
+    * `range()`. Started lazily once per JVM and left running for the
+    * process lifetime (gate harnesses are short-lived); in `local` mode
+    * the executor-side `PartitionReader`s reach it over loopback.
+    */
+  private lazy val pagedV2Url: String = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/pages", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val page = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .collectFirst { case kv if kv.startsWith("page=") => kv.drop(5).toInt }
+        .getOrElse(0)
+      val body =
+        if (page >= 5) ""
+        else (0 until 100).map { j =>
+          val id = page * 100 + j
+          s"""{"id":$id,"grp":${id % 7}}"""
+        }.mkString("\n")
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    s"http://127.0.0.1:${server.getAddress.getPort}/pages?page={%page%}"
+  }
+
+  /** R4 through the DataSource V2 path ([[graft.sources.v2]],
+    * `spark.read.format("graft-http")`): one input partition per page,
+    * fetched on EXECUTORS — the cluster-parallel sibling of
+    * [[qR4Paged]]'s driver-side discovery loop. `pages = 8` plans three
+    * empty trailing pages too: planned-but-empty partitions must
+    * contribute zero rows, not errors. Same aggregate anchors and the
+    * same `range()` oracle family as the driver-loop gate.
+    */
+  private def qR4PagedV2(s: SparkSession, dir: String): DataFrame = {
+    val rec = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.LongType)))
+    s.read.format("graft-http")
+      .option("url", pagedV2Url)
+      .option("pages", 8)
+      .option("limit", 100)
+      .load()
+      .select(from_json(col("value"), rec).as("r"))
+      .select(col("r.id").as("id"), col("r.grp").as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+      .orderBy("grp")
+  }
+
   private def qR5Folder(s: SparkSession, dir: String): DataFrame = {
     val folder = tmp("r5_folder", dir)
     new java.io.File(folder).mkdirs()
@@ -813,6 +865,41 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  /** The EIGHT-stage flagship: the seven-stage corpus flow with the packing
+    * budget measured in REAL tokenizer tokens — stages 1–6 (quality gate →
+    * span dedup → exact dedup → decontam → split → train) compile from the
+    * persisted spec JSON exactly as [[qNLlmPipeline]], then the train split
+    * is BPE-encoded under the pinned gate model (vocabulary from the train
+    * split itself) and packed on the SUBWORD stream
+    * ([[graft.operators.Packing.packSequencesBy]]): bins fill by subword
+    * count and the emitted sequences are the subword streams — whitespace
+    * word counts never touch the budget. The oracle replays all eight
+    * stages in one DuckDB query.
+    */
+  private def qNLlmPipelineV2(s: SparkSession, dir: String): DataFrame = {
+    val spec = PipelineSpec(nodes = Seq(
+      "docs"    -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
+      "bench"   -> FilterSpec(RefSpec("docs"), "doc_id % 50 = 0"),
+      "corpus"  -> FilterSpec(RefSpec("docs"), "doc_id % 50 != 0 AND n_chars >= 100"),
+      "spans"   -> SpanDedupNodeSpec(RefSpec("corpus"), "doc_id", "text", k = 16),
+      "nonempty"-> FilterSpec(RefSpec("spans"), "text != ''"),
+      "deduped" -> DedupNodeSpec(RefSpec("nonempty"), "doc_id", "text", mode = "exact"),
+      "cleaned" -> DecontamNodeSpec(RefSpec("deduped"), RefSpec("bench"),
+                     "doc_id", "text", n = 3, minHits = 1),
+      "split"   -> SplitNodeSpec(RefSpec("cleaned"), "doc_id",
+                     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      "train"   -> FilterSpec(RefSpec("split"), "split = 'train'")),
+      out = "train")
+    val train = PipelineCompiler.compile(
+      SpecJson.fromJson(SpecJson.toJson(spec)), s, Map("dir" -> dir))
+    val seg = Bpe.vocabSegmentation(Bpe.wordCounts(train, "text"), bpeGateMerges)
+    val encoded = Bpe.encode(train, "doc_id", "text", seg)
+    Packing.packSequencesBy(encoded, "id", "subwords", budgetTokens = 700, shards = 16)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_toks"),
+        md5(concat_ws(" ", col("seq"))).as("seq_md5"))
+      .orderBy("shard", "bin")
+  }
+
   /** Bigram-LM quality scoring, gated on its engine-exact integer anchors:
     * `n_bigrams` / `sum_c2` / `sum_c1` verify the occurrence explode, both
     * count aggregations, and both joins — everything except the final `ln`
@@ -1080,6 +1167,40 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** The REAL decode path, gated: every document becomes an actual media
+    * payload — even ids a solid-gray PNG (dimensions and gray level derived
+    * from the id), odd ids a constant-amplitude 16-bit WAV (rate and
+    * amplitude derived from the id) — and
+    * [[graft.operators.Multimodal.extractFeatures]] must recover the
+    * constructed width/height/sample-rate through `javax.imageio` /
+    * `javax.sound.sampled`, plus the luminance/|PCM| histogram peak at the
+    * arithmetically-known bin. The oracle recomputes every anchor from
+    * `doc_id` alone — a full fidelity proof of encode → binary column →
+    * partition-batched JDK decode. Non-JDK formats still fall back to the
+    * byte-histogram (`q_n_multimodal` pins that path).
+    */
+  private def qNMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val payload =
+          if (id % 2 == 0)
+            Multimodal.MediaGen.solidPng((1 + id % 7).toInt, (1 + id % 5).toInt, (id % 256).toInt)
+          else
+            Multimodal.MediaGen.constWav((8000 + (id % 4) * 1000).toInt,
+              ((id % 100) * 300).toInt, nSamples = 200)
+        Multimodal.MediaRecord(id, if (id % 2 == 0) "image" else "audio", payload, 0, 0, 0)
+      }
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        (array_position(col("features"), array_max(col("features"))) - 1).as("peak_bin"),
+        round(array_max(col("features")).cast("double"), 4).as("peak_mass"))
+      .orderBy("media_id")
+  }
+
   /** Sessionization driven through an ACTUAL Structured Streaming run —
     * the streaming-mode proof for `session_window` (VERDICT r6 §missing #2),
     * completing the window/enrich/dedup/join streaming quartet. The
@@ -1283,7 +1404,10 @@ object SparkEntry {
     "q_n_llm_pipeline"   -> (qNLlmPipeline _),
     "q_n_multimodal"     -> (qNMultimodal _),
     "q_n_bpe_encode"     -> (qNBpeEncode _),
-    "q_x_zorder"         -> (qXZorder _))
+    "q_x_zorder"         -> (qXZorder _),
+    "q_n_multimodal_decode" -> (qNMultimodalDecode _),
+    "q_n_llm_pipeline_v2" -> (qNLlmPipelineV2 _),
+    "q_r4_paged_v2"      -> (qR4PagedV2 _))
 
   /** Bench-time overrides: the correctness gate runs the approximate tiers
     * in their hash-verifiable form (bounded slice / planted twins /
@@ -1322,6 +1446,51 @@ object SparkEntry {
       val rep = s"chr(1) || '$a$b' || chr(1)"
       s"replace(replace($e, $pat, $rep), $pat, $rep)"
     }
+
+  /** Shared oracle CTE chain for the flagship pipeline's stages 1–6
+    * (quality gate → span dedup → exact dedup → decontam → 80% train
+    * split), ending at `train AS (doc_id, toks)` — composed by both the
+    * seven-stage (word-budget pack) and eight-stage (BPE-budget pack)
+    * flagship oracles.
+    */
+  private lazy val llmTrainCtes =
+    s"""d AS (
+            SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
+          corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0 AND n_chars >= 100),
+          socc AS (
+            SELECT doc_id, s AS start,
+                   md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
+            FROM corpus, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
+            WHERE len(list_slice(toks, s + 1, s + 16)) > 0),
+          sranked AS (SELECT *, row_number() OVER (PARTITION BY fp
+                        ORDER BY doc_id, start) AS rn FROM socc),
+          sdrops AS (SELECT doc_id, list(start) AS ds FROM sranked
+                     WHERE rn > 1 GROUP BY doc_id),
+          sreb AS (
+            SELECT corpus.doc_id,
+                   flatten(list_transform(
+                     list_filter(range(0, greatest(len(toks), 1), 16),
+                       s -> NOT list_contains(coalesce(ds, []), s)),
+                     s -> list_slice(toks, s + 1, s + 16))) AS toks
+            FROM corpus LEFT JOIN sdrops USING (doc_id)),
+          sp AS (SELECT doc_id, toks FROM sreb WHERE len(toks) > 0),
+          fp AS (SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+                 FROM sp),
+          keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+          dd AS (SELECT fp.* FROM fp JOIN keep USING (doc_id)),
+          tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> concat(toks[i], chr(1), toks[i+1], chr(1), toks[i+2]))) AS sh,
+                    toks
+                  FROM dd),
+          bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> concat(toks[i], chr(1), toks[i+1], chr(1), toks[i+2])))) AS g
+                 FROM d WHERE doc_id % 50 = 0),
+          hits AS (SELECT DISTINCT t.doc_id
+                   FROM (SELECT doc_id, unnest(sh) AS g FROM tri) t JOIN bg USING (g)),
+          train AS (SELECT doc_id, toks FROM tri
+                    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+                      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '${Sampling.hexThreshold(0.8)}')"""
 
   /** Shared oracle prelude for the clustering queries: word-bigram Jaccard
     * pairs (same shingling as [[graft.functions.TextOps.wordShingles]])
@@ -1442,6 +1611,11 @@ object SparkEntry {
     "q_r4_paged" ->
       """SELECT i % 7 AS grp, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_id
          FROM (SELECT range AS i FROM range(0, 500)) WHERE i < 300 OR i >= 400
+         GROUP BY 1 ORDER BY grp""",
+    // DSv2 path: pages 0-4 x 100 records, ids 0..499, empty trailing pages
+    "q_r4_paged_v2" ->
+      """SELECT i % 7 AS grp, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_id
+         FROM (SELECT range AS i FROM range(0, 500))
          GROUP BY 1 ORDER BY grp""",
     "q_r5_folder" ->
       """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 3 != 2
@@ -1637,43 +1811,7 @@ object SparkEntry {
     // q_n_dedup_spans / q_n_dedup_exact / q_n_decontam / q_n_hash_split /
     // q_n_pack_seq
     "q_n_llm_pipeline" ->
-      s"""WITH d AS (
-            SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
-          corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0 AND n_chars >= 100),
-          socc AS (
-            SELECT doc_id, s AS start,
-                   md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
-            FROM corpus, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
-            WHERE len(list_slice(toks, s + 1, s + 16)) > 0),
-          sranked AS (SELECT *, row_number() OVER (PARTITION BY fp
-                        ORDER BY doc_id, start) AS rn FROM socc),
-          sdrops AS (SELECT doc_id, list(start) AS ds FROM sranked
-                     WHERE rn > 1 GROUP BY doc_id),
-          sreb AS (
-            SELECT corpus.doc_id,
-                   flatten(list_transform(
-                     list_filter(range(0, greatest(len(toks), 1), 16),
-                       s -> NOT list_contains(coalesce(ds, []), s)),
-                     s -> list_slice(toks, s + 1, s + 16))) AS toks
-            FROM corpus LEFT JOIN sdrops USING (doc_id)),
-          sp AS (SELECT doc_id, toks FROM sreb WHERE len(toks) > 0),
-          fp AS (SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
-                 FROM sp),
-          keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
-          dd AS (SELECT fp.* FROM fp JOIN keep USING (doc_id)),
-          tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-                    i -> concat(toks[i], chr(1), toks[i+1], chr(1), toks[i+2]))) AS sh,
-                    toks
-                  FROM dd),
-          bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-                   i -> concat(toks[i], chr(1), toks[i+1], chr(1), toks[i+2])))) AS g
-                 FROM d WHERE doc_id % 50 = 0),
-          hits AS (SELECT DISTINCT t.doc_id
-                   FROM (SELECT doc_id, unnest(sh) AS g FROM tri) t JOIN bg USING (g)),
-          train AS (SELECT doc_id, toks FROM tri
-                    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
-                      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                            < '${Sampling.hexThreshold(0.8)}'),
+      s"""WITH $llmTrainCtes,
           w AS (SELECT doc_id, toks,
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b,
@@ -1690,6 +1828,44 @@ object SparkEntry {
                  CAST(len(seq) AS BIGINT) AS n_toks,
                  md5(array_to_string(seq, ' ')) AS seq_md5
           FROM g ORDER BY shard, bin""",
+    // the eight-stage flagship: stages 1-6 shared, then BPE segmentation
+    // under the pinned merges (vocabulary from the train split itself) and
+    // packing on SUBWORD counts — the budget is tokenizer tokens
+    "q_n_llm_pipeline_v2" -> {
+      val syms0 =
+        """chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+             i -> CASE WHEN i = length(word) THEN word[i] || '</w>'
+                       ELSE word[i] END), chr(1)) || chr(1)"""
+      s"""WITH $llmTrainCtes,
+          w AS (SELECT DISTINCT unnest(toks) AS word FROM train),
+          seg AS (SELECT word,
+                    list_filter(string_split(${bpeSegSql(syms0)}, chr(1)),
+                                x -> len(x) > 0) AS sub
+                  FROM w),
+          o AS (SELECT doc_id, i AS pos, toks[i] AS word
+                FROM train, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+          e AS (SELECT o.doc_id, CAST(sum(len(sub)) AS BIGINT) AS tokens,
+                       flatten(list(sub ORDER BY pos)) AS subwords
+                FROM o JOIN seg USING (word) GROUP BY o.doc_id),
+          enc AS (SELECT t.doc_id, coalesce(e.tokens, 0) AS tokens,
+                         coalesce(e.subwords, []) AS subwords
+                  FROM (SELECT doc_id FROM train) t LEFT JOIN e USING (doc_id)),
+          pw AS (SELECT doc_id, subwords, tokens,
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b
+                 FROM enc),
+          pw2 AS (SELECT *, sum(tokens) OVER (PARTITION BY shard
+                    ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM pw),
+          g AS (SELECT shard, CAST(floor((cum - tokens) / 700) AS BIGINT) AS bin,
+                       count(*) AS n_docs,
+                       flatten(list(list_append(subwords, '<eos>') ORDER BY b, doc_id)) AS seq
+                FROM pw2 GROUP BY 1, 2)
+          SELECT shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(len(seq) AS BIGINT) AS n_toks,
+                 md5(array_to_string(seq, ' ')) AS seq_md5
+          FROM g ORDER BY shard, bin"""
+    },
     // bigram-LM integer anchors: occurrence bigrams (chr(1)-joined), corpus
     // bigram counts, left-context counts — the ln itself is CI-pinned
     "q_n_lm_score" ->
@@ -2161,6 +2337,21 @@ object SparkEntry {
     "q_x_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // JDK decode fidelity: every anchor (decoded dims / rate / histogram
+    // peak) is recomputable from doc_id alone, because the query CONSTRUCTS
+    // the media from doc_id (solid-gray PNG for even ids, constant-PCM WAV
+    // for odd) and the decode must round-trip it exactly
+    "q_n_multimodal_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 7 ELSE 0 END AS BIGINT) AS width,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 5 ELSE 0 END AS BIGINT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                     ELSE 8000 + (doc_id % 4) * 1000 END AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN FLOOR((doc_id % 256) / 16)
+                     ELSE FLOOR(((doc_id % 100) * 300) / 2048) END AS BIGINT) AS peak_bin,
+                1.0 AS peak_mass
+         FROM documents ORDER BY media_id""",
     "q_n_text_stats" -> {
       val en = """len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b'))"""
       val fr = """len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une|est|dans)\b'))"""

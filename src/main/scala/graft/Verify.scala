@@ -46,5 +46,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // hard exit: gate queries may leave per-JVM non-daemon service threads
+    // behind (the DSv2 paged-HTTP gate's in-process page server) — without
+    // this the dump is complete but the JVM never terminates
+    sys.exit(0)
   }
 }

@@ -107,7 +107,28 @@ object Packing {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budgetTokens: Long, shards: Int = 256,
-                    eosToken: String = "<eos>"): DataFrame = {
+                    eosToken: String = "<eos>"): DataFrame =
+    packSeqCore(df, idCol,
+      notNull(graft.functions.TextOps.tokens(col(textCol)),
+        "packSequences", s"$textCol tokens", idCol),
+      budgetTokens, shards, eosToken)
+
+  /** [[packSequences]] with the packed units taken from an EXISTING
+    * token-array column instead of whitespace tokenization — the
+    * tokenizer-true packing stage: feed it [[graft.functions.Bpe.encode]]'s
+    * `subwords` column and both the budget and the emitted sequences are
+    * measured in real BPE tokens, not whitespace words.
+    */
+  def packSequencesBy(df: DataFrame, idCol: String, seqCol: String,
+                      budgetTokens: Long, shards: Int = 256,
+                      eosToken: String = "<eos>"): DataFrame =
+    packSeqCore(df, idCol,
+      notNull(col(seqCol), "packSequencesBy", seqCol, idCol),
+      budgetTokens, shards, eosToken)
+
+  private def packSeqCore(df: DataFrame, idCol: String, toksCol: Column,
+                          budgetTokens: Long, shards: Int,
+                          eosToken: String): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
@@ -115,8 +136,7 @@ object Packing {
         substring(md5(col(idCol).cast("string")), 1, shardHexChars(shards)).as("shard"),
         Sampling.hashBucket(col(idCol)).as("__b"),
         col(idCol),
-        notNull(graft.functions.TextOps.tokens(col(textCol)),
-          "packSequences", s"$textCol tokens", idCol).as("__toks"))
+        toksCol.as("__toks"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("__b"), col(idCol))
     val outSchema = StructType(Seq(
