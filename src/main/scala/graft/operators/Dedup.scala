@@ -350,7 +350,8 @@ object Dedup {
     * shingle sets have identical signatures, band keys and Jaccard against
     * every other document — fully interchangeable to this tier — so the
     * corpus is first collapsed to one REPRESENTATIVE per distinct shingle
-    * set (md5 of the sorted hash array; min-id member). Banding and the
+    * set (a 96-bit hash pair over the sorted hash array; min-id member).
+    * Banding and the
     * shingle-array verify join run on representatives only; verified pairs
     * expand back through the `(id, fp)` member map afterwards. On
     * boilerplate-heavy corpora this removes the dominant verify cost: the
@@ -374,24 +375,26 @@ object Dedup {
     val obs = org.apache.spark.sql.Observation()
     val result = withScopedCaches { localCached =>
       def shOf(c: Column) = graft.functions.ShingleHashes.shingleHashes(c, shingleLen)
-      // canonical fingerprint per doc: md5 over the sorted distinct shingle
-      // hashes — order-free, 128-bit so corpus-scale collisions are
-      // negligible. A narrow projection; recomputed per consuming pass
-      // rather than cached (the array column must never persist)
-      def withFp = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
-        .withColumn("__fp",
-          md5(concat_ws(" ", transform(sort_array(shOf(col("__text"))), x => x.cast("string")))))
-      // (id, fp) member map: ~50 B/row — the only corpus-sized cache
-      val members = localCached(withFp.select("id", "__fp"))
+      // ONE shingle pass computes, per doc, the canonical fingerprint (a
+      // 96-bit (xxhash64, murmur3) pair over the sorted distinct shingle
+      // hashes — order-free, hashed natively on the long array; an
+      // md5-of-joined-strings formulation measured ~2.5x slower) and the
+      // minhash signature. The shingle ARRAY itself is projected away
+      // before the persist: the cache holds only (id, 12 B fp, 1 KB sig)
+      // — ~1 GB per 1e6 docs, spilling columnar blocks, never the
+      // object-heavy arrays that make array caches OOM-prone
+      val keyed = localCached(spread(df).select(col(idCol).as("id"), {
+          val sh = shOf(col(textCol))
+          struct(xxhash64(sort_array(sh)).as("h1"), hash(sort_array(sh)).as("h2")).as("__fp")
+        }, graft.functions.MinHashSig.minhashSig(shOf(col(textCol)), numHashes).as("sig")))
+      val members = keyed.select("id", "__fp")
       // rep choice is ids-only and map-side combinable
       val repIds = localCached(members.groupBy("__fp").agg(min(col("id")).as("id")))
       // one signature per DISTINCT shingle set: every member's sig is
       // identical, so `first` inside the fp agg is deterministic and the
       // partial agg drops duplicate sigs before the shuffle; single
       // consumer (banding) — never cached
-      val repSigs = withFp.select(col("__fp"),
-          graft.functions.MinHashSig.minhashSig(shOf(col("__text")), numHashes).as("sig"))
-        .groupBy("__fp").agg(first(col("sig")).as("sig"))
+      val repSigs = keyed.groupBy("__fp").agg(first(col("sig")).as("sig"))
         .join(repIds, "__fp").select(col("id"), col("sig"))
       val cands = localCached(bandedPairs(repSigs, numHashes, bands, maxBucketSize, Some(obs)))
       // exact verify on the hashed shingle sets (identical to string-shingle
@@ -422,8 +425,9 @@ object Dedup {
       val groups = members.groupBy("__fp")
         .agg(sort_array(collect_list(col("id"))).as("ids"))
         .filter(size(col("ids")).between(2, maxBucketSize))
-      val selfJ = withFp.join(repIds.join(groups.select("__fp"), Seq("__fp"), "left_semi")
-          .select("id"), Seq("id"), "left_semi")
+      val dupReps = repIds.join(groups.select("__fp"), Seq("__fp"), "left_semi")
+      val selfJ = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
+        .join(dupReps, "id")
         .select(col("__fp"), ngramJaccard(shOf(col("__text")), shOf(col("__text"))).as("jaccard"))
       val intra = groups.join(selfJ, "__fp")
         .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"), col("jaccard"))
