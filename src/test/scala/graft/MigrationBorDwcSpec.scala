@@ -94,7 +94,7 @@ class MigrationBorDwcSpec extends SparkSpec {
 
   test("_sources ports: authed paged read -> mapping join -> synthetic parents -> tree") {
     val expectAuth = "Basic " + java.util.Base64.getEncoder.encodeToString(
-      "opendata:secret".getBytes(StandardCharsets.UTF_8))
+      "reporter:fixturepw".getBytes(StandardCharsets.UTF_8))
     withServer("/subs" -> { ex =>
       // the reference sends reqOptions basic auth (bor-dwc.js:26); reject
       // its absence so the port provably carries it
@@ -110,7 +110,7 @@ class MigrationBorDwcSpec extends SparkSpec {
       val vocab = Readers.json(spark, s"$dir/sources.json", rootNode = "data")
 
       val subs = readPaged(base, "/subs",
-        Transports.ReqOptions(auth = Some(Transports.Auth("opendata", "secret"))))
+        Transports.ReqOptions(auth = Some(Transports.Auth("reporter", "fixturepw"))))
 
       // Joiner (bor-dwc.js:31-44): kopuk -> vocab row; push a DWC mapping
       // entry when matched; `a.mapping = a.mapping || []` runs only for
