@@ -34,6 +34,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => a <= 3L && b >= 4L })
   }
 
+  test("minhash canonicalization: exact-dup groups expand to the full pair set") {
+    // two identical-text GROUPS (one the near-dup of the other), a unique
+    // doc, and a sub-shingle-length identical pair — locks the rep/member
+    // expansion: within-group pairs via the array-free intra path, cross
+    // pairs via the member-map joins, all with id_a < id_b and no dups
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val cc = Seq(
+      (1L, base), (2L, base), (3L, base),                   // identical x3
+      (4L, base + " tail marker"), (5L, base + " tail marker"), // identical x2, near group 1
+      (6L, "entirely different content about engines and planners"),
+      (7L, "tiny"), (8L, "tiny")                            // identical, below shingle length
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashDedupPairs(cc, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keys.forall { case (a, b) => a < b }, s"unnormalized ids: ${got.keys}")
+    // within-group: all C(3,2) + C(2,2) + the sub-shingle pair, at exactly 1.0
+    for (p <- Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (7L, 8L)))
+      assert(got.get(p).contains(1.0), s"missing/wrong intra pair $p -> ${got.get(p)}")
+    // cross: every member of group A pairs with every member of group B,
+    // all SIX carrying the identical rep-level jaccard
+    val cross = for (a <- Seq(1L, 2L, 3L); b <- Seq(4L, 5L)) yield (a, b)
+    val js = cross.map(p => got.getOrElse(p, fail(s"missing cross pair $p")))
+    assert(js.distinct.size == 1 && js.head > 0.5 && js.head < 1.0, s"cross jaccards: $js")
+    // nothing pairs with the unique doc; total is exactly the expected set
+    assert(got.size == 5 + 6, s"unexpected extras: ${got.keys.toSeq.sorted}")
+  }
+
   test("minhash estimate tracks exact jaccard") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .filter(col("id_a") === 1 && col("id_b") === 3).head()
