@@ -356,17 +356,28 @@ object Dedup {
     * expand back through the `(id, fp)` member map afterwards. On
     * boilerplate-heavy corpora this removes the dominant verify cost: the
     * ~KB shingle arrays ride the pair join once per DISTINCT pair, not
-    * once per duplicate pair. Memory shape: only id/fp-scalar relations
-    * are ever cached — the rep signature is picked inside the fp
-    * aggregation (`first(sig)`: every member's signature is identical by
-    * construction, and the partial agg collapses duplicates map-side), so
-    * no shingle-array or signature relation persists, at any corpus size.
-    * The price over the uncanonicalized plan is one extra narrow shingle
-    * pass (fingerprinting) and the fp-keyed signature shuffle; both
-    * scan-like, measured in SCALING.md. Within-group pairs (identical
-    * shingle sets) are emitted directly with the rep's self-Jaccard (the
-    * verdict the un-canonicalized verify produced for them), capped at
-    * `maxBucketSize` members per group like any other degenerate bucket.
+    * once per duplicate pair. ONE fp aggregation derives everything the
+    * canonical tier needs — rep id (`min`), rep signature (`first`: every
+    * member's signature is identical by construction, and the partial agg
+    * collapses duplicates map-side) and the group SIZE — so the rep relation
+    * costs a single fp-keyed shuffle; it is cached, but it is strictly
+    * smaller than the already-cached per-doc `(id, fp, sig)` relation, so
+    * the memory shape is unchanged in kind at any corpus size. The price
+    * over the uncanonicalized plan is one extra narrow shingle pass
+    * (fingerprinting) and that fp-keyed shuffle; both scan-like, measured
+    * in SCALING.md. Within-group pairs (identical shingle sets) are emitted
+    * directly with the rep's self-Jaccard (the verdict the un-canonicalized
+    * verify produced for them).
+    *
+    * Degenerate-group cap: exact-dup groups larger than `maxBucketSize`
+    * (mega-replicated boilerplate) are EXCLUDED from pair expansion — both
+    * the within-group path and the cross-group member expansion, which
+    * would otherwise emit |A|×|B| rows for one verified rep pair (two
+    * 100k-member groups → 10^10 pairs). This mirrors the banding tier's
+    * oversized-bucket drop; excluded groups are counted and logged the same
+    * way. When the corpus has NO duplicate fingerprints the member map is
+    * the identity, so the verified rep pairs are returned directly and the
+    * expansion stages never run (the organic-corpus fast path).
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleLen: Int = 5,
@@ -383,59 +394,81 @@ object Dedup {
       // before the persist: the cache holds only (id, 12 B fp, 1 KB sig)
       // — ~1 GB per 1e6 docs, spilling columnar blocks, never the
       // object-heavy arrays that make array caches OOM-prone
+      // __has_sh (is the distinct shingle set non-empty?) rides the same
+      // pass: the rep's self-Jaccard is exactly 1.0 iff the set is non-empty
+      // (array_intersect == array_union == the distinct set), 0.0 otherwise
+      // — so the within-group verdict needs this one bit, not a re-shingle
       val keyed = localCached(spread(df).select(col(idCol).as("id"), {
           val sh = shOf(col(textCol))
           struct(xxhash64(sort_array(sh)).as("h1"), hash(sort_array(sh)).as("h2")).as("__fp")
-        }, graft.functions.MinHashSig.minhashSig(shOf(col(textCol)), numHashes).as("sig")))
-      val members = keyed.select("id", "__fp")
-      // rep choice is ids-only and map-side combinable
-      val repIds = localCached(members.groupBy("__fp").agg(min(col("id")).as("id")))
-      // one signature per DISTINCT shingle set: every member's sig is
-      // identical, so `first` inside the fp agg is deterministic and the
-      // partial agg drops duplicate sigs before the shuffle; single
-      // consumer (banding) — never cached
-      val repSigs = keyed.groupBy("__fp").agg(first(col("sig")).as("sig"))
-        .join(repIds, "__fp").select(col("id"), col("sig"))
-      val cands = localCached(bandedPairs(repSigs, numHashes, bands, maxBucketSize, Some(obs)))
+        }, graft.functions.MinHashSig.minhashSig(shOf(col(textCol)), numHashes).as("sig"),
+        (size(shOf(col(textCol))) > 0).as("__has_sh")))
+      // rep id + rep sig + self-jaccard bit + group size in ONE fp-keyed
+      // aggregation (sig/has_sh are identical across members, so `first` is
+      // deterministic and the partial agg collapses duplicates map-side)
+      val repAgg = localCached(keyed.groupBy("__fp").agg(
+        min(col("id")).as("id"), first(col("sig")).as("sig"),
+        first(col("__has_sh")).as("__has_sh"), count(lit(1)).as("grp_n")))
+      val cands = localCached(
+        bandedPairs(repAgg.select("id", "sig"), numHashes, bands, maxBucketSize, Some(obs)))
       // exact verify on the hashed shingle sets (identical to string-shingle
       // Jaccard up to 31-bit hash collisions), shingled ONLY for reps that
-      // appear in a candidate pair — join BEFORE the expensive projection
-      val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-      val sh = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
-        .join(candIds, "id")
+      // appear in a candidate pair — candIds is pair-sized, so the joins
+      // broadcast and the corpus is never repartitioned for the re-shingle.
+      // fp and group size ride along so the expansion below needs no further
+      // rep-metadata joins.
+      val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      val shMeta = localCached(df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .join(candIds, Seq("id"), "left_semi") // semi: no distinct shuffle needed
         .select(col("id"), shOf(col("__text")).as("sh"))
-      val repPairs = cands
-        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .join(repAgg.select("id", "__fp", "grp_n"), "id"))
+      def side(s: String) = shMeta.select(col("id").as(s"id_$s"), col("sh").as(s"sh_$s"),
+        col("__fp").as(s"fp_$s"), col("grp_n").as(s"n_$s"))
+      val verified = cands.join(side("a"), "id_a").join(side("b"), "id_b")
         .withColumn("jaccard", ngramJaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-      // expand verified rep pairs through the member map (pair-sized joins;
-      // AQE broadcasts the pair side), re-normalizing id_a < id_b
-      val cross = repPairs
-        .join(repIds.select(col("id").as("id_a"), col("__fp").as("fp_a")), "id_a")
-        .join(repIds.select(col("id").as("id_b"), col("__fp").as("fp_b")), "id_b")
-        .join(members.select(col("__fp").as("fp_a"), col("id").as("ma")), "fp_a")
-        .join(members.select(col("__fp").as("fp_b"), col("id").as("mb")), "fp_b")
-        .select(least(col("ma"), col("mb")).as("id_a"),
-                greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-      // within-group pairs: identical shingle sets, so the verdict is the
-      // rep's self-Jaccard, shingled only for duplicated groups — no LSH
-      // or pair-side array join involved
-      val groups = members.groupBy("__fp")
-        .agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")).between(2, maxBucketSize))
-      val dupReps = repIds.join(groups.select("__fp"), Seq("__fp"), "left_semi")
-      val selfJ = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
-        .join(dupReps, "id")
-        .select(col("__fp"), ngramJaccard(shOf(col("__text")), shOf(col("__text"))).as("jaccard"))
-      val intra = groups.join(selfJ, "__fp")
-        .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"), col("jaccard"))
-        .select(col("id_a"),
-          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"),
-          col("jaccard"))
-        .filter(col("jaccard") >= threshold)
-      cross.unionByName(intra)
+      // dup pressure + cap accounting: one tiny action on the cached agg
+      // (this is also the materialization barrier the scoped caches need)
+      val stats = repAgg.agg(
+        sum(when(col("grp_n") >= 2, 1).otherwise(0)).as("dup_groups"),
+        sum(when(col("grp_n") > maxBucketSize, 1).otherwise(0)).as("over_groups"),
+        sum(when(col("grp_n") > maxBucketSize, col("grp_n")).otherwise(0L)).as("over_members")
+      ).head()
+      def statAt(i: Int) = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+      val (dupGroups, overGroups, overMembers) = (statAt(0), statAt(1), statAt(2))
+      if (overGroups > 0)
+        log.warn(s"minhashDedupPairs: $overGroups exact-duplicate group(s) covering " +
+          s"$overMembers documents exceed maxBucketSize=$maxBucketSize — excluded from " +
+          "pair expansion (within-group and cross-group); raise maxBucketSize to trade " +
+          "cost for recall")
+      if (dupGroups == 0L) verified.select("id_a", "id_b", "jaccard") // member map is the identity
+      else {
+        val members = keyed.select("id", "__fp")
+        // fp-level pair relation: verified cross-group pairs (capped: a pair
+        // touching an oversize group is dropped BEFORE the member joins, so
+        // no pair can emit more than maxBucketSize² rows — the same bound
+        // the banding buckets honor) plus one self-pair per in-cap dup
+        // group, whose verdict is the rep's self-Jaccard (the __has_sh bit
+        // — no re-shingle or text scan)
+        val dupFps = repAgg.filter(col("grp_n").between(2, maxBucketSize))
+          .select(col("__fp").as("fp_a"), col("__fp").as("fp_b"),
+            when(col("__has_sh"), 1.0).otherwise(0.0).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+        val fpPairs = verified
+          .filter(col("n_a") <= maxBucketSize && col("n_b") <= maxBucketSize)
+          .select(col("fp_a"), col("fp_b"), col("jaccard"))
+          .unionByName(dupFps)
+        // ONE expansion through the member map serves both shapes; the
+        // pair side broadcasts, the member map is only ever scanned, never
+        // shuffled. Self-pairs (fp_a == fp_b) generate each unordered
+        // member pair twice — the ma < mb guard keeps exactly one.
+        fpPairs
+          .join(members.select(col("__fp").as("fp_a"), col("id").as("ma")), "fp_a")
+          .join(members.select(col("__fp").as("fp_b"), col("id").as("mb")), "fp_b")
+          .filter(col("fp_a") =!= col("fp_b") || col("ma") < col("mb"))
+          .select(least(col("ma"), col("mb")).as("id_a"),
+                  greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+      }
     }
     logDroppedBuckets("minhashDedupPairs", obs)
     result

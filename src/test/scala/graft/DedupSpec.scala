@@ -61,6 +61,42 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 5 + 6, s"unexpected extras: ${got.keys.toSeq.sorted}")
   }
 
+  test("minhash cross-group expansion is bounded by maxBucketSize") {
+    // group A: 6 identical docs — OVERSIZE under maxBucketSize=4; group B: 2
+    // identical near-dups of A's content; one unrelated doc. The verified
+    // rep pair A-B must NOT expand through the oversize group (the |A|×|B|
+    // blowup the cap exists to prevent), and A's within-group pairs are
+    // excluded too — mirroring the banding tier's oversized-bucket drop —
+    // while the in-cap group B still expands normally.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val rows = (1L to 6L).map(i => (i, boiler)) ++ Seq(
+      (10L, boiler + " tail marker"), (11L, boiler + " tail marker"),
+      (20L, "entirely different content about engines and planners"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.minhashDedupPairs(df, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!got.exists { case (a, b) => a <= 6 || b <= 6 },
+      s"oversize exact-dup group leaked into pair expansion: $got")
+    assert(got == Set((10L, 11L)), s"in-cap group mis-expanded: $got")
+    // same corpus with the cap lifted: full expansion returns (sanity that
+    // the cap — not a recall bug — excluded the pairs above)
+    val full = Dedup.minhashDedupPairs(df, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.size == 15 + 1 + 12, s"uncapped expansion wrong: ${full.size}") // C(6,2) + C(2,2) + 6×2
+  }
+
+  test("minhash short-circuit: zero exact-dup corpora still pair near-dups") {
+    // no two docs share a fingerprint -> the member map is the identity and
+    // the expansion stages are skipped; the verified rep pairs ARE the answer
+    val uniq = docs.filter(col("doc_id") =!= 2 && col("doc_id") =!= 5)
+    val pairs = Dedup.minhashDedupPairs(uniq, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 3L
+      && pairs.head._3 > 0.5, s"got ${pairs.toSeq}")
+  }
+
   test("minhash estimate tracks exact jaccard") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .filter(col("id_a") === 1 && col("id_b") === 3).head()
