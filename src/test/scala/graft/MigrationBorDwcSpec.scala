@@ -178,7 +178,8 @@ class MigrationBorDwcSpec extends SparkSpec {
   private val borRecords = Seq(
     """{"general":{"inn":"111","bor-statistic":{"management-report":{
          "type":"2","mng_511":5.5,"mng_512":{"plan":10.0,"fact":8.0},
-         "otr-indexes":[{"id":7,"value":3.25},{"id":9,"plan":1.0,"fact":2.0}],
+         "otr-indexes":[{"id":7,"value":3.25},{"id":9,"plan":1.0,"fact":2.0},
+                        {"id":8,"value":0.0,"plan":4.0,"fact":5.0}],
          "note_x":"zz"}}}}""".replaceAll("\n\\s*", ""),
     """{"general":{"inn":"999"}}""",
     """{"general":{"inn":"222","bor-statistic":{"management-report":{
@@ -218,33 +219,46 @@ class MigrationBorDwcSpec extends SparkSpec {
           col("`bor-statistic`.`management-report`.`otr-indexes`").as("otr"))
         .filter(col("mng").isNotNull) // Filter «has type» (bor-dwc.js:405)
         .withColumn("rtype", coalesce(col("mng")("type"), lit("0")))
-      def prefix = concat(lit(s"y_${year}__t_"), col("rtype"), lit("__"))
+      // the `t_<type>__` segment is inserted ONLY for `mng` codes strictly
+      // between 510 and 520 (bor-dwc.js:372); every other `a_b` key gets the
+      // plain `y_YYYY__` prefix (:377-382). otr-indexes keys always carry it
+      // (:391).
+      def typedPrefix = concat(lit(s"y_${year}__t_"), col("rtype"), lit("__"))
+      def mngPrefix = {
+        val code = expr("try_cast(element_at(split(k, '_'), 2) AS double)")
+        when(element_at(split(col("k"), "_"), 1) === "mng"
+            && code > 510 && code < 520, typedPrefix)
+          .otherwise(lit(s"y_${year}__"))
+      }
       val mngRows = mngMap
         .select(col("subordinate"), col("rtype"), explode(col("mng")).as(Seq("k", "v")))
         .filter(size(split(col("k"), "_")) === 2) // parts.length == 2 (:369)
         .select(col("subordinate"), col("rtype"), explode(
           when(col("v").startsWith("{"), array(
-            struct(concat(prefix, col("k"), lit("__plan")).as("measure"),
+            struct(concat(mngPrefix, col("k"), lit("__plan")).as("measure"),
                    get_json_object(col("v"), "$.plan").cast("double").as("value")),
-            struct(concat(prefix, col("k"), lit("__fact")).as("measure"),
+            struct(concat(mngPrefix, col("k"), lit("__fact")).as("measure"),
                    get_json_object(col("v"), "$.fact").cast("double").as("value"))))
           .otherwise(array(
-            struct(concat(prefix, col("k")).as("measure"),
+            struct(concat(mngPrefix, col("k")).as("measure"),
                    // non-numeric scalars (the reference's typeof-number
                    // check) become null and are filtered — try_cast, since
                    // ANSI mode makes a plain cast throw on them
                    expr("try_cast(v AS double)").as("value"))))).as("m"))
         .select(col("subordinate"), col("m.measure"), col("m.value"))
+      // `if (otr[i].value)` is a TRUTHINESS test (bor-dwc.js:393): a zero
+      // value falls through to the plan/fact branch, exactly like a missing
+      // one — isNotNull alone would diverge on value=0
       val otrRows = mngMap.filter(col("otr").isNotNull)
         .select(col("subordinate"), col("rtype"), explode(col("otr")).as("o"))
         .select(col("subordinate"), explode(
-          when(col("o.value").isNotNull, array(
-            struct(concat(prefix, lit("otr_"), col("o.id")).as("measure"),
+          when(col("o.value").isNotNull && col("o.value") =!= 0, array(
+            struct(concat(typedPrefix, lit("otr_"), col("o.id")).as("measure"),
                    col("o.value").as("value"))))
           .otherwise(array(
-            struct(concat(prefix, lit("otr_"), col("o.id"), lit("__plan")).as("measure"),
+            struct(concat(typedPrefix, lit("otr_"), col("o.id"), lit("__plan")).as("measure"),
                    col("o.plan").as("value")),
-            struct(concat(prefix, lit("otr_"), col("o.id"), lit("__fact")).as("measure"),
+            struct(concat(typedPrefix, lit("otr_"), col("o.id"), lit("__fact")).as("measure"),
                    col("o.fact").as("value"))))).as("m"))
         .select(col("subordinate"), col("m.measure"), col("m.value"))
 
@@ -264,7 +278,9 @@ class MigrationBorDwcSpec extends SparkSpec {
         ("111", "y_2016__t_2__otr_7", 3.25, "Museums"),
         ("111", "y_2016__t_2__otr_9__plan", 1.0, "Museums"),
         ("111", "y_2016__t_2__otr_9__fact", 2.0, "Museums"),
-        ("222", "y_2016__t_1__mng_600", 7.0, "Museums")))
+        ("111", "y_2016__t_2__otr_8__plan", 4.0, "Museums"), // value=0 is FALSY
+        ("111", "y_2016__t_2__otr_8__fact", 5.0, "Museums"), // -> plan/fact branch
+        ("222", "y_2016__mng_600", 7.0, "Museums"))) // mng code ∉ (510,520): no t_ segment
       // inn 999 (no management-report) filtered; note_x (string value) vanished
     }
   }
