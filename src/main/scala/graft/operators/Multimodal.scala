@@ -125,13 +125,15 @@ object Multimodal {
     }
 
     /** Real image resize: decode (JDK formats), bilinear-scale to
-      * `targetW`×`targetH`, re-encode as PNG. Undecodable payloads return
-      * unchanged — resizing bytes that aren't pixels is meaningless.
+      * `targetW`×`targetH`, re-encode as PNG. Returns `None` for payloads
+      * that did not decode (resizing bytes that aren't pixels is
+      * meaningless) — callers must leave such records, metadata included,
+      * untouched rather than stamping dimensions the payload doesn't have.
       */
-    def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        if (img == null || targetW <= 0 || targetH <= 0) payload
+        if (img == null || targetW <= 0 || targetH <= 0) None
         else {
           val out = new java.awt.image.BufferedImage(targetW, targetH,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -143,9 +145,9 @@ object Multimodal {
           } finally g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", bos)
-          bos.toByteArray
+          Some(bos.toByteArray)
         }
-      } catch { case scala.util.control.NonFatal(_) => payload }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Byte-level resample for OPAQUE payloads (no pixel semantics):
       * nearest-neighbor-samples payload bytes down/up to `targetBytes` —
@@ -235,13 +237,19 @@ object Multimodal {
 
   /** Batch resize: per-partition iterator like [[extractFeatures]]. JDK
     * image payloads are pixel-resized (bilinear, PNG re-encode) to
-    * `targetW`×`targetH`; everything else passes through unchanged.
+    * `targetW`×`targetH` and stamped with the new dimensions; everything
+    * else passes through WHOLLY unchanged — payload and metadata — so the
+    * record never claims dimensions its bytes don't have.
     */
   def resizeImages(media: Dataset[MediaRecord], targetW: Int, targetH: Int)(
       implicit enc: org.apache.spark.sql.Encoder[MediaRecord]): Dataset[MediaRecord] =
     media.mapPartitions { it =>
-      it.map(m => m.copy(payload = MediaCodec.resizeImage(m.payload, targetW, targetH),
-        width = targetW, height = targetH))
+      it.map { m =>
+        MediaCodec.resizeImage(m.payload, targetW, targetH) match {
+          case Some(resized) => m.copy(payload = resized, width = targetW, height = targetH)
+          case None => m
+        }
+      }
     }
 
   /** Byte-level batch resample for opaque payloads (see

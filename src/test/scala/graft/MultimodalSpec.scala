@@ -70,12 +70,16 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
     val media = Seq(
       Multimodal.MediaRecord(1L, "image", png(8, 8, 50), 8, 8, 0),
-      Multimodal.MediaRecord(2L, "blob", "not an image".getBytes, 0, 0, 0)).toDS()
+      Multimodal.MediaRecord(2L, "blob", "not an image".getBytes, 7, 9, 0)).toDS()
     val out = Multimodal.resizeImages(media, 3, 2).collect().sortBy(_.media_id)
     val resized = MediaCodec.decode(out(0).payload)
     assert(resized.width == 3 && resized.height == 2)
     assert(resized.features(50 >> 4) == 1.0f) // solid gray survives the resize
+    assert(out(0).width == 3 && out(0).height == 2) // re-encoded -> stamped
+    // pass-through payload keeps its ORIGINAL metadata: the record must not
+    // claim target dimensions its bytes don't have
     assert(out(1).payload.toSeq == "not an image".getBytes.toSeq)
+    assert(out(1).width == 7 && out(1).height == 9)
   }
 
   test("extractFeatures carries decoded metadata per modality") {
