@@ -69,6 +69,28 @@ object SparkEntry {
       .orderBy("p_partkey", "word")
   }
 
+  /** C3 Thru STATEFUL fidelity mode gate: a cross-record running fold
+    * (1-based arrival sequence + running integer-cents total) over orders in
+    * o_orderkey order, via [[CoreOps.thruStateful]]'s single-partition
+    * sequential execution — the reference's one-thread Thru semantics
+    * (`job-thru.js:17-53`). Window-expressible, so DuckDB oracles it with
+    * row_number() + a running sum; integer cents keep the running sum
+    * bit-identical across engines. Bounded to o_orderkey <= 2000 because
+    * the fidelity mode is DELIBERATELY sequential (SURVEY §7.4.1): the gate
+    * proves semantics, not scale — the distributed reformulation is
+    * [[qXRunning]].
+    */
+  private def qC3Stateful(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey").cast("long").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .orderBy("k").as[(Long, Long)]
+    CoreOps.thruStateful(src, (0L, 0L)) { case ((seq, tot), (k, cents)) =>
+      ((seq + 1, tot + cents), Seq((k, seq + 1, tot + cents)))
+    }.toDF("o_orderkey", "seq", "run_cents").orderBy("o_orderkey")
+  }
+
   private def qC4Reducer(s: SparkSession, dir: String): DataFrame =
     // All money/quantity sums go out as BIGINT integer-cents (floor(x*100+0.5)
     // is pure IEEE, then sum-of-longs): decimal sum outputs widen to
@@ -1325,6 +1347,7 @@ object SparkEntry {
     "q_c1_filter"        -> (qC1Filter _),
     "q_c2_mapper"        -> (qC2Mapper _),
     "q_c3_thru"          -> (qC3Thru _),
+    "q_c3_stateful"      -> (qC3Stateful _),
     "q_c4_reducer"       -> (qC4Reducer _),
     "q_c5_sorter"        -> (qC5Sorter _),
     "q_c9_nothing"       -> (qC9Nothing _),
@@ -1528,6 +1551,13 @@ object SparkEntry {
       """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
          UNION ALL SELECT -1 AS p_partkey, '__header__' AS word
          ORDER BY p_partkey, word""",
+    "q_c3_stateful" ->
+      """SELECT o_orderkey,
+                CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS seq,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     OVER (ORDER BY o_orderkey) AS BIGINT) AS run_cents
+         FROM orders WHERE o_orderkey <= 2000
+         ORDER BY o_orderkey""",
     "q_c4_reducer" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
