@@ -59,37 +59,103 @@ object Bpe {
         .otherwise(concat(acc, array(x)))
     })
 
-  /** Train `numMerges` BPE merges over the corpus. Returns the ordered
-    * merge list — the tokenizer model. `vocab` must be a `(word, cnt)`
-    * relation ([[wordCounts]]); pass `checkpointEvery` down for long runs.
+  /** Nested-lambda cap per projection: the analyzer resolves one lambda
+    * nesting level per fixpoint iteration, so folding hundreds of
+    * [[applyMerge]]s into ONE expression exhausts its iteration budget.
+    * Chunking the fold across stacked Projects keeps per-expression depth
+    * bounded while staying one lazy plan (no materialization between
+    * chunks).
+    */
+  private val MergeFoldChunk = 8
+
+  private def applyMergesChunked(merges: Seq[(String, String)],
+                                 keep: Column, symsCol: String)(
+      df: DataFrame): DataFrame =
+    merges.grouped(MergeFoldChunk).foldLeft(df) { (d, grp) =>
+      d.select(keep, grp.foldLeft(col(symsCol)) {
+        case (syms, (a, b)) => applyMerge(syms, a, b)
+      }.as(symsCol))
+    }
+
+  /** Corpus-weighted adjacent-pair counts over a `(cnt, syms)` vocabulary
+    * relation — the per-round aggregation of the training loop.
+    */
+  private def pairCounts(v: DataFrame): DataFrame =
+    v.select(col("cnt"), explode(
+        when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            j => struct(element_at(col("syms"), j).as("a"),
+              element_at(col("syms"), j + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .groupBy("p").agg(sum(col("cnt")).as("n"))
+
+  /** Train `numMerges` BPE merges over the corpus, exactly the textbook
+    * sequential loop (one argmax per merge). Returns the ordered merge list
+    * — the tokenizer model. `vocab` must be a `(word, cnt)` relation
+    * ([[wordCounts]]); pass `checkpointEvery` down for long runs. For large
+    * vocabularies (32k merges = 32k sequential Spark jobs here) use
+    * [[trainMergesBatched]].
     */
   def trainMerges(vocab: DataFrame, numMerges: Int,
-                  checkpointEvery: Int = 8): Seq[(String, String)] = {
+                  checkpointEvery: Int = 8): Seq[(String, String)] =
+    trainMergesBatched(vocab, numMerges, batchSize = 1, checkpointEvery)
+
+  /** Batched merge training: each round aggregates pair counts ONCE, takes
+    * the top candidates, greedily keeps up to `batchSize` of them whose
+    * occurrences provably cannot overlap (a candidate is deferred to the
+    * next round when its left symbol equals an already-picked right or its
+    * right symbol equals an already-picked left — the only adjacency shapes
+    * through which applying one merge changes another's count), applies the
+    * kept merges in rank order in one vocabulary rewrite, and checkpoints.
+    * A 32k-merge vocabulary is ~32k/batchSize rounds of Spark jobs instead
+    * of 32k.
+    *
+    * Fidelity: within a round, kept merges have exactly the counts the
+    * sequential loop would have seen (the overlap filter guarantees it).
+    * The one divergence from strictly-sequential BPE: a pair CREATED by an
+    * earlier in-round merge (x, ab) only becomes a candidate next round,
+    * so it cannot outrank the rest of the current batch even when its
+    * count would have. `batchSize = 1` restores the exact textbook
+    * sequence; larger batches trade that ordering nuance for a
+    * `batchSize`× cut in driver round-trips — the standard scalable-BPE
+    * compromise.
+    */
+  def trainMergesBatched(vocab: DataFrame, numMerges: Int,
+                         batchSize: Int = 64,
+                         checkpointEvery: Int = 8): Seq[(String, String)] = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     var v = vocab.select(col("cnt"), initialSymbols(col("word")).as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var i = 0
+    var round = 0
     var done = false
-    while (i < numMerges && !done) {
-      // corpus-weighted adjacent-pair counts over the vocab relation
-      val top = v.select(col("cnt"), explode(
-          when(size(col("syms")) >= 2,
-            transform(sequence(lit(1), size(col("syms")) - 1),
-              j => struct(element_at(col("syms"), j).as("a"),
-                element_at(col("syms"), j + 1).as("b"))))
-            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
-        .groupBy("p").agg(sum(col("cnt")).as("n"))
+    while (merges.size < numMerges && !done) {
+      val want = math.min(batchSize, numMerges - merges.size)
+      // overscan 4x: rejected (overlapping) candidates are replaced from the
+      // tail; the top-1 candidate is always kept, so progress is guaranteed
+      val top = pairCounts(v)
         .orderBy(col("n").desc, col("p.a"), col("p.b"))
-        .limit(1).collect() // the argmax row only — the model is driver-side by design
+        .limit(want * 4).collect() // top-N rows only — the model is driver-side by design
       if (top.isEmpty) done = true
       else {
-        val row = top.head.getStruct(0)
-        val (a, b) = (row.getString(0), row.getString(1))
-        merges += ((a, b))
-        v = v.select(col("cnt"), applyMerge(col("syms"), a, b).as("syms"))
-        // truncate lineage so iteration K doesn't replay K rewrites
-        if ((i + 1) % checkpointEvery == 0) v = v.localCheckpoint(true)
-        i += 1
+        val lefts = scala.collection.mutable.HashSet.empty[String]
+        val rights = scala.collection.mutable.HashSet.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val it = top.iterator
+        while (picked.size < want && it.hasNext) {
+          val row = it.next().getStruct(0)
+          val (a, b) = (row.getString(0), row.getString(1))
+          if (!rights.contains(a) && !lefts.contains(b)) {
+            picked += ((a, b)); lefts += a; rights += b
+          }
+        }
+        merges ++= picked
+        v = applyMergesChunked(picked.toSeq, col("cnt"), "syms")(v)
+        round += 1
+        // batched rounds stack up to batchSize nested fold expressions per
+        // projection — checkpoint each round to keep plans shallow; the
+        // sequential (batchSize=1) cadence is the caller-tunable original
+        if (picked.size > 1 || round % checkpointEvery == 0) v = v.localCheckpoint(true)
       }
     }
     merges.toSeq
@@ -101,10 +167,8 @@ object Bpe {
     */
   def vocabSegmentation(vocab: DataFrame,
                         merges: Seq[(String, String)]): DataFrame =
-    vocab.select(col("word"),
-      merges.foldLeft(initialSymbols(col("word"))) {
-        case (syms, (a, b)) => applyMerge(syms, a, b)
-      }.as("subwords"))
+    applyMergesChunked(merges, col("word"), "subwords")(
+      vocab.select(col("word"), initialSymbols(col("word")).as("subwords")))
 
   /** Encode a corpus with a trained segmentation table: whitespace words
     * join the (broadcast-size-gated) table; out-of-vocabulary words fall

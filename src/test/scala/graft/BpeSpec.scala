@@ -27,6 +27,49 @@ class BpeSpec extends SparkSpec {
       ("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")), s"got $merges")
   }
 
+  test("trainMergesBatched(batchSize=1) reproduces the exact sequential sequence") {
+    val vocab = Bpe.wordCounts(corpus, "text")
+    val merges = Bpe.trainMergesBatched(vocab, numMerges = 4, batchSize = 1)
+    assert(merges == Seq(
+      ("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")), s"got $merges")
+  }
+
+  test("batched training defers overlapping candidates within a round") {
+    // round-1 top pairs here are (e,s)=9 and (s,t</w>)=9: they chain on 's',
+    // so a batch must pick (e,s) and DEFER (s,t</w>) — whose true count
+    // after (e,s) applies is 0 (every 's' was consumed) — rather than apply
+    // both on stale counts
+    val vocab = Bpe.wordCounts(corpus, "text")
+    val merges = Bpe.trainMergesBatched(vocab, numMerges = 8, batchSize = 4)
+    assert(merges.head == (("e", "s")), s"got $merges")
+    assert(!merges.contains(("s", "t</w>")),
+      s"stale-count merge applied: $merges")
+    // es+t</w> (count 9, recomputed in round 2) must still surface
+    assert(merges.contains(("es", "t</w>")), s"got $merges")
+  }
+
+  test("batched training reaches 1k merges within CI budget") {
+    // the sf fixture's vocabulary exhausts all pair variety after ~94
+    // merges, so the 1k-merge budget test runs on a high-entropy synthetic
+    // vocabulary (md5-hex pseudo-words, weighted counts)
+    val vocab = spark.range(3000).select(
+      md5(col("id").cast("string")).as("word"),
+      (col("id") % 7 + 1).as("cnt"))
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainMergesBatched(vocab, numMerges = 1000, batchSize = 64)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1000, s"trained only ${merges.size}")
+    assert(merges.distinct.size == 1000, "duplicate merges")
+    // ~16 aggregation rounds, not 1000 sequential jobs — budget-bounded
+    assert(secs < 120, f"batched training too slow: $secs%.1f s")
+    // the model is usable: segmenting the vocab with it reconstructs every
+    // word (subword concatenation is lossless)
+    val seg = Bpe.vocabSegmentation(vocab.limit(50), merges.take(200))
+    val bad = seg.filter(
+      concat_ws("", col("subwords")) =!= concat(col("word"), lit(Bpe.EndOfWord)))
+    assert(bad.count() == 0, s"lossy segmentation: ${bad.take(3).toSeq}")
+  }
+
   test("vocabSegmentation applies merges in order; encode joins it and counts subwords") {
     val vocab = Bpe.wordCounts(corpus, "text")
     val merges = Bpe.trainMerges(vocab, numMerges = 4)
