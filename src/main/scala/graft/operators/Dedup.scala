@@ -487,6 +487,40 @@ object Dedup {
                         shingleLen: Int = 5, numHashes: Int = 128): DataFrame =
     signatures(df, idCol, textCol, shingleLen, numHashes)
 
+  /** Maintenance/compaction of a persisted dedup store directory (the
+    * [[minhashSignatures]] signature store or the [[spanFingerprints]] fp
+    * store). The streaming ingest nodes append the corpus FIRST and the
+    * store second (Streams.ingestSpanDedup restart semantics): a crash in
+    * between makes the checkpoint replay append the same rows AGAIN, so
+    * after an unclean restart the store carries duplicate keys — harmless
+    * to correctness (readers `dropDuplicates`), but the store grows and
+    * every later batch pays the duplicate scan. Compaction rewrites the
+    * store keyed-distinct via a temp-dir + rename swap (`keys`: `"fp"` for
+    * span stores, `"id"` for signature stores — duplicate keys carry
+    * identical payloads by construction, so keep-any is exact).
+    * Returns (rowsBefore, rowsAfter).
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                   keys: Seq[String]): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = spark.read.parquet(storeDir)
+    val rows0 = before.count()
+    val tmp = new Path(storeDir.stripSuffix("/") + ".compact.tmp")
+    val old = new Path(storeDir.stripSuffix("/") + ".compact.old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    before.dropDuplicates(keys).write.parquet(tmp.toString)
+    val rows1 = spark.read.parquet(tmp.toString).count()
+    // swap: two renames, then drop the old generation — a crash mid-swap
+    // leaves either the original or the compacted store intact, never a mix
+    if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
+      throw new java.io.IOException(s"compactStore: rename swap failed for $storeDir")
+    fs.delete(old, true)
+    (rows0, rows1)
+  }
+
   /** Near-dup pairs touching at least one NEW document, for a delta batch
     * banded together with the persisted signature store: `(id_a, id_b,
     * a_new, b_new, jaccard_est)` with id_a < id_b. Store–store pairs are

@@ -114,6 +114,13 @@ case class PackNodeSpec(input: OpSpec, idCol: String, textCol: String,
 case class LayoutNodeSpec(input: OpSpec, layout: String, path: String,
                           cols: Seq[String], files: Int = 64,
                           bits: Int = 10) extends OpSpec
+/** Dedup-store maintenance ([[graft.operators.Dedup.compactStore]]):
+  * rewrite the store directory at `path` keyed-distinct on `keys` (the
+  * post-unclean-restart duplicate-key state of the streaming ingest
+  * stores), yield the compacted store relation. Like [[LayoutNodeSpec]],
+  * compiling this node is EAGER — maintenance is a run-once asset.
+  */
+case class CompactStoreSpec(path: String, keys: Seq[String]) extends OpSpec
 
 /** A named-node pipeline: `nodes` define the DAG, `out` names the result. */
 case class PipelineSpec(nodes: Seq[(String, OpSpec)], out: String)
@@ -236,6 +243,10 @@ object PipelineCompiler {
           case other =>
             throw new IllegalArgumentException(s"layout '$other' (sorted|zorder|bucketed)")
         }
+      case CompactStoreSpec(path, keys) =>
+        val p = sub(path)
+        graft.operators.Dedup.compactStore(spark, p, keys.map(sub))
+        spark.read.parquet(p)
     }
 
     spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }
@@ -265,6 +276,7 @@ object PipelineCompiler {
     case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)
+    case CompactStoreSpec(_, _)            => Set.empty
   }
 
   /** All spec nodes (transitively) feeding `name`, including itself. */

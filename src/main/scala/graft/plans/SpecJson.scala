@@ -90,6 +90,9 @@ object SpecJson {
         val c = n.putArray("cols"); cols.foreach(c.add)
         n.put("files", files); n.put("bits", bits)
         n.set[JsonNode]("input", opNode(in))
+      case CompactStoreSpec(path, keys) =>
+        pairs(n, "op" -> "compactStore", "path" -> path)
+        val k = n.putArray("keys"); keys.foreach(k.add)
     }
     n
   }
@@ -160,6 +163,7 @@ object SpecJson {
                         strs(n, "cols"),
                         Option(n.get("files")).map(_.asInt).getOrElse(64),
                         Option(n.get("bits")).map(_.asInt).getOrElse(10))
+    case "compactStore" => CompactStoreSpec(str(n, "path"), strs(n, "keys"))
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
 
@@ -211,6 +215,7 @@ object SpecJson {
         case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
+        case CompactStoreSpec(_, _) =>
       }
     }
     spec.nodes.foreach { case (name, op) => visit(op, name) }

@@ -156,21 +156,43 @@ object Streams {
     * fingerprints to `storeDir`. The boilerplate case this exists for:
     * a crawler re-ingesting pages whose header/footer blocks were seen in
     * earlier batches keeps only each block's first occurrence ever.
-    * Restart semantics: the two sinks are not atomic, and the corpus is
-    * deliberately written FIRST — a crash between the writes makes the
-    * checkpoint replay re-dedup against a store missing that batch's
-    * fingerprints and append the same documents AGAIN. The reverse order
-    * would be worse: a replay against a store already holding the batch's
-    * own fps rebuilds every document to empty — silent content loss.
-    * Duplicates are recoverable, loss is not; so after an unclean restart
-    * give `corpusDir` readers a `dropDuplicates(idCol)` and `storeDir`
-    * readers a `dropDuplicates("fp")`. Documents that rebuild to empty
-    * text are still appended (with `n_kept = 0`) so the corpus row count
-    * is auditable — filter `n_kept > 0` downstream.
+    * Restart semantics (both crash windows are CI-tested in StreamsSpec):
+    * the two sinks are not atomic and the corpus is deliberately written
+    * FIRST. (1) A crash BETWEEN the writes makes the checkpoint replay
+    * re-dedup against a store missing that batch's fingerprints and append
+    * byte-identical documents AGAIN — duplicate corpus rows. (2) A crash
+    * AFTER both writes but BEFORE the offset commits makes the replay see
+    * the batch's OWN fingerprints and append an EMPTIED rebuild of each
+    * document next to the true one. One recovery rule restores exact
+    * content through both windows: per id keep the row with the MAX
+    * `n_kept` (window 1's twins are identical; window 2's replay row always
+    * has fewer-or-equal kept tokens than the true row — more store fps can
+    * only drop more windows). The fp store needs NO replay recovery: fresh
+    * fps are anti-joined against the store, so a replay never re-appends
+    * them. Duplicate store keys DO arise operationally (re-run bootstrap
+    * appends, store unions) — [[graft.operators.Dedup.compactStore]] /
+    * the `CompactStoreSpec` pipeline node is the maintenance op for that.
+    * Documents that rebuild to empty text are still appended (with
+    * `n_kept = 0`) so the corpus row count is auditable — filter
+    * `n_kept > 0` downstream.
     */
   def ingestSpanDedup(stream: DataFrame, idCol: String, textCol: String,
                       k: Int, corpusDir: String, storeDir: String,
-                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                      checkpointDir: String,
+                      // test seams for the two documented crash windows
+                      // (StreamsSpec injects throws here to drive the
+                      // checkpoint-replay recovery tests; no-ops in
+                      // production): `afterCorpusAppend` runs BETWEEN the
+                      // corpus append and the fp-store append (failure ->
+                      // divergent sinks, corpus rows duplicated on replay);
+                      // `beforeCommit` runs after both appends but before
+                      // foreachBatch returns, i.e. before the checkpoint
+                      // commits the offset (failure -> BOTH sinks
+                      // duplicated on replay — the state compactStore
+                      // repairs)
+                      afterCorpusAppend: () => Unit = () => (),
+                      beforeCommit: () => Unit = () => ()
+                     ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -185,7 +207,9 @@ object Streams {
         val kept = rebuilt.persist()
         try {
           kept.write.mode("append").parquet(corpusDir)
+          afterCorpusAppend()
           newFps.write.mode("append").parquet(storeDir)
+          beforeCommit()
         } finally kept.unpersist(blocking = false)
         ()
       }

@@ -45,6 +45,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2)
       case _: PackNodeSpec => PackNodeSpec(in, "id", "txt", 2048L, 64)
       case _: LayoutNodeSpec => LayoutNodeSpec(in, "zorder", "/data/z", Seq("a", "b"), 32, 8)
+      case _: CompactStoreSpec => CompactStoreSpec("/data/store", Seq("fp", "id"))
     }
     val shapes: Seq[OpSpec] = Seq(
       SourceSpec("parquet", "p"), RefSpec("r"), FilterSpec(in, "1=1"),
@@ -55,7 +56,8 @@ class SpecJsonSpec extends SparkSpec {
       DedupNodeSpec(in, "i", "t"), SpanDedupNodeSpec(in, "i", "t"),
       SplitNodeSpec(in, "i", Nil),
       MixNodeSpec(in, "i", "s", Map.empty), DecontamNodeSpec(in, in, "i", "t"),
-      PackNodeSpec(in, "i", "t", 1L), LayoutNodeSpec(in, "sorted", "p", Nil))
+      PackNodeSpec(in, "i", "t", 1L), LayoutNodeSpec(in, "sorted", "p", Nil),
+      CompactStoreSpec("p", Seq("fp")))
     shapes.foreach { shape =>
       val op = exemplar(shape)
       val ps = PipelineSpec(Seq("n" -> op), "n")
