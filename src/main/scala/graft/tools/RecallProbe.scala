@@ -73,6 +73,10 @@ object RecallProbe {
       val iv = pairSet(VectorOps.ivfTopK(queries, emb, k = 5, nlist = nlist, nprobe = nprobe))
       println(s"PROBE annivf nlist=$nlist nprobe=$nprobe: recall=${(bf intersect iv).size.toDouble / bf.size}")
     }
+    for ((nlist, nprobe) <- Seq((8, 4), (16, 8))) {
+      val iv8 = pairSet(VectorOps.ivfTopKInt8(queries, emb, k = 5, nlist = nlist, nprobe = nprobe))
+      println(s"PROBE annivf8 nlist=$nlist nprobe=$nprobe: recall=${(bf intersect iv8).size.toDouble / bf.size}")
+    }
     spark.stop()
   }
 }

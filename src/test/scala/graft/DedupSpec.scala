@@ -158,6 +158,30 @@ class DedupSpec extends SparkSpec {
     assert(cappedRecall >= 0.7, s"capped-training IVF recall too low: $cappedRecall")
   }
 
+  test("ANN recall floors pinned on organic fixtures (ivf / ivf-int8 / lsh)") {
+    // Floors are measured values minus a safety margin, from
+    // `runMain graft.tools.RecallProbe` on sf0.001 (round 11: ivf(8,4)=0.93,
+    // ivf_int8(8,4)=0.92, lsh(bands=8,bits=6)=0.33 — everything hash-seeded,
+    // so the measurements are deterministic). The LSH floor is low by
+    // DESIGN: sign-LSH is the high-similarity retrieval tier and this
+    // fixture's top-5 lives in weak-cosine territory (the planted-twin test
+    // above covers its actual regime); the floor still pins the config
+    // against silent recall regressions.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(VectorOps.bruteForceTopK(queries, emb, k = 5))
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      (exact intersect pairs(df)).size.toDouble / exact.size
+    val ivf = recallOf(VectorOps.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4))
+    assert(ivf >= 0.90, s"ivfTopK(nlist=8,nprobe=4) recall regressed: $ivf (measured 0.93)")
+    val ivf8 = recallOf(VectorOps.ivfTopKInt8(queries, emb, k = 5, nlist = 8, nprobe = 4))
+    assert(ivf8 >= 0.85, s"ivfTopKInt8(nlist=8,nprobe=4) recall regressed: $ivf8 (measured 0.92)")
+    val lsh = recallOf(VectorOps.lshTopK(queries, emb, k = 5, dim = 64, bands = 8, bits = 6))
+    assert(lsh >= 0.30, s"lshTopK(bands=8,bits=6) recall regressed: $lsh (measured 0.33)")
+  }
+
   // --- brute-force cross-checks for the rows-only gate queries -------------
   // (q_n_dedup_minhash / q_n_dedup_simhash / q_n_emb_dups / q_n_ann_lsh have
   // no SQL oracle — hash families aren't SQL-expressible — so each gets a
