@@ -272,4 +272,55 @@ class PlanQualitySpec extends SparkSpec {
         s"token array ${arrayStringCols.map(_.name)} rides a shuffle:\n$e")
     }
   }
+
+  test("BPE encode -> packSequencesBy: subword arrays ride ONLY the shard repartition") {
+    // the 8-stage flagship's tail (SparkEntry.qNLlmPipelineV2). The designed
+    // shape is exactly THREE exchanges: (1) wordCounts' vocab agg — scalar
+    // words only; (2) encode's per-doc assembly agg — word-level subwords
+    // meet their document as COMPACT SERIALIZED collect_list buffers
+    // (id + binary), never exploded arrays; (3) the pack's shard
+    // repartition — the one exchange where doc-level subword arrays ride,
+    // because co-locating streams with their shard is the floor for any
+    // pack. A fourth exchange, or arrays on any other exchange (an orderBy,
+    // the segmentation join degrading from broadcast to shuffle-join), is a
+    // plan regression this test catches. Asserted on the static plan (AQE
+    // off), like the span test above.
+    import org.apache.spark.sql.types._
+    def carriesText(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _)  => carriesText(et)
+      case StructType(fs)    => fs.exists(f => carriesText(f.dataType))
+      case MapType(k, v, _)  => carriesText(k) || carriesText(v)
+      case StringType        => true
+      case _                 => false
+    }
+    def tokenBearing(a: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
+      a.dataType match { case at: ArrayType => carriesText(at); case _ => false }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    val exchanges = try {
+      spark.conf.set(aqe, "false")
+      val vocab = graft.functions.Bpe.wordCounts(docs, "text")
+      val seg = graft.functions.Bpe.vocabSegmentation(vocab,
+        Seq(("e", "r</w>"), ("t", "h"), ("th", "e</w>")))
+      val packed = graft.operators.Packing.packSequencesBy(
+        graft.functions.Bpe.encode(docs, "doc_id", "text", seg),
+        "id", "subwords", budgetTokens = 512, shards = 16)
+      packed.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    } finally spark.conf.set(aqe, prev)
+    def describe = exchanges.map(e => e.outputPartitioning.toString + " || " +
+      e.child.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      .mkString("\n")
+    assert(exchanges.size == 3, s"expected exactly 3 exchanges in the tail:\n$describe")
+    val arrayCarrying = exchanges.filter(_.child.output.exists(tokenBearing))
+    assert(arrayCarrying.size == 1 &&
+      arrayCarrying.head.outputPartitioning.toString.contains("shard"),
+      s"subword arrays must ride ONLY the shard repartition:\n$describe")
+    // the assembly agg ships buffers, not arrays: its exchange is id+binary
+    assert(exchanges.exists(e =>
+      e.child.output.map(_.dataType).toSet == Set(LongType, BinaryType)),
+      s"encode assembly exchange should carry (id, serialized buffer):\n$describe")
+  }
 }
