@@ -915,8 +915,13 @@ object SparkEntry {
     val train = PipelineCompiler.compile(
       SpecJson.fromJson(SpecJson.toJson(spec)), s, Map("dir" -> dir))
     val seg = Bpe.vocabSegmentation(Bpe.wordCounts(train, "text"), bpeGateMerges)
-    val encoded = Bpe.encode(train, "doc_id", "text", seg)
-    Packing.packSequencesBy(encoded, "id", "subwords", budgetTokens = 700, shards = 16)
+    // fused encode+pack (r11): bit-identical to Bpe.encode →
+    // packSequencesBy, but token payloads cross ONE exchange instead of
+    // two — shard = f(id), so the word stream's shard repartition already
+    // co-locates documents for both the assembly agg and the pack fold
+    // (PlanQualitySpec locks the shape)
+    Packing.packSequencesEncoded(train, "doc_id", "text", seg,
+        budgetTokens = 700, shards = 16)
       .select(col("shard"), col("bin"), col("n_docs"), col("n_toks"),
         md5(concat_ws(" ", col("seq"))).as("seq_md5"))
       .orderBy("shard", "bin")

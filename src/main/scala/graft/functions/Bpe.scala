@@ -36,9 +36,11 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** A word as its initial symbol sequence: characters, with [[EndOfWord]]
-    * fused onto the final one.
+    * fused onto the final one. Package-visible: the fused encode+pack
+    * operator ([[graft.operators.Packing.packSequencesEncoded]]) needs the
+    * same out-of-vocabulary fallback [[encode]] uses.
     */
-  private def initialSymbols(word: Column): Column = {
+  private[graft] def initialSymbols(word: Column): Column = {
     val chars = filter(split(word, ""), c => length(c) > 0)
     transform(chars, (c, i) =>
       when(i === size(chars) - 1, concat(c, lit(EndOfWord))).otherwise(c))

@@ -126,12 +126,55 @@ object Packing {
       notNull(col(seqCol), "packSequencesBy", seqCol, idCol),
       budgetTokens, shards, eosToken)
 
+  /** Fused BPE-encode + pack: bit-identical output to
+    * `packSequencesBy(Bpe.encode(df, ...), "id", "subwords", ...)` with
+    * HALF the token shuffle volume. The composed form moves token payloads
+    * through TWO exchanges — encode's id-keyed per-doc assembly (serialized
+    * collect_list buffers) and the pack's shard repartition. But the shard
+    * is a FUNCTION of the id (md5 prefix), so hash-partitioning the
+    * word-level stream by shard already co-locates every row of a document:
+    * the per-doc assembly aggregation runs on that same partitioning with
+    * NO further exchange, and the pack fold consumes the aggregated
+    * partitions in place. Token payloads cross exactly ONE exchange, at any
+    * corpus size — the plan shape PlanQualitySpec locks.
+    *
+    * Zero-token documents are preserved (they pack as a bare `eosToken`,
+    * exactly as [[graft.functions.Bpe.encode]]'s empty rows do) via a
+    * sentinel word row, not a corpus-wide join.
+    */
+  def packSequencesEncoded(df: DataFrame, idCol: String, textCol: String,
+                           segmentation: DataFrame, budgetTokens: Long,
+                           shards: Int = 256,
+                           eosToken: String = "<eos>"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val toks = graft.functions.TextOps.tokens(col(textCol))
+    val words = df.select(
+        substring(md5(col(idCol).cast("string")), 1, shardHexChars(shards)).as("shard"),
+        Sampling.hashBucket(col(idCol)).as("__b"),
+        col(idCol),
+        explode(when(size(toks) > 0,
+            transform(toks, (w, i) => struct(i.as("pos"), w.as("word"))))
+          .otherwise(array(struct(lit(-1).as("pos"),
+            lit(null).cast("string").as("word"))))).as("pw"))
+      .select(col("shard"), col("__b"), col(idCol),
+        col("pw.pos").as("__pos"), col("pw.word").as("word"))
+      .join(Joins.maybeBroadcast(segmentation), Seq("word"), "left")
+      .withColumn("__sub",
+        when(col("word").isNull, array().cast("array<string>"))          // sentinel
+          .otherwise(coalesce(col("subwords"),                           // OOV fallback
+            graft.functions.Bpe.initialSymbols(col("word")))))
+    val docs = words.repartition(col("shard"))
+      .groupBy(col("shard"), col("__b"), col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("__pos").as("pos"),
+        col("__sub").as("subwords")))).getField("subwords")).as("__toks"))
+    packFold(docs.sortWithinPartitions(col("shard"), col("__b"), col(idCol)),
+      budgetTokens, eosToken)
+  }
+
   private def packSeqCore(df: DataFrame, idCol: String, toksCol: Column,
                           budgetTokens: Long, shards: Int,
                           eosToken: String): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
     val sorted = df.select(
         substring(md5(col(idCol).cast("string")), 1, shardHexChars(shards)).as("shard"),
         Sampling.hashBucket(col(idCol)).as("__b"),
@@ -139,6 +182,19 @@ object Packing {
         toksCol.as("__toks"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("__b"), col(idCol))
+    packFold(sorted, budgetTokens, eosToken)
+  }
+
+  /** The per-shard sequential bin fold shared by [[packSeqCore]] and
+    * [[packSequencesEncoded]]. `sorted` must be laid out `(shard, bucket,
+    * id, tokens)`, partitioned so each partition holds COMPLETE shards, and
+    * sorted within partitions by `(shard, bucket, id)` — the fold replays
+    * the offset-range rule over that order.
+    */
+  private def packFold(sorted: DataFrame, budgetTokens: Long,
+                       eosToken: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
     val outSchema = StructType(Seq(
       StructField("shard", StringType, nullable = false),
       StructField("bin", LongType, nullable = false),

@@ -104,6 +104,26 @@ class BpeSpec extends SparkSpec {
     assert(enc(1) == ((2L, 0L, 0L, Seq.empty)) && enc(2) == ((3L, 0L, 0L, Seq.empty)))
   }
 
+  test("packSequencesEncoded is bit-identical to encode + packSequencesBy") {
+    val vocab = Bpe.wordCounts(corpus, "text")
+    val seg = Bpe.vocabSegmentation(vocab, Bpe.trainMerges(vocab, numMerges = 4))
+    // empty + whitespace-only docs included: they must keep their bin slot
+    // (a bare <eos>) in BOTH forms
+    val docs = Seq((1L, "newest newest"), (2L, "low lower"), (3L, "widest"),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard", "bin", "n_docs", "seq", "n_toks")
+      .as[(String, Long, Long, Seq[String], Long)].collect().toSet
+    val composed = rows(graft.operators.Packing.packSequencesBy(
+      Bpe.encode(docs, "doc_id", "text", seg), "id", "subwords",
+      budgetTokens = 7, shards = 16))
+    val fused = rows(graft.operators.Packing.packSequencesEncoded(
+      docs, "doc_id", "text", seg, budgetTokens = 7, shards = 16))
+    assert(fused == composed,
+      s"fused diverged:\n fused=${fused.toSeq.sortBy(_._1)}\n composed=${composed.toSeq.sortBy(_._1)}")
+    assert(fused.exists(_._4.contains("<eos>")), "expected eos-only slots for empty docs")
+  }
+
   test("BPE subword counts drive the packing budget (tokenizer-true packing)") {
     val vocab = Bpe.wordCounts(corpus, "text")
     val seg = Bpe.vocabSegmentation(vocab, Bpe.trainMerges(vocab, numMerges = 4))

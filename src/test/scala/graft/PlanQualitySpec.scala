@@ -323,4 +323,44 @@ class PlanQualitySpec extends SparkSpec {
       e.child.output.map(_.dataType).toSet == Set(LongType, BinaryType)),
       s"encode assembly exchange should carry (id, serialized buffer):\n$describe")
   }
+
+  test("fused packSequencesEncoded: token payloads cross exactly ONE exchange") {
+    // the 8-stage flagship's actual tail since r11: shard = f(id), so
+    // hash-partitioning the word stream by shard already co-locates every
+    // row of a document — the per-doc assembly agg and the pack fold run on
+    // that one partitioning with NO further exchange. Expected shuffles:
+    // the scalar wordCounts agg (under the broadcast segmentation subtree)
+    // and the ONE shard repartition carrying subword arrays.
+    import org.apache.spark.sql.types._
+    def carriesText(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _)  => carriesText(et)
+      case StructType(fs)    => fs.exists(f => carriesText(f.dataType))
+      case MapType(k, v, _)  => carriesText(k) || carriesText(v)
+      case StringType        => true
+      case _                 => false
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    val exchanges = try {
+      spark.conf.set(aqe, "false")
+      val vocab = graft.functions.Bpe.wordCounts(docs, "text")
+      val seg = graft.functions.Bpe.vocabSegmentation(vocab,
+        Seq(("e", "r</w>"), ("t", "h"), ("th", "e</w>")))
+      graft.operators.Packing.packSequencesEncoded(
+          docs, "doc_id", "text", seg, budgetTokens = 512, shards = 16)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+    } finally spark.conf.set(aqe, prev)
+    def describe = exchanges.map(e => e.outputPartitioning.toString + " || " +
+      e.child.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+      .mkString("\n")
+    assert(exchanges.size == 2, s"expected exactly 2 exchanges in the fused tail:\n$describe")
+    val tokenCarrying = exchanges.filter(_.child.output.exists(a =>
+      a.dataType match { case at: ArrayType => carriesText(at); case _ => false }))
+    assert(tokenCarrying.size == 1 &&
+      tokenCarrying.head.outputPartitioning.toString.contains("shard"),
+      s"token payloads must cross exactly the shard repartition:\n$describe")
+  }
 }
