@@ -1032,6 +1032,45 @@ object SparkEntry {
       dim = 64, threshold = 0.2, bands = 8, bits = 8)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup coarse assignment, oracle-pinned over the WHOLE corpus: every
+    * vector's argmax-cosine centroid (deterministic first-8 centroids) and
+    * its centroid similarity — 500 organic assignments verify the argmax,
+    * the lowest-cid tie-break, and the double-precision cosine end to end.
+    */
+  private def qNSemdedupAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
+    Dedup.assignSemanticClusters(emb, "vec_id", "embedding", cents)
+      .select(col("id").as("vec_id"), col("cluster"),
+        round(col("centroid_sim"), 4).as("centroid_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup pairs, hash-gated on a corpus with planted semantic dups: an
+    * exact twin (×2 scale, cosine 1.0) per `vec_id < 64` and a float-exact
+    * blend `3·v + v_next` (cosine ≈ 0.94–0.96) per `vec_id < 32` — both
+    * reconstructible bit-identically in SQL, so the oracle re-derives the
+    * full pipeline: assignment, within-cluster scoping (a cross-cluster
+    * near-pair must NOT emit), exact cosine, and the 0.9 threshold.
+    */
+  private def qNSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val twins = emb.filter(col("vec_id") < 64)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val nxt = emb.select((col("vec_id") - 1L).as("vec_id"), col("embedding").as("__nx"))
+    val blends = emb.join(nxt, "vec_id").filter(col("vec_id") < 32)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        zip_with(col("embedding"), col("__nx"),
+          (x, y) => (x.cast("double") * 3 + y.cast("double")).cast("float")).as("embedding"))
+    val corpus = emb.unionByName(twins).unionByName(blends)
+    val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
+    Dedup.semanticDedupPairs(corpus, "vec_id", "embedding", cents, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   private def qNAnnCosine(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
@@ -1420,6 +1459,8 @@ object SparkEntry {
     "q_n_dedup_simhash"  -> (qNDedupSimhash _),
     "q_n_jaccard_pairs"  -> (qNJaccardPairs _),
     "q_n_emb_dups"       -> (qNEmbDups _),
+    "q_n_semdedup_assign" -> (qNSemdedupAssign _),
+    "q_n_semdedup"       -> (qNSemdedup _),
     "q_n_ann_cosine"     -> (qNAnnCosine _),
     "q_n_ann_lsh"        -> (qNAnnLsh _),
     "q_n_ann_ivf"        -> (qNAnnIvf _),
@@ -2251,6 +2292,55 @@ object SparkEntry {
     "q_n_emb_dups" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS cos_sim
          FROM embeddings ORDER BY id_a""",
+    // full recomputation of the argmax-cosine assignment against the
+    // deterministic first-8 centroids (cid = vec_id on this fixture): same
+    // double math, DESC-cosine/ASC-cid tie order
+    "q_n_semdedup_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, embedding AS ev FROM embeddings),
+         s AS (SELECT vec_id, cid,
+                 list_sum(list_transform(range(1, len(ev)+1),
+                   i -> CAST(ev[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(ev, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cs
+               FROM v, c),
+         r AS (SELECT vec_id, cid, cs,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM s)
+         SELECT vec_id, CAST(cid AS INT) AS cluster, round(cs, 4) AS centroid_sim
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
+    // full SemDeDup re-derivation: rebuild the planted corpus (×2 twins,
+    // float-exact 3v+v_next blends), assign every vector by argmax cosine,
+    // then exact within-cluster pairs over the 0.9 threshold
+    "q_n_semdedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         twin AS (SELECT vec_id + 100000 AS vec_id,
+                    list_transform(embedding, x -> CAST(x*2 AS FLOAT)) AS embedding
+                  FROM base WHERE vec_id < 64),
+         blend AS (SELECT a.vec_id + 200000 AS vec_id,
+                     list_transform(range(1, len(a.embedding)+1),
+                       i -> CAST(CAST(a.embedding[i] AS DOUBLE)*3
+                                 + CAST(b.embedding[i] AS DOUBLE) AS FLOAT)) AS embedding
+                   FROM base a JOIN base b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 32),
+         corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin UNION ALL SELECT * FROM blend),
+         c AS (SELECT vec_id AS cid, embedding AS cv FROM base WHERE vec_id < 8),
+         s AS (SELECT v.vec_id, cid,
+                 list_sum(list_transform(range(1, len(v.embedding)+1),
+                   i -> CAST(v.embedding[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cs
+               FROM corpus v, c),
+         r AS (SELECT vec_id, cid, cs,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM s),
+         av AS (SELECT r.vec_id, r.cid AS cluster, v.embedding
+                FROM r JOIN corpus v USING (vec_id) WHERE rn = 1),
+         p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster,
+                 list_sum(list_transform(range(1, len(x.embedding)+1),
+                   i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(x.embedding, t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(y.embedding, t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE))))) AS cos
+               FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+         SELECT id_a, id_b, CAST(cluster AS INT) AS cluster, round(cos, 4) AS cos_sim
+         FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""",
     // planted power-of-two-scaled twins of each query: deterministic top-4
     // at cosine 1.0 with neighbor_id tie-break
     "q_n_ann_lsh" ->

@@ -937,4 +937,153 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  // --- Tier 6: cluster-scoped semantic dedup (SemDeDup) ---------------------
+  //
+  // Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  // through semantic deduplication" (arXiv:2303.09540): coarse k-means
+  // clusters bound the quadratic, EXACT cosine runs only within a cluster,
+  // and the keep-rule retains the member farthest from its centroid. This
+  // tier complements [[embeddingDupPairs]] (sign-LSH buckets): LSH recalls
+  // by hash agreement — probabilistic, threshold-blurry; the cluster scope
+  // is exhaustive within each cell, which is what the paper's dedup-then-
+  // train results rely on.
+
+  /** Deterministic coarse centroids: the `k` corpus vectors with the
+    * smallest ids, numbered 0..k-1 in id order. Engine-portable — any
+    * system reproduces the exact centroid set from the data alone, which is
+    * what lets the correctness gate pin [[assignSemanticClusters]] against
+    * an external oracle. For quality-sensitive production runs train real
+    * centroids with [[trainSemanticCentroids]]; the k collected vectors are
+    * a driver-side model either way (same pattern as the IVF coarse
+    * quantizer, [[graft.functions.VectorOps.ivfTopK]]).
+    */
+  def firstKCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int): Seq[(Int, Seq[Float])] =
+    df.orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), x => x.cast("float")))
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0)) }
+
+  /** K-means centroids for the semantic tier: deterministic seed + capped
+    * deterministic sample (the IVF coarse-quantizer recipe — a 100 TB corpus
+    * trains on ~`trainSampleCap` vectors, not ten full scans). Pick `k` so
+    * the expected cluster size stays in the 10²–10⁴ range the within-cluster
+    * quadratic tolerates.
+    */
+  def trainSemanticCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                             trainSampleCap: Long = 1000000L): Seq[(Int, Seq[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(col(idCol).as("id"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val n = feats.count()
+    val train = if (n <= trainSampleCap) feats
+      else Sampling.hashSample(feats, "id", trainSampleCap.toDouble / n)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(train)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toIndexedSeq.map(_.toFloat)) }.toIndexedSeq
+  }
+
+  /** Assign every vector its argmax-cosine centroid in ONE narrow pass — no
+    * shuffle, no row expansion: the centroid set rides the plan as a k×dim
+    * literal array (KBs at any sane k) and the per-row argmax is
+    * `array_max` over `(cosine, -cid)` structs, so ties break to the LOWEST
+    * centroid id. Returns `(id, vec, cluster, centroid_sim)`;
+    * `centroid_sim` — the cosine to the OWN cluster's centroid — is what
+    * the SemDeDup keep-rule ranks on. A zero-norm vector has null cosine to
+    * every centroid: it lands deterministically in the lowest-id cluster
+    * with null `centroid_sim`, and the null-first struct orderings below
+    * make it the preferred keeper (it can never clear a pair threshold, so
+    * it is never dropped — nulls stay inert end to end).
+    */
+  def assignSemanticClusters(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "assignSemanticClusters: empty centroid set")
+    import graft.functions.VectorMath
+    val cArr = array(centroids.map { case (cid, v) =>
+      struct(typedLit(v).as("cv"), lit(cid).as("cid")) }: _*)
+    val best = array_max(transform(cArr, c => struct(
+      VectorMath.cosineSim(col(vecCol), c.getField("cv")).as("cs"),
+      (lit(0) - c.getField("cid")).as("ncid"))))
+    df.withColumn("__best", best)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        (lit(0) - col("__best.ncid")).as("cluster"),
+        col("__best.cs").as("centroid_sim"))
+  }
+
+  /** SemDeDup pairs: exact cosine ≥ `threshold`, computed ONLY within a
+    * coarse cluster. The corpus shuffles once on the cluster key (vectors
+    * ride that one exchange — the tier's defining cost, bounded by cluster
+    * size, exactly as in the paper); cluster cardinalities come from a
+    * key-only aggregation and clusters larger than `maxClusterSize` (a
+    * degenerate centroid set) are EXCLUDED from the quadratic expansion,
+    * counted and logged like every banded tier's bucket cap. Returns
+    * `(id_a, id_b, cluster, cos_sim)` with `id_a < id_b`.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[(Int, Seq[Float])], threshold: Double,
+                         maxClusterSize: Int = 10000): DataFrame =
+    withScopedCaches { localCached =>
+      val assigned = localCached(
+        assignSemanticClusters(spread(df), idCol, vecCol, centroids))
+      semanticPairsOfAssigned(assigned, localCached, threshold, maxClusterSize,
+        "semanticDedupPairs")
+    }
+
+  /** Shared pair kernel over an assigned (id, vec, cluster, centroid_sim)
+    * relation; `localCached` scopes the k-row size relation to the caller.
+    */
+  private def semanticPairsOfAssigned(assigned: DataFrame,
+      localCached: DataFrame => DataFrame, threshold: Double,
+      maxClusterSize: Int, op: String): DataFrame = {
+    import graft.functions.VectorMath
+    val sizes = localCached(assigned.groupBy("cluster").agg(count(lit(1)).as("__n")))
+    // cap accounting on the k-row relation — one tiny action (this is also
+    // the materialization barrier that fills the assignment cache before the
+    // self-join below scans it twice), mirroring the minhash over-group stats
+    val stats = sizes.agg(
+      sum(when(col("__n") > maxClusterSize, 1).otherwise(0)).as("over"),
+      sum(when(col("__n") > maxClusterSize, col("__n")).otherwise(0L)).as("over_rows")
+    ).head()
+    def statAt(i: Int) = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+    if (statAt(0) > 0)
+      log.warn(s"$op: ${statAt(0)} cluster(s) covering ${statAt(1)} vectors exceed " +
+        s"maxClusterSize=$maxClusterSize — excluded from the within-cluster pair " +
+        "expansion; train more centroids (smaller cells) or raise maxClusterSize")
+    val ok = sizes.filter(col("__n").between(2, maxClusterSize)).select("cluster")
+    // k-row build side → broadcast semi join: the corpus is pruned without
+    // an extra shuffle, then self-joins on the cluster key alone
+    val bounded = assigned.join(broadcast(ok), Seq("cluster"), "left_semi")
+    val l = bounded.select(col("cluster"), col("id").as("id_a"), col("vec").as("__va"))
+    val r = bounded.select(col("cluster"), col("id").as("id_b"), col("vec").as("__vb"))
+    l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", VectorMath.cosineSim(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cluster", "cos_sim")
+  }
+
+  /** SemDeDup end-to-end drop: pairs → connected components → per component
+    * keep the member FARTHEST from its centroid (lowest `centroid_sim`,
+    * ties → smallest id; the paper's diversity-preserving keep-rule) and
+    * anti-join the rest out of `df`. Ids-only through the clustering; full
+    * rows never leave the final anti-join.
+    */
+  def semanticDrop(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Int, Seq[Float])], threshold: Double,
+                   maxClusterSize: Int = 10000): DataFrame = {
+    val losers = withCacheScope {
+      val assigned = cached(assignSemanticClusters(spread(df), idCol, vecCol, centroids))
+      val prs = semanticPairsOfAssigned(assigned, cached, threshold, maxClusterSize,
+        "semanticDrop")
+      val memb = clusters(prs).withColumnRenamed("cluster", "grp")
+      val ranked = memb.join(assigned.select("id", "centroid_sim"), Seq("id"))
+      val keep = ranked.groupBy("grp")
+        .agg(min_by(col("id"), struct(col("centroid_sim"), col("id"))).as("keep_id"))
+      ranked.join(keep, Seq("grp")).filter(col("id") =!= col("keep_id"))
+        .select("id").localCheckpoint(true)
+    }
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
 }

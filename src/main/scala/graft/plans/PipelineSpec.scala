@@ -87,6 +87,17 @@ case class DedupNodeSpec(input: OpSpec, idCol: String, textCol: String,
   */
 case class SpanDedupNodeSpec(input: OpSpec, idCol: String, textCol: String,
                              k: Int = 16) extends OpSpec
+/** Cluster-scoped semantic dedup over an embedding column (SemDeDup,
+  * [[graft.operators.Dedup.semanticDrop]]): coarse k-means centroids are
+  * trained at compile time on the input (deterministic seed + capped
+  * sample — a run-once model, like [[LayoutNodeSpec]]'s eager write), then
+  * every semantic near-dup except the member farthest from its centroid is
+  * dropped. `k` is the cell-size dial: pick it so clusters stay in the
+  * 10²–10⁴ range the within-cluster exact-cosine pass tolerates.
+  */
+case class SemanticDedupNodeSpec(input: OpSpec, idCol: String, vecCol: String,
+                                 k: Int = 256, threshold: Double = 0.95,
+                                 maxClusterSize: Int = 10000) extends OpSpec
 /** Deterministic split column over md5(id) (train/val/test). */
 case class SplitNodeSpec(input: OpSpec, idCol: String,
                          splits: Seq[(String, Double)]) extends OpSpec
@@ -220,6 +231,10 @@ object PipelineCompiler {
         df.join(rebuilt, df(idc) === rebuilt("__span_id"))
           .withColumn(tc, col("text_out"))
           .drop("__span_id", "text_out")
+      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs) =>
+        val df = build(in)
+        val cents = graft.operators.Dedup.trainSemanticCentroids(df, sub(id), sub(vec), k)
+        graft.operators.Dedup.semanticDrop(df, sub(id), sub(vec), cents, thr, maxCs)
       case SplitNodeSpec(in, id, splits) =>
         graft.operators.Sampling.hashSplit(build(in), sub(id), splits)
       case MixNodeSpec(in, id, stratum, weights, dw) =>
@@ -271,6 +286,7 @@ object PipelineCompiler {
     case UnionSpec(ins)                 => ins.flatMap(refsOf).toSet
     case DedupNodeSpec(in, _, _, _, _)  => refsOf(in)
     case SpanDedupNodeSpec(in, _, _, _) => refsOf(in)
+    case SemanticDedupNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case SplitNodeSpec(in, _, _)        => refsOf(in)
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
     case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)

@@ -69,6 +69,10 @@ object SpecJson {
       case SpanDedupNodeSpec(in, id, text, k) =>
         pairs(n, "op" -> "spanDedup", "idCol" -> id, "textCol" -> text)
         n.put("k", k); n.set[JsonNode]("input", opNode(in))
+      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs) =>
+        pairs(n, "op" -> "semanticDedup", "idCol" -> id, "vecCol" -> vec)
+        n.put("k", k); n.put("threshold", thr); n.put("maxClusterSize", maxCs)
+        n.set[JsonNode]("input", opNode(in))
       case SplitNodeSpec(in, id, splits) =>
         pairs(n, "op" -> "split", "idCol" -> id); n.set[JsonNode]("input", opNode(in))
         val a = n.putArray("splits")
@@ -144,6 +148,11 @@ object SpecJson {
     case "spanDedup" => SpanDedupNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
                         str(n, "textCol"),
                         Option(n.get("k")).map(_.asInt).getOrElse(16))
+    case "semanticDedup" => SemanticDedupNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
+                        str(n, "vecCol"),
+                        Option(n.get("k")).map(_.asInt).getOrElse(256),
+                        Option(n.get("threshold")).map(_.asDouble).getOrElse(0.95),
+                        Option(n.get("maxClusterSize")).map(_.asInt).getOrElse(10000))
     case "split"   => SplitNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
                         Option(n.get("splits")).map(_.elements().asScala.map(e =>
                           str(e, "name") -> e.get("weight").asDouble).toSeq).getOrElse(Nil))
@@ -210,6 +219,7 @@ object SpecJson {
         case UnionSpec(ins) => ins.foreach(link)
         case DedupNodeSpec(in, _, _, _, _) => link(in)
         case SpanDedupNodeSpec(in, _, _, _) => link(in)
+        case SemanticDedupNodeSpec(in, _, _, _, _, _) => link(in)
         case SplitNodeSpec(in, _, _) => link(in)
         case MixNodeSpec(in, _, _, _, _) => link(in)
         case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)

@@ -363,4 +363,54 @@ class PlanQualitySpec extends SparkSpec {
       tokenCarrying.head.outputPartitioning.toString.contains("shard"),
       s"token payloads must cross exactly the shard repartition:\n$describe")
   }
+
+  test("semantic assignment is one narrow pass: zero exchanges, argmax in the row") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.operators.Dedup.firstKCentroids(emb, "vec_id", "embedding", 4)
+    val p = graft.operators.Dedup
+      .assignSemanticClusters(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+  }
+
+  test("semantic pairs: vectors shuffle only on the cluster key; size prune broadcasts") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.operators.Dedup.firstKCentroids(emb, "vec_id", "embedding", 4)
+    val aqe = "spark.sql.adaptive.enabled"
+    val abt = "spark.sql.autoBroadcastJoinThreshold"
+    val (prevAqe, prevAbt) = (spark.conf.get(aqe), spark.conf.get(abt))
+    // threshold off = the at-scale planning regime: a corpus too big to
+    // broadcast must self-join via the cluster-key shuffle, while the
+    // explicit broadcast() hint on the k-row size prune still wins
+    val plan = try {
+      spark.conf.set(aqe, "false")
+      spark.conf.set(abt, "-1")
+      graft.operators.Dedup
+        .semanticDedupPairs(emb, "vec_id", "embedding", cents, threshold = 0.8)
+        .queryExecution.executedPlan
+    } finally { spark.conf.set(aqe, prevAqe); spark.conf.set(abt, prevAbt) }
+    // the operator materializes + caches its result, so the pair-join
+    // stages live one level down, in the cached relation's physical plan
+    val inner = plan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    val s = (plan +: inner).mkString("\n")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"within-cluster expansion must stay an equi-join:\n$s")
+    // the k-row cluster-size prune must reach the corpus as a broadcast semi
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"cluster-size prune should broadcast:\n$s")
+    // every vector-bearing exchange of the pair stage is hash-partitioned on
+    // the cluster key (the assignment input below it is a cache leaf, plan-
+    // asserted narrow in the previous test)
+    import org.apache.spark.sql.types.ArrayType
+    val vecExchanges = (plan +: inner).flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    })
+    assert(vecExchanges.nonEmpty &&
+      vecExchanges.forall(_.outputPartitioning.toString.contains("cluster")),
+      s"vectors may ride only the cluster-key shuffle:\n${vecExchanges.mkString("\n")}")
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Cluster-scoped semantic dedup (SemDeDup) — assignment argmax/tie
+  * semantics, within-cluster pair scoping, the cluster-size cap, and the
+  * farthest-from-centroid keep-rule.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two orthogonal centroids; vectors cluster by direction
+  val cents: Seq[(Int, Seq[Float])] = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+
+  val vecs = Seq(
+    (1L, Seq(10f, 0f)),   // cluster 0, csim 1.0
+    (2L, Seq(20f, 0f)),   // cluster 0, exact twin of 1 (cosine 1.0)
+    (3L, Seq(9.9f, 1f)),  // cluster 0, near-dup of 1/2 (cosine ≈ .9950)
+    (4L, Seq(0f, 5f)),    // cluster 1, csim 1.0
+    (5L, Seq(1f, 5f))     // cluster 1, near-dup of 4 (cosine ≈ .9806)
+  ).toDF("vec_id", "embedding")
+
+  test("assignment picks the argmax-cosine centroid; exact ties go to the lowest cid") {
+    val withTie = vecs.union(Seq((6L, Seq(3f, 3f))).toDF("vec_id", "embedding"))
+    val got = Dedup.assignSemanticClusters(withTie, "vec_id", "embedding", cents)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 0)) // (3,3) has bit-identical cosine to both centroids → cid 0
+  }
+
+  test("pairs are exact cosine within a cluster only; cross-cluster pairs never emit") {
+    val got = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding", cents, threshold = 0.95)
+      .select("id_a", "id_b", "cluster").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0), (4L, 5L, 1)))
+  }
+
+  test("clusters over maxClusterSize are excluded from the quadratic expansion") {
+    val got = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding", cents,
+        threshold = 0.95, maxClusterSize = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cluster 0 (3 members) dropped; cluster 1 (2 members) survives the cap
+    assert(got == Set((4L, 5L)))
+  }
+
+  test("drop keeps the member farthest from its centroid, ties to the smallest id") {
+    val kept = Dedup.semanticDrop(vecs, "vec_id", "embedding", cents, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // component {1,2,3}: csim 1.0/1.0/.9950 → keep 3; component {4,5}: keep 5
+    assert(kept == Set(3L, 5L))
+    // raise the bar so only the exact twins (cosine 1.0) pair: equal csim → min id
+    val keptTie = Dedup.semanticDrop(vecs, "vec_id", "embedding", cents, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptTie == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("zero-norm vectors assign deterministically, never pair, never drop") {
+    val withZero = vecs.union(Seq((7L, Seq(0f, 0f))).toDF("vec_id", "embedding"))
+    val assigned = Dedup.assignSemanticClusters(withZero, "vec_id", "embedding", cents)
+      .filter(col("id") === 7L)
+      .select("cluster", "centroid_sim").collect().head
+    assert(assigned.getInt(0) == 0 && assigned.isNullAt(1))
+    val pairs = Dedup.semanticDedupPairs(withZero, "vec_id", "embedding", cents, 0.0)
+    assert(!pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .exists { case (a, b) => a == 7L || b == 7L })
+    val kept = Dedup.semanticDrop(withZero, "vec_id", "embedding", cents, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(7L))
+  }
+
+  test("semanticDedup pipeline node: spec JSON → compile → trained-centroid drop") {
+    import graft.plans._
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_node").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val spec = PipelineSpec(Seq(
+      "emb"   -> SourceSpec("parquet", s"$dir/emb.parquet"),
+      "fresh" -> SemanticDedupNodeSpec(RefSpec("emb"), "vec_id", "embedding",
+        k = 2, threshold = 0.95)), out = "fresh")
+    val compiled = PipelineCompiler.compile(
+      SpecJson.fromJson(SpecJson.toJson(spec)), spark) // exercise the JSON round-trip
+    // one exemplar per semantic component — which member survives depends
+    // on the TRAINED centroids (the farthest-from-mean rule picks v4 here,
+    // not the hand-placed-centroid test's v5), so assert the partition
+    val kept = compiled.select("vec_id").as[Long].collect().toSet
+    assert(kept.size == 2 &&
+      kept.intersect(Set(1L, 2L, 3L)).size == 1 &&
+      kept.intersect(Set(4L, 5L)).size == 1, s"got $kept")
+  }
+
+  test("kmeans-trained centroids separate the fixture's direction clusters") {
+    val trained = Dedup.trainSemanticCentroids(vecs, "vec_id", "embedding", k = 2)
+    assert(trained.map(_._1) == Seq(0, 1))
+    val got = Dedup.assignSemanticClusters(vecs, "vec_id", "embedding", trained)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    // same partition of the ids as the hand-placed centroids (labels may swap)
+    assert(Set(Set(1L, 2L, 3L), Set(4L, 5L)) ==
+      got.groupBy(_._2).values.map(_.keySet).toSet)
+  }
+}

@@ -40,6 +40,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: UnionSpec   => UnionSpec(Seq(in, RefSpec("other")))
       case _: DedupNodeSpec => DedupNodeSpec(in, "id", "txt", "exact", 0.65)
       case _: SpanDedupNodeSpec => SpanDedupNodeSpec(in, "id", "txt", 24)
+      case _: SemanticDedupNodeSpec => SemanticDedupNodeSpec(in, "id", "emb", 64, 0.92, 5000)
       case _: SplitNodeSpec => SplitNodeSpec(in, "id", Seq("train" -> 0.75, "test" -> 0.25))
       case _: MixNodeSpec => MixNodeSpec(in, "id", "lang", Map("fr" -> 2.0, "en" -> 0.5), 1.5)
       case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2)
@@ -54,6 +55,7 @@ class SpecJsonSpec extends SparkSpec {
       LimitSpec(in, 1), JoinSpec(in, in, "l", "r"),
       JoinDetailSpec(in, in, "m", "d"), UnionSpec(Seq(in)),
       DedupNodeSpec(in, "i", "t"), SpanDedupNodeSpec(in, "i", "t"),
+      SemanticDedupNodeSpec(in, "i", "v"),
       SplitNodeSpec(in, "i", Nil),
       MixNodeSpec(in, "i", "s", Map.empty), DecontamNodeSpec(in, in, "i", "t"),
       PackNodeSpec(in, "i", "t", 1L), LayoutNodeSpec(in, "sorted", "p", Nil),
