@@ -1046,14 +1046,13 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
-  /** SemDeDup pairs, hash-gated on a corpus with planted semantic dups: an
-    * exact twin (×2 scale, cosine 1.0) per `vec_id < 64` and a float-exact
-    * blend `3·v + v_next` (cosine ≈ 0.94–0.96) per `vec_id < 32` — both
-    * reconstructible bit-identically in SQL, so the oracle re-derives the
-    * full pipeline: assignment, within-cluster scoping (a cross-cluster
-    * near-pair must NOT emit), exact cosine, and the 0.9 threshold.
+  /** Shared semdedup gate fixture: the organic corpus plus SQL-expressible
+    * planted semantic dups — an exact twin (×2 scale, cosine 1.0) per
+    * `vec_id < 64` and a float-exact blend `3·v + v_next`
+    * (cosine ≈ 0.94–0.96) per `vec_id < 32` — both reconstructible
+    * bit-identically by the DuckDB oracle.
     */
-  private def qNSemdedup(s: SparkSession, dir: String): DataFrame = {
+  private def semdedupFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
     val twins = emb.filter(col("vec_id") < 64)
       .select((col("vec_id") + 100000L).as("vec_id"),
@@ -1063,9 +1062,36 @@ object SparkEntry {
       .select((col("vec_id") + 200000L).as("vec_id"),
         zip_with(col("embedding"), col("__nx"),
           (x, y) => (x.cast("double") * 3 + y.cast("double")).cast("float")).as("embedding"))
-    val corpus = emb.unionByName(twins).unionByName(blends)
+    (emb, twins.unionByName(blends))
+  }
+
+  /** SemDeDup pairs, hash-gated on the planted-dup fixture: the oracle
+    * re-derives the full pipeline — assignment, within-cluster scoping (a
+    * cross-cluster near-pair must NOT emit), exact cosine, 0.9 threshold.
+    */
+  private def qNSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val (emb, planted) = semdedupFixture(s, dir)
     val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
-    Dedup.semanticDedupPairs(corpus, "vec_id", "embedding", cents, threshold = 0.9)
+    Dedup.semanticDedupPairs(emb.unionByName(planted), "vec_id", "embedding",
+        cents, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental semantic dedup, hash-gated: the organic corpus is the
+    * persisted assigned STORE, the planted twins/blends arrive as the
+    * delta batch. Delta-vs-store and delta-vs-delta pairs must equal the
+    * full-corpus pair set minus store×store pairs (of which the fixture
+    * has none over 0.9 — the oracle's explicit delta-touching filter
+    * proves exactly that).
+    */
+  private def qNSemdedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val (emb, planted) = semdedupFixture(s, dir)
+    val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
+    val store = Dedup.assignSemanticClusters(emb, "vec_id", "embedding", cents)
+    Dedup.incrementalSemanticDedup(planted, store, "vec_id", "embedding",
+        cents, threshold = 0.9)
       .select(col("id_a"), col("id_b"), col("cluster"),
         round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("id_a", "id_b")
@@ -1461,6 +1487,7 @@ object SparkEntry {
     "q_n_emb_dups"       -> (qNEmbDups _),
     "q_n_semdedup_assign" -> (qNSemdedupAssign _),
     "q_n_semdedup"       -> (qNSemdedup _),
+    "q_n_semdedup_incr"  -> (qNSemdedupIncr _),
     "q_n_ann_cosine"     -> (qNAnnCosine _),
     "q_n_ann_lsh"        -> (qNAnnLsh _),
     "q_n_ann_ivf"        -> (qNAnnIvf _),
@@ -2341,6 +2368,41 @@ object SparkEntry {
                FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
          SELECT id_a, id_b, CAST(cluster AS INT) AS cluster, round(cos, 4) AS cos_sim
          FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""",
+    // incremental tier: identical re-derivation, restricted to pairs that
+    // TOUCH the delta (planted ids >= 100000) — store x store pairs must
+    // not emit, and on this fixture none clear 0.9 anyway, so the filter
+    // is exactly the incremental contract
+    "q_n_semdedup_incr" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         twin AS (SELECT vec_id + 100000 AS vec_id,
+                    list_transform(embedding, x -> CAST(x*2 AS FLOAT)) AS embedding
+                  FROM base WHERE vec_id < 64),
+         blend AS (SELECT a.vec_id + 200000 AS vec_id,
+                     list_transform(range(1, len(a.embedding)+1),
+                       i -> CAST(CAST(a.embedding[i] AS DOUBLE)*3
+                                 + CAST(b.embedding[i] AS DOUBLE) AS FLOAT)) AS embedding
+                   FROM base a JOIN base b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 32),
+         corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin UNION ALL SELECT * FROM blend),
+         c AS (SELECT vec_id AS cid, embedding AS cv FROM base WHERE vec_id < 8),
+         s AS (SELECT v.vec_id, cid,
+                 list_sum(list_transform(range(1, len(v.embedding)+1),
+                   i -> CAST(v.embedding[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cs
+               FROM corpus v, c),
+         r AS (SELECT vec_id, cid, cs,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn FROM s),
+         av AS (SELECT r.vec_id, r.cid AS cluster, v.embedding
+                FROM r JOIN corpus v USING (vec_id) WHERE rn = 1),
+         p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster,
+                 list_sum(list_transform(range(1, len(x.embedding)+1),
+                   i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(x.embedding, t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(y.embedding, t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE))))) AS cos
+               FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+         SELECT id_a, id_b, CAST(cluster AS INT) AS cluster, round(cos, 4) AS cos_sim
+         FROM p WHERE cos >= 0.9 AND (id_a >= 100000 OR id_b >= 100000)
+         ORDER BY id_a, id_b""",
     // planted power-of-two-scaled twins of each query: deterministic top-4
     // at cosine 1.0 with neighbor_id tie-break
     "q_n_ann_lsh" ->

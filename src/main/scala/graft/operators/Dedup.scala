@@ -1064,6 +1064,58 @@ object Dedup {
       .select("id_a", "id_b", "cluster", "cos_sim")
   }
 
+  /** Incremental semantic dedup: pair a NEW batch against a persisted
+    * assigned store (the `(id, vec, cluster, centroid_sim)` relation
+    * [[assignSemanticClusters]] produces — persist it once per corpus, with
+    * the centroid model pinned) without re-pairing the store against
+    * itself. The store is pruned to the delta's clusters first (the
+    * delta's distinct cluster ids are at most k rows — broadcast semi), so
+    * a batch that lands in 3 of 10⁵ cells scans 3 cells' worth of store
+    * vectors, not the corpus. Pairs are delta×(delta ∪ prunedStore) within
+    * a cluster; store×store pairs never form because the left join side is
+    * delta-only. Returns `(id_a, id_b, cluster, cos_sim)`, `id_a < id_b`.
+    */
+  def incrementalSemanticDedup(delta: DataFrame, store: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      threshold: Double, maxClusterSize: Int = 10000): DataFrame =
+    withScopedCaches { localCached =>
+      import graft.functions.VectorMath
+      val d = localCached(assignSemanticClusters(spread(delta), idCol, vecCol, centroids))
+      val deltaClusters = d.select("cluster").distinct()
+      val pruned = store.select("id", "vec", "cluster")
+        .join(broadcast(deltaClusters), Seq("cluster"), "left_semi")
+      // cap on the COMBINED per-cluster population, counted once (delta ids
+      // are disjoint from store ids by contract)
+      val sizes = localCached(
+        d.select("cluster").unionByName(pruned.select("cluster"))
+          .groupBy("cluster").agg(count(lit(1)).as("__n")))
+      val stats = sizes.agg(
+        sum(when(col("__n") > maxClusterSize, 1).otherwise(0)).as("over"),
+        sum(when(col("__n") > maxClusterSize, col("__n")).otherwise(0L)).as("over_rows")
+      ).head()
+      def statAt(i: Int) = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+      if (statAt(0) > 0)
+        log.warn(s"incrementalSemanticDedup: ${statAt(0)} cluster(s) covering " +
+          s"${statAt(1)} vectors exceed maxClusterSize=$maxClusterSize — excluded " +
+          "from pair expansion; train more centroids or raise maxClusterSize")
+      val ok = sizes.filter(col("__n") <= maxClusterSize).select("cluster")
+      val l = d.join(broadcast(ok), Seq("cluster"), "left_semi")
+        .select(col("cluster"), col("id").as("lid"), col("vec").as("__vl"))
+      val r = d.select("cluster", "id", "vec")
+        .unionByName(pruned)
+        .join(broadcast(ok), Seq("cluster"), "left_semi")
+        .select(col("cluster"), col("id").as("rid"), col("vec").as("__vr"))
+      // delta-delta pairs arise in both orders; least/greatest + distinct
+      // canonicalizes (the relation at this point is output-sized)
+      l.join(r, Seq("cluster"))
+        .filter(col("lid") =!= col("rid"))
+        .withColumn("cos_sim", VectorMath.cosineSim(col("__vl"), col("__vr")))
+        .filter(col("cos_sim") >= threshold)
+        .select(least(col("lid"), col("rid")).as("id_a"),
+          greatest(col("lid"), col("rid")).as("id_b"), col("cluster"), col("cos_sim"))
+        .distinct()
+    }
+
   /** SemDeDup end-to-end drop: pairs → connected components → per component
     * keep the member FARTHEST from its centroid (lowest `centroid_sim`,
     * ties → smallest id; the paper's diversity-preserving keep-rule) and

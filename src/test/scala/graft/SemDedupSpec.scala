@@ -54,6 +54,21 @@ class SemDedupSpec extends SparkSpec {
     assert(keptTie == Set(1L, 3L, 4L, 5L))
   }
 
+  test("incremental: delta pairs against store and itself; store x store never re-emits") {
+    val store = Dedup.assignSemanticClusters(vecs, "vec_id", "embedding", cents)
+    val delta = Seq(
+      (10L, Seq(40f, 0f)),   // exact-direction twin of 1/2 (cos 1.0)
+      (11L, Seq(30f, 0f))    // another → delta-delta pair (10,11) too
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.incrementalSemanticDedup(delta, store, "vec_id", "embedding",
+        cents, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every pair touches the delta; the store's own dup pairs (1,2), (1,3),
+    // (2,3), (4,5) are the full tier's business, not the increment's
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L),
+      (1L, 11L), (2L, 11L), (3L, 11L), (10L, 11L)))
+  }
+
   test("zero-norm vectors assign deterministically, never pair, never drop") {
     val withZero = vecs.union(Seq((7L, Seq(0f, 0f))).toDF("vec_id", "embedding"))
     val assigned = Dedup.assignSemanticClusters(withZero, "vec_id", "embedding", cents)
