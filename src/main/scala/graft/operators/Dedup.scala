@@ -1116,6 +1116,34 @@ object Dedup {
         .distinct()
     }
 
+  /** Incremental semantic drop: the batch-ingest form — delta rows that
+    * semantically duplicate the STORE are dropped (first-seen wins, the
+    * same convention as [[incrementalDedup]]); duplicate components wholly
+    * within the delta keep their minimum id. Returns the surviving delta
+    * rows, all columns intact; ids-only through the clustering.
+    */
+  def incrementalSemanticDrop(delta: DataFrame, store: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      threshold: Double, maxClusterSize: Int = 10000): DataFrame = {
+    val losers = withCacheScope {
+      val pairs = cached(incrementalSemanticDedup(delta, store, idCol, vecCol,
+        centroids, threshold, maxClusterSize))
+      // the pair relation canonicalizes (least, greatest), so re-derive
+      // which side is new by membership in the delta's id set
+      val dIds = delta.select(col(idCol).as("__did"))
+      val flagged = pairs
+        .join(dIds.select(col("__did").as("id_a"), lit(true).as("a_new")), Seq("id_a"), "left")
+        .join(dIds.select(col("__did").as("id_b"), lit(true).as("b_new")), Seq("id_b"), "left")
+        .na.fill(false, Seq("a_new", "b_new"))
+      val vsStore = flagged.filter(col("a_new") && !col("b_new")).select(col("id_a").as("id"))
+        .union(flagged.filter(col("b_new") && !col("a_new")).select(col("id_b").as("id")))
+      val withinDelta = clusters(flagged.filter(col("a_new") && col("b_new")))
+        .filter(col("id") =!= col("cluster")).select("id")
+      vsStore.union(withinDelta).distinct().localCheckpoint(true)
+    }
+    delta.join(losers, delta(idCol) === losers("id"), "left_anti")
+  }
+
   /** SemDeDup end-to-end drop: pairs → connected components → per component
     * keep the member FARTHEST from its centroid (lowest `centroid_sim`,
     * ties → smallest id; the paper's diversity-preserving keep-rule) and

@@ -231,4 +231,46 @@ object Streams {
     df.withColumn("session_seq",
       sum(newSession).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Streaming corpus ingest with cross-batch SEMANTIC dedup: every
+    * micro-batch drops vectors that semantically duplicate earlier batches
+    * (or earlier rows of the same batch —
+    * [[graft.operators.Dedup.incrementalSemanticDrop]]), appends survivors
+    * to `corpusDir` and their ASSIGNED form `(id, vec, cluster,
+    * centroid_sim)` to `storeDir`, so batch N+1 pairs only against the
+    * cells it lands in. The centroid model is pinned for the stream's
+    * lifetime (train offline, e.g.
+    * [[graft.operators.Dedup.trainSemanticCentroids]]) — re-training
+    * mid-stream would silently re-cluster the store. Restart semantics
+    * match [[ingestDedup]]: corpus append precedes store append, so a
+    * crash between them replays the batch against a store missing its
+    * vectors and appends byte-identical rows again — recover with keyed
+    * distinct ([[graft.operators.Dedup.compactStore]]) on both sinks.
+    */
+  def ingestSemanticDedup(stream: DataFrame, idCol: String, vecCol: String,
+                          centroids: Seq[(Int, Seq[Float])], threshold: Double,
+                          corpusDir: String, storeDir: String, checkpointDir: String
+                         ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        Dedup.withCacheScope {
+          val store =
+            try spark.read.parquet(storeDir)
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              Dedup.assignSemanticClusters(batch.limit(0), idCol, vecCol, centroids) }
+          val kept = Dedup.incrementalSemanticDrop(batch, store, idCol, vecCol,
+            centroids, threshold).persist()
+          try {
+            kept.write.mode("append").parquet(corpusDir)
+            Dedup.assignSemanticClusters(kept, idCol, vecCol, centroids)
+              .write.mode("append").parquet(storeDir)
+          } finally kept.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -69,6 +69,20 @@ class SemDedupSpec extends SparkSpec {
       (1L, 11L), (2L, 11L), (3L, 11L), (10L, 11L)))
   }
 
+  test("incremental drop: store wins cross-batch, delta components keep min id") {
+    val store = Dedup.assignSemanticClusters(vecs, "vec_id", "embedding", cents)
+    val delta = Seq(
+      (10L, Seq(40f, 0f)),   // dup of store 1/2 → dropped (store wins)
+      (20L, Seq(0f, 7f)),    // dup of store 4 → dropped
+      (30L, Seq(5f, 5.1f)),  // novel direction, twin below
+      (31L, Seq(10f, 10.2f)) // in-delta twin of 30 → component keeps 30
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.incrementalSemanticDrop(delta, store, "vec_id", "embedding",
+        cents, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(30L))
+  }
+
   test("zero-norm vectors assign deterministically, never pair, never drop") {
     val withZero = vecs.union(Seq((7L, Seq(0f, 0f))).toDF("vec_id", "embedding"))
     val assigned = Dedup.assignSemanticClusters(withZero, "vec_id", "embedding", cents)

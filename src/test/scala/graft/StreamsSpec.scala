@@ -98,6 +98,31 @@ class StreamsSpec extends SparkSpec {
     assert(sigIds == kept)
   }
 
+  test("ingestSemanticDedup: later batches drop semantic dups of earlier batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_sem").toString
+    val (corpus, store, ckpt) = (s"$dir/corpus", s"$dir/store", s"$dir/ckpt")
+    val cents: Seq[(Int, Seq[Float])] = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.ingestSemanticDedup(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, threshold = 0.95, corpus, store, ckpt)
+    try {
+      in.addData((1L, Seq(10f, 0f)), (2L, Seq(0f, 5f)))
+      q.processAllAvailable()
+      // batch 2: a scaled twin of vec 1 (cross-batch dup), a novel
+      // direction, and an in-batch twin pair of that novel direction
+      in.addData((10L, Seq(20f, 0f)), (11L, Seq(4f, 4.1f)), (12L, Seq(8f, 8.2f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 11L), s"got $kept")
+    // the store carries the assigned form of exactly the survivors
+    val assigned = spark.read.parquet(store).select("id").as[Long].collect().toSet
+    assert(assigned == kept)
+  }
+
   test("ingestSpanDedup: cross-batch boilerplate windows keep only their first occurrence") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
