@@ -124,4 +124,39 @@ class InvariantPropertySpec extends SparkSpec {
         s"duplicate k-window survived in untouched docs (k=$k)")
     }
   }
+
+  test("semantic pairs equal the brute-force within-cluster reference on random corpora") {
+    import graft.operators.Dedup
+    (1 to 3).foreach { _ =>
+      val dim = 4 + rnd.nextInt(5)
+      val n = 60 + rnd.nextInt(60)
+      val k = 2 + rnd.nextInt(4)
+      val threshold = 0.5 + rnd.nextDouble() * 0.4
+      def vec() = Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val rows = (0 until n).map(i => (i.toLong, vec()))
+      val df = rows.toDF("vid", "v")
+      val cents = (0 until k).map(i => (i, rows(i)._2))
+      // driver-side reference: same argmax (ties -> lowest cid), same
+      // double math order as the kernel (sequential over elements)
+      def dcos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { i =>
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val assign = rows.map { case (id, v) =>
+        id -> cents.map { case (cid, cv) => (dcos(v, cv), -cid) }.max._2 * -1
+      }.toMap
+      val expected = (for {
+        (ia, va) <- rows; (ib, vb) <- rows
+        if ia < ib && assign(ia) == assign(ib) && dcos(va, vb) >= threshold
+      } yield (ia, ib)).toSet
+      val got = Dedup.semanticDedupPairs(df, "vid", "v", cents, threshold)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"dim=$dim n=$n k=$k t=$threshold: missing=${expected.diff(got)} extra=${got.diff(expected)}")
+    }
+  }
 }
