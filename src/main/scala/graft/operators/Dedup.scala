@@ -987,9 +987,16 @@ object Dedup {
 
   /** Assign every vector its argmax-cosine centroid in ONE narrow pass — no
     * shuffle, no row expansion: the centroid set rides the plan as a k×dim
-    * literal array (KBs at any sane k) and the per-row argmax is
+    * literal array and the per-row argmax is
     * `array_max` over `(cosine, -cid)` structs, so ties break to the LOWEST
-    * centroid id. Returns `(id, vec, cluster, centroid_sim)`;
+    * centroid id. The literal is k×dim×4 B of plan payload — fine through
+    * k ≈ 10⁴ at LLM embedding widths (tens of MBs, broadcast with the
+    * task binary once); for the ~10⁵-centroid regime of a billion-doc
+    * corpus, assign with the ML k-means model instead (the
+    * [[graft.functions.VectorOps.ivfTopK]] pattern: model broadcast,
+    * `transform` is the same narrow pass) and feed the resulting
+    * `(id, vec, cluster, centroid_sim)` relation to
+    * [[semanticDedupPairsAssigned]]. Returns `(id, vec, cluster, centroid_sim)`;
     * `centroid_sim` — the cosine to the OWN cluster's centroid — is what
     * the SemDeDup keep-rule ranks on. A zero-norm vector has null cosine to
     * every centroid: it lands deterministically in the lowest-id cluster
@@ -1029,6 +1036,19 @@ object Dedup {
         assignSemanticClusters(spread(df), idCol, vecCol, centroids))
       semanticPairsOfAssigned(assigned, localCached, threshold, maxClusterSize,
         "semanticDedupPairs")
+    }
+
+  /** Pair kernel over a PRE-ASSIGNED `(id, vec, cluster, …)` relation — the
+    * entry point when assignment came from elsewhere (an ML k-means model's
+    * `transform` at very large k, or a persisted assigned store re-read from
+    * parquet). Identical semantics to [[semanticDedupPairs]] from the
+    * assignment on.
+    */
+  def semanticDedupPairsAssigned(assigned: DataFrame, threshold: Double,
+                                 maxClusterSize: Int = 10000): DataFrame =
+    withScopedCaches { localCached =>
+      semanticPairsOfAssigned(localCached(assigned.select("id", "vec", "cluster")),
+        localCached, threshold, maxClusterSize, "semanticDedupPairsAssigned")
     }
 
   /** Shared pair kernel over an assigned (id, vec, cluster, centroid_sim)

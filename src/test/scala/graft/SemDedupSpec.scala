@@ -54,6 +54,15 @@ class SemDedupSpec extends SparkSpec {
     assert(keptTie == Set(1L, 3L, 4L, 5L))
   }
 
+  test("pre-assigned entry point equals the end-to-end operator") {
+    val assigned = Dedup.assignSemanticClusters(vecs, "vec_id", "embedding", cents)
+    val viaAssigned = Dedup.semanticDedupPairsAssigned(assigned, threshold = 0.95)
+      .select("id_a", "id_b", "cluster").as[(Long, Long, Int)].collect().toSet
+    val endToEnd = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding", cents, 0.95)
+      .select("id_a", "id_b", "cluster").as[(Long, Long, Int)].collect().toSet
+    assert(viaAssigned == endToEnd)
+  }
+
   test("incremental: delta pairs against store and itself; store x store never re-emits") {
     val store = Dedup.assignSemanticClusters(vecs, "vec_id", "embedding", cents)
     val delta = Seq(
