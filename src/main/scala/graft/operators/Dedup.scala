@@ -503,6 +503,7 @@ object Dedup {
   def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                    keys: Seq[String]): (Long, Long) = {
     import org.apache.hadoop.fs.Path
+    recoverStore(spark, storeDir) // heal a previously interrupted swap first
     val dir = new Path(storeDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = spark.read.parquet(storeDir)
@@ -513,13 +514,60 @@ object Dedup {
     if (fs.exists(old)) fs.delete(old, true)
     before.dropDuplicates(keys).write.parquet(tmp.toString)
     val rows1 = spark.read.parquet(tmp.toString).count()
-    // swap: two renames, then drop the old generation — a crash mid-swap
-    // leaves either the original or the compacted store intact, never a mix
+    // swap: two renames, then drop the old generation. A crash BETWEEN the
+    // renames leaves the canonical path empty (data at .compact.old /
+    // .compact.tmp) — readers must go through [[readStore]], which calls
+    // [[recoverStore]] to complete or roll back the swap before concluding
+    // the store is absent.
     if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
       throw new java.io.IOException(s"compactStore: rename swap failed for $storeDir")
     fs.delete(old, true)
     (rows0, rows1)
   }
+
+  /** Heal a store directory left mid-swap by an interrupted
+    * [[compactStore]]: if the canonical path is missing but a swap
+    * generation survives, restore it — prefer `.compact.tmp` (the fully
+    * written compacted generation; the swap only starts after its rows are
+    * re-counted), falling back to `.compact.old` (the original). Returns
+    * true iff a recovery rename was performed. No-op when the canonical
+    * path exists (leftover generations are cleaned by the next
+    * [[compactStore]]).
+    */
+  def recoverStore(spark: org.apache.spark.sql.SparkSession, storeDir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) false
+    else {
+      val tmp = new Path(storeDir.stripSuffix("/") + ".compact.tmp")
+      val old = new Path(storeDir.stripSuffix("/") + ".compact.old")
+      if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"recoverStore: rename failed for $storeDir")
+        if (fs.exists(old)) fs.delete(old, true)
+        true
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, dir))
+          throw new java.io.IOException(s"recoverStore: rename failed for $storeDir")
+        true
+      } else false
+    }
+  }
+
+  /** Read a persisted dedup store, healing an interrupted [[compactStore]]
+    * swap if one is detected; `orElse` (typically an empty, correctly-typed
+    * relation) only when the store genuinely does not exist yet. Every
+    * store reader must use this instead of a bare `spark.read.parquet` —
+    * a bare read treats the mid-swap state as an EMPTY store and silently
+    * forgets the entire dedup history.
+    */
+  def readStore(spark: org.apache.spark.sql.SparkSession, storeDir: String)
+               (orElse: => DataFrame): DataFrame =
+    try spark.read.parquet(storeDir)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      if (recoverStore(spark, storeDir)) spark.read.parquet(storeDir) else orElse
+    }
 
   /** Near-dup pairs touching at least one NEW document, for a delta batch
     * banded together with the persisted signature store: `(id_a, id_b,
@@ -566,9 +614,10 @@ object Dedup {
 
   /** Incremental near-dedup of an ingest batch against the existing corpus:
     * a new document is dropped iff (a) its estimated Jaccard to any STORE
-    * document clears `threshold`, or (b) it sits in a within-delta duplicate
-    * cluster and is not that cluster's minimum id (the same keep-first
-    * policy as [[dropNearDups]]). Returns the surviving delta rows — append
+    * document clears `threshold`, or (b) among the delta docs that survive
+    * (a), it sits in a duplicate cluster and is not that cluster's minimum
+    * id (the same keep-first policy as [[dropNearDups]]). Returns the
+    * surviving delta rows — append
     * them to the corpus and their [[minhashSignatures]] to the store to
     * complete the ingest.
     */
@@ -582,11 +631,21 @@ object Dedup {
     // the returned frame survives the scope exit (ContextCleaner reclaims
     // the checkpoint once the result is unreferenced)
     val losers = withCacheScope {
-      val pairs = incrementalDedupPairs(delta, storeSigs, idCol, textCol, threshold,
-        shingleLen, numHashes, bands, maxBucketSize)
+      val pairs = cached(incrementalDedupPairs(delta, storeSigs, idCol, textCol, threshold,
+        shingleLen, numHashes, bands, maxBucketSize))
       val vsStore = pairs.filter(col("a_new") && !col("b_new")).select(col("id_a").as("id"))
         .union(pairs.filter(col("b_new") && !col("a_new")).select(col("id_b").as("id")))
-      val withinDelta = clusters(pairs.filter(col("a_new") && col("b_new")))
+        .distinct()
+      // Within-delta dedup runs among STORE-SURVIVORS only. A store-dropped
+      // doc must neither represent nor link survivors: if the component min
+      // is itself a store dup, electing it would drop every member — losing
+      // content that duplicates nothing kept anywhere (sequential
+      // first-seen-wins keeps a survivor whose only near-dup was itself
+      // dropped against the store).
+      val survivorPairs = pairs.filter(col("a_new") && col("b_new"))
+        .join(vsStore.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(vsStore.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+      val withinDelta = clusters(survivorPairs)
         .filter(col("id") =!= col("cluster")).select("id")
       vsStore.union(withinDelta).distinct().localCheckpoint(true)
     }
@@ -1138,26 +1197,36 @@ object Dedup {
 
   /** Incremental semantic drop: the batch-ingest form — delta rows that
     * semantically duplicate the STORE are dropped (first-seen wins, the
-    * same convention as [[incrementalDedup]]); duplicate components wholly
-    * within the delta keep their minimum id. Returns the surviving delta
-    * rows, all columns intact; ids-only through the clustering.
+    * same convention as [[incrementalDedup]]); duplicate components among
+    * the remaining (store-surviving) delta docs keep their minimum id.
+    * Returns the surviving delta rows, all columns intact; ids-only through
+    * the clustering.
     */
   def incrementalSemanticDrop(delta: DataFrame, store: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
       threshold: Double, maxClusterSize: Int = 10000): DataFrame = {
     val losers = withCacheScope {
-      val pairs = cached(incrementalSemanticDedup(delta, store, idCol, vecCol,
-        centroids, threshold, maxClusterSize))
+      // already persisted + registered by withScopedCaches inside — no
+      // extra cached() wrapper (it would double-persist/double-register)
+      val pairs = incrementalSemanticDedup(delta, store, idCol, vecCol,
+        centroids, threshold, maxClusterSize)
       // the pair relation canonicalizes (least, greatest), so re-derive
       // which side is new by membership in the delta's id set
       val dIds = delta.select(col(idCol).as("__did"))
-      val flagged = pairs
+      val flagged = cached(pairs
         .join(dIds.select(col("__did").as("id_a"), lit(true).as("a_new")), Seq("id_a"), "left")
         .join(dIds.select(col("__did").as("id_b"), lit(true).as("b_new")), Seq("id_b"), "left")
-        .na.fill(false, Seq("a_new", "b_new"))
+        .na.fill(false, Seq("a_new", "b_new")))
       val vsStore = flagged.filter(col("a_new") && !col("b_new")).select(col("id_a").as("id"))
         .union(flagged.filter(col("b_new") && !col("a_new")).select(col("id_b").as("id")))
-      val withinDelta = clusters(flagged.filter(col("a_new") && col("b_new")))
+        .distinct()
+      // store-survivors only — same first-seen-wins rationale as
+      // [[incrementalDedup]]: a store-dropped min must not take its whole
+      // within-delta component down with it
+      val survivorPairs = flagged.filter(col("a_new") && col("b_new"))
+        .join(vsStore.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(vsStore.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+      val withinDelta = clusters(survivorPairs)
         .filter(col("id") =!= col("cluster")).select("id")
       vsStore.union(withinDelta).distinct().localCheckpoint(true)
     }

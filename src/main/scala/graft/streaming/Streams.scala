@@ -132,10 +132,8 @@ object Streams {
         // session registry, which would otherwise grow by ~2 persisted
         // relations per batch for the life of the stream
         Dedup.withCacheScope {
-          val store =
-            try spark.read.parquet(storeDir)
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              Dedup.minhashSignatures(batch.limit(0), idCol, textCol) }
+          val store = Dedup.readStore(spark, storeDir)(
+            Dedup.minhashSignatures(batch.limit(0), idCol, textCol))
           val kept = Dedup.incrementalDedup(batch, store, idCol, textCol, threshold)
             .persist()
           try {
@@ -199,10 +197,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val store =
-          try spark.read.parquet(storeDir)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            Seq.empty[String].toDF("fp") }
+        val store = Dedup.readStore(spark, storeDir)(Seq.empty[String].toDF("fp"))
         val (rebuilt, newFps) = Dedup.incrementalSpanDedup(batch, store, idCol, textCol, k)
         val kept = rebuilt.persist()
         try {
@@ -257,10 +252,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         Dedup.withCacheScope {
-          val store =
-            try spark.read.parquet(storeDir)
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              Dedup.assignSemanticClusters(batch.limit(0), idCol, vecCol, centroids) }
+          val store = Dedup.readStore(spark, storeDir)(
+            Dedup.assignSemanticClusters(batch.limit(0), idCol, vecCol, centroids))
           val kept = Dedup.incrementalSemanticDrop(batch, store, idCol, vecCol,
             centroids, threshold).persist()
           try {

@@ -400,6 +400,67 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 11L, 12L), s"got $kept")
   }
 
+  test("incrementalDedup: a store-dropped within-delta min keeps its novel neighbor") {
+    // chain S ~ A ~ B with S !~ B over char-5-gram shingles: 64 distinct
+    // 6-char tokens; A edits a 4-token block at the START (vs S), B edits a
+    // 4-token block at the END (vs A). Each 4-token edit flips ~32 of ~443
+    // shingles → chain Jaccard ≈ 0.87, skip pair (S,B) carries both edits
+    // ≈ 0.75; threshold 0.81 splits them, 256 hashes keep the estimator
+    // within ±0.03.
+    val base = (0 until 64).map(i => f"tok$i%03d")
+    def txt(ws: Seq[String]) = ws.mkString(" ")
+    val sWords = base
+    val aWords = (0 until 4).map(i => f"alt$i%03d") ++ base.drop(4)
+    val bWords = aWords.take(60) ++ (0 until 4).map(i => f"bet$i%03d")
+    val store = Dedup.minhashSignatures(
+      Seq((1L, txt(sWords))).toDF("doc_id", "text"), "doc_id", "text", numHashes = 256)
+    val delta = Seq(
+      (10L, txt(aWords)), // near-dup of store doc 1 → dropped
+      (11L, txt(bWords))  // near-dup of 10 ONLY; sub-threshold vs the store
+    ).toDF("doc_id", "text")
+    // fixture sanity: exactly the chain pairs, no (1,11) shortcut
+    val pairs = Dedup.incrementalDedupPairs(delta, store, "doc_id", "text",
+        threshold = 0.81, numHashes = 256, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (10L, 11L)), s"fixture drifted: $pairs")
+    val kept = Dedup.incrementalDedup(delta, store, "doc_id", "text",
+        threshold = 0.81, numHashes = 256, bands = 32)
+      .select("doc_id").as[Long].collect().toSet
+    // sequential first-seen-wins: 10 duplicates the store; 11 duplicates
+    // only the DROPPED 10 — electing 10 as the within-delta component min
+    // would lose 11's content from the corpus entirely
+    assert(kept == Set(11L), s"got $kept")
+  }
+
+  test("readStore heals a compactStore swap interrupted between the renames") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("store_swap").toString + "/store"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def state(suffix: String) = new Path(dir + suffix)
+    Seq("a", "b", "b").toDF("fp").write.parquet(dir)
+    // reproduce the crash point: compacted generation fully written at
+    // .compact.tmp, original renamed away, canonical path GONE
+    spark.read.parquet(dir).dropDuplicates("fp").write.parquet(dir + ".compact.tmp")
+    assert(fs.rename(new Path(dir), state(".compact.old")))
+    // a bare read would conclude "no store yet" and silently forget the
+    // whole dedup history; readStore completes the swap instead
+    val healed = Dedup.readStore(spark, dir)(Seq.empty[String].toDF("fp"))
+    assert(healed.as[String].collect().sorted.toSeq == Seq("a", "b"))
+    assert(fs.exists(new Path(dir)) && !fs.exists(state(".compact.tmp")) &&
+      !fs.exists(state(".compact.old")))
+    // rollback branch: only the original generation survives the crash
+    assert(fs.rename(new Path(dir), state(".compact.old")))
+    val rolled = Dedup.readStore(spark, dir)(Seq.empty[String].toDF("fp"))
+    assert(rolled.as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // compactStore heals a leftover mid-swap state before compacting
+    assert(fs.rename(new Path(dir), state(".compact.old")))
+    val (before, after) = Dedup.compactStore(spark, dir, Seq("fp"))
+    assert(before == 2 && after == 2)
+    // a genuinely-absent store still falls through to orElse
+    val none = Dedup.readStore(spark, dir + "_missing")(Seq.empty[String].toDF("fp"))
+    assert(none.isEmpty)
+  }
+
   test("int8 ANN agrees with float ANN on planted near-identical neighbors") {
     val rnd = new scala.util.Random(29)
     val base = Array.fill(32)(rnd.nextGaussian().toFloat)

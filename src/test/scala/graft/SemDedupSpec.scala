@@ -92,6 +92,23 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == Set(30L))
   }
 
+  test("incremental drop: a store-dropped component min must not drop its novel neighbors") {
+    val store = Dedup.assignSemanticClusters(
+      Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+    val delta = Seq(
+      (10L, Seq(0.9563f, 0.2924f)), // 17° from store → store dup, dropped
+      (11L, Seq(0.8290f, 0.5592f))  // 34° from store (cos ≈ .83 — novel), 17° from 10
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.incrementalSemanticDrop(delta, store, "vec_id", "embedding",
+        cents, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // sequential first-seen-wins: 10 duplicates the store; 11 duplicates
+    // only the DROPPED 10, so dropping it too would lose its content from
+    // the corpus entirely — the within-delta component must elect its
+    // representative among store-SURVIVORS
+    assert(kept == Set(11L))
+  }
+
   test("zero-norm vectors assign deterministically, never pair, never drop") {
     val withZero = vecs.union(Seq((7L, Seq(0f, 0f))).toDF("vec_id", "embedding"))
     val assigned = Dedup.assignSemanticClusters(withZero, "vec_id", "embedding", cents)
