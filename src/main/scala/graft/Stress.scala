@@ -134,35 +134,16 @@ object Stress {
         }
         fpStore.unpersist(false)
       }
-      // Embedding analogue of the text corpus: per base vector, 5 exact
-      // twins (identical ×2-scaled copies — cosine exactly 1) and 5 near
-      // dups (8v + w, ≈7° off the parent, mutually ≥ .98), plus midpoint
-      // mixtures (v+w)/2 as filler — a mixture sits ≤ .87 from each parent
-      // (below the .95 bar), and the stride relation pairs each mixture
-      // with exactly one bitwise-identical MIRROR ((v+w)/2 built from the
-      // partner side), so the filler contributes a linear-in-n exact-dup
-      // class of its own. Centroid count targets ~1500-vector cells — the
-      // SemDeDup operating point where the within-cell quadratic stays
-      // tractable; training runs on a capped deterministic sample.
+      // Embedding analogue of the text corpus — construction and the
+      // planted-pair accounting live in tools.SemanticStressCorpus (shared
+      // with the SemDedupProbe recall probe): per base, exact twins + ≈7°
+      // near dups, with midpoint-mixture filler that plants NO pairs of
+      // its own. Centroid count targets ~1500-vector cells — the SemDeDup
+      // operating point where the within-cell quadratic stays tractable;
+      // training runs on a capped deterministic sample.
       if (only.forall(_.contains("semantic_dedup"))) {
-        val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-          .select("vec_id", "embedding")
-        val eN = ebase.count()
-        val copies = math.max(DupGroup, (n / eN).toInt)
-        val partner = ebase.select(col("vec_id").as("pid"), col("embedding").as("pv"))
-        val idx = spark.range(0L, copies.toLong).toDF("i")
-        val emb = ebase.crossJoin(idx)
-          .withColumn("pid", (col("vec_id") + col("i") * 131L) % eN)
-          .join(broadcast(partner), "pid")
-          .select((col("vec_id") + col("i") * 1000000L).as("vec_id"),
-            when(col("i") < DupGroup / 2,
-              transform(col("embedding"), x => x * lit(2.0f)))
-            .when(col("i") < DupGroup,
-              zip_with(col("embedding"), col("pv"), (x, y) => x * lit(8.0f) + y))
-            .otherwise(
-              zip_with(col("embedding"), col("pv"), (x, y) => (x + y) * lit(0.5f)))
-            .as("embedding"))
-          .repartition(32).persist()
+        val (embRaw, _) = graft.tools.SemanticStressCorpus.build(spark, n)
+        val emb = embRaw.persist()
         val eActual = emb.count()
         val k = math.max(8, (eActual / 1500).toInt)
         val t0 = System.nanoTime()
