@@ -21,10 +21,14 @@ object FlagshipLadder {
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       def once(): (Double, Long, Long) = {
+        Thread.sleep(500) // drain stragglers from the PREVIOUS run first
         val b0 = bytes.get(); val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries("q_n_llm_pipeline_v2")(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
+        // stage-completed events arrive on the async listener bus; without a
+        // drain the final stages' bytes are nondeterministically missed
+        Thread.sleep(500)
         val mb = bytes.get() - b0 // wall + shuffle cover the ONE timed action
         (secs, df.count(), mb)
       }

@@ -55,13 +55,28 @@ class BpeSpec extends SparkSpec {
     val vocab = spark.range(3000).select(
       md5(col("id").cast("string")).as("word"),
       (col("id") % 7 + 1).as("cnt"))
-    val t0 = System.nanoTime()
-    val merges = Bpe.trainMergesBatched(vocab, numMerges = 1000, batchSize = 64)
-    val secs = (System.nanoTime() - t0) / 1e9
+    // the batching claim is STRUCTURAL — a bounded number of aggregation
+    // rounds, not 1000 sequential driver argmaxes — so assert the Spark
+    // job count, not wall time (wall-clock asserts flake under co-tenant
+    // load on this host)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try Bpe.trainMergesBatched(vocab, numMerges = 1000, batchSize = 64)
+      finally {
+        Thread.sleep(500) // drain the async listener bus before reading
+        spark.sparkContext.removeSparkListener(listener)
+      }
     assert(merges.size == 1000, s"trained only ${merges.size}")
     assert(merges.distinct.size == 1000, "duplicate merges")
-    // ~16 aggregation rounds, not 1000 sequential jobs — budget-bounded
-    assert(secs < 120, f"batched training too slow: $secs%.1f s")
+    // ≈16 rounds × a few jobs each; 1000 sequential argmaxes would be ≥1000
+    assert(jobs.get < 200, s"batched training ran ${jobs.get} Spark jobs — " +
+      "round batching has regressed toward one job per merge")
     // the model is usable: segmenting the vocab with it reconstructs every
     // word (subword concatenation is lossless)
     val seg = Bpe.vocabSegmentation(vocab.limit(50), merges.take(200))
