@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Locks in the physical-plan properties the engine's scale story depends
   * on (SCALING.md): broadcast joins for vocab enrich, scan-level pushdown,
@@ -12,6 +13,18 @@ class PlanQualitySpec extends SparkSpec {
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // shared by the shuffle-payload plan locks: does a type (transitively)
+  // carry string data, and does an attribute carry a token/subword array?
+  private def carriesText(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _)  => carriesText(et)
+    case StructType(fs)    => fs.exists(f => carriesText(f.dataType))
+    case MapType(k, v, _)  => carriesText(k) || carriesText(v)
+    case StringType        => true
+    case _                 => false
+  }
+  private def tokenBearing(a: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
+    a.dataType match { case at: ArrayType => carriesText(at); case _ => false }
 
   test("H1 vocab enrich joins by broadcast, not shuffle") {
     val p = plan("q_h1_joiner")
@@ -264,10 +277,7 @@ class PlanQualitySpec extends SparkSpec {
     // per-doc drop set) - a token array riding an Exchange means the rebuild
     // regressed to shuffling document payloads
     exchanges.foreach { e =>
-      val arrayStringCols = e.child.output.filter(a =>
-        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-          a.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-            .elementType == org.apache.spark.sql.types.StringType)
+      val arrayStringCols = e.child.output.filter(tokenBearing)
       assert(arrayStringCols.isEmpty,
         s"token array ${arrayStringCols.map(_.name)} rides a shuffle:\n$e")
     }
@@ -285,16 +295,6 @@ class PlanQualitySpec extends SparkSpec {
     // the segmentation join degrading from broadcast to shuffle-join), is a
     // plan regression this test catches. Asserted on the static plan (AQE
     // off), like the span test above.
-    import org.apache.spark.sql.types._
-    def carriesText(dt: DataType): Boolean = dt match {
-      case ArrayType(et, _)  => carriesText(et)
-      case StructType(fs)    => fs.exists(f => carriesText(f.dataType))
-      case MapType(k, v, _)  => carriesText(k) || carriesText(v)
-      case StringType        => true
-      case _                 => false
-    }
-    def tokenBearing(a: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
-      a.dataType match { case at: ArrayType => carriesText(at); case _ => false }
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val aqe = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(aqe)
@@ -331,14 +331,6 @@ class PlanQualitySpec extends SparkSpec {
     // that one partitioning with NO further exchange. Expected shuffles:
     // the scalar wordCounts agg (under the broadcast segmentation subtree)
     // and the ONE shard repartition carrying subword arrays.
-    import org.apache.spark.sql.types._
-    def carriesText(dt: DataType): Boolean = dt match {
-      case ArrayType(et, _)  => carriesText(et)
-      case StructType(fs)    => fs.exists(f => carriesText(f.dataType))
-      case MapType(k, v, _)  => carriesText(k) || carriesText(v)
-      case StringType        => true
-      case _                 => false
-    }
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val aqe = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(aqe)
@@ -357,8 +349,7 @@ class PlanQualitySpec extends SparkSpec {
       e.child.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
       .mkString("\n")
     assert(exchanges.size == 2, s"expected exactly 2 exchanges in the fused tail:\n$describe")
-    val tokenCarrying = exchanges.filter(_.child.output.exists(a =>
-      a.dataType match { case at: ArrayType => carriesText(at); case _ => false }))
+    val tokenCarrying = exchanges.filter(_.child.output.exists(tokenBearing))
     assert(tokenCarrying.size == 1 &&
       tokenCarrying.head.outputPartitioning.toString.contains("shard"),
       s"token payloads must cross exactly the shard repartition:\n$describe")
