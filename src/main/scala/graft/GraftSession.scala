@@ -55,15 +55,25 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and convert with integer
-      // division so the value is micros-exact (double math would lose
-      // precision at 1e18 ns). The conf is declared in GraftSession.builder;
-      // it is also set here (idempotently, NOT restored — the parquet reader
-      // re-reads it at action time, so a scoped restore would break the
-      // deferred scan) so Tables works on sessions not built via the factory.
+      // events.ts has shipped in two parquet encodings across testdata
+      // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+      // rejects — surfaced as int64 nanos via the legacy conf, converted
+      // with integer division so the value is micros-exact) and plain
+      // TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ). Branch
+      // on the dtype the reader actually inferred so either file works.
+      // The conf is declared in GraftSession.builder; it is also set here
+      // (idempotently, NOT restored — the parquet reader re-reads it at
+      // action time, so a scoped restore would break the deferred scan) so
+      // Tables works on sessions not built via the factory.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // session time zone is UTC, so the NTZ wall-clock IS the instant
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

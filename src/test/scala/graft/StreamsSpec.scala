@@ -7,9 +7,7 @@ class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
   test("streaming tumbling agg (complete mode) matches the batch result") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Tables(spark, sf, "events")
     val batch = events.groupBy(window(col("ts"), "1 hour")).count()
       .select(col("window.start").as("ws"), col("count"))
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
@@ -22,9 +20,7 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("append mode + watermark emits only closed windows (real streaming semantics)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Tables(spark, sf, "events")
     val maxTs = events.agg(max("ts")).head().getTimestamp(0)
     val stage = java.nio.file.Files.createTempDirectory("stream2").toString
     val appended = Streams.runAsStream(spark, events, s"$stage/in", "t_append", "ts",
