@@ -946,6 +946,34 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** DSIR gate — the integer sufficient statistics of the importance
+    * weight (per doc: gram count + summed target/background bucket counts
+    * over its gram occurrences), exactly the [[qNLmScore]] pattern: the
+    * float log-ratio pipeline these feed is locked in DsirSpec (including
+    * an exact brute-force replay of the Gumbel-top-k selection); the gate
+    * pins the engine-portable part — md5 feature hashing, the
+    * bounded-domain count model, and the occurrence joins — against a full
+    * DuckDB recomputation. Target corpus: the `en` slice; background: the
+    * whole table (so every gram has a background count and the join is
+    * inner).
+    */
+  private def qNDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ct = CorpusStats.hashedGramCounts(docs.filter(col("lang") === "en"), "text")
+      .withColumnRenamed("cnt", "__ct")
+    val cr = CorpusStats.hashedGramCounts(docs, "text")
+      .withColumnRenamed("cnt", "__cr")
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextOps.hashedGrams(col("text"), 4)).as("bucket"))
+      .join(ct, Seq("bucket"), "left")
+      .join(cr, Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__ct"), lit(0L))).as("sum_ct"),
+        sum(col("__cr")).as("sum_cr"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned BPE tokenizer model for the encode gate: the first 24 merges
     * [[graft.functions.Bpe.trainMerges]] learns on the sf0.01 fixtures
     * (reproduce with `runMain graft.tools.BpeProbe`). Pinning the model is
@@ -1470,6 +1498,7 @@ object SparkEntry {
     "q_n_vocab_topk"     -> (qNVocabTopk _),
     "q_n_commonness"     -> (qNCommonness _),
     "q_n_lm_score"       -> (qNLmScore _),
+    "q_n_dsir"           -> (qNDsir _),
     "q_n_dedup_incr"     -> (qNDedupIncr _),
     "q_n_mix"            -> (qNMix _),
     "q_n_ann_int8"       -> (qNAnnInt8 _),
@@ -1971,6 +2000,20 @@ object SparkEntry {
     },
     // bigram-LM integer anchors: occurrence bigrams (chr(1)-joined), corpus
     // bigram counts, left-context counts — the ln itself is CI-pinned
+    "q_n_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, lang, unnest(list_concat(
+                  list_transform(toks, x -> substr(md5(x), 1, 4)),
+                  list_transform(range(1, len(toks)),
+                    i -> substr(md5(toks[i] || chr(1) || toks[i+1]), 1, 4)))) AS b
+                FROM t),
+          ct AS (SELECT b, count(*) AS c FROM g WHERE lang = 'en' GROUP BY 1),
+          cr AS (SELECT b, count(*) AS c FROM g GROUP BY 1)
+          SELECT g.doc_id, count(*) AS n_grams,
+                 CAST(sum(coalesce(ct.c, 0)) AS BIGINT) AS sum_ct,
+                 CAST(sum(cr.c) AS BIGINT) AS sum_cr
+          FROM g LEFT JOIN ct ON g.b = ct.b JOIN cr ON g.b = cr.b
+          GROUP BY g.doc_id ORDER BY doc_id""",
     "q_n_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           o AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),

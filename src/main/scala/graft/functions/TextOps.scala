@@ -186,6 +186,28 @@ object TextOps {
         i => norm.substr(i + 1, lit(n)))))
   }
 
+  /** Hashed unigram+bigram features: every whitespace token and every
+    * adjacent token pair (0x01-joined, as [[wordShingles]]) mapped to its
+    * `hexLen`-hex-digit md5 prefix — a fixed 16^hexLen-bucket feature
+    * space over an unbounded vocabulary, the hashed bag-of-ngrams of
+    * DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169).
+    * Same engine-portable md5-prefix domain as
+    * [[graft.operators.Sampling.hashBucket]]: DuckDB/Trino/BigQuery
+    * compute identical buckets, so models and selections replay exactly.
+    * NON-distinct — repeated grams count once per occurrence, as the
+    * importance weight requires. Empty/whitespace-only text yields the
+    * empty array.
+    */
+  def hashedGrams(text: Column, hexLen: Int): Column = {
+    val toks = tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws("\u0001", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), g => substring(md5(g), 1, hexLen))
+  }
+
+
   /** Word n-gram shingles (distinct), joined with '\u0001'. A document
     * with fewer than `n` tokens yields the EMPTY set - padding it to one
     * degenerate shingle would let two unrelated short documents score

@@ -142,4 +142,56 @@ object CorpusStats {
         round(col("total_count").cast("double") / col("__grand"), 6))
       .drop("__grand")
   }
+
+  // --- DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169) -------
+
+  /** Hashed-gram occurrence counts `(bucket, cnt)` over
+    * [[graft.functions.TextOps.hashedGrams]] — the sufficient statistic of a
+    * hashed bag-of-ngrams model. Output cardinality is bounded by 16^hexLen
+    * REGARDLESS of corpus size (one scan, map-side-combined hash agg whose
+    * shuffle carries at most 16^hexLen rows per partition), so the "model"
+    * is a small relation you persist like any other store
+    * (cf. the dedup signature stores) and reuse across selection runs.
+    */
+  def hashedGramCounts(df: DataFrame, textCol: String, hexLen: Int = 4): DataFrame = {
+    require(hexLen >= 1 && hexLen <= 5, s"hexLen=$hexLen: bucket domain 16^hexLen must stay broadcastable")
+    df.select(explode(TextOps.hashedGrams(col(textCol), hexLen)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DSIR importance log-weights over the FULL 16^hexLen bucket domain:
+    * `logw(b) = ln p_target(b) − ln p_background(b)` under add-α smoothing
+    * `p(b) = (cnt(b) + α) / (total + α·16^hexLen)`. Covering the whole
+    * domain (buckets unseen in either corpus get the pure-smoothing ratio)
+    * means downstream consumers need no "unseen feature" special case —
+    * one inner broadcast join scores any gram.
+    *
+    * Inputs are COUNT relations from [[hashedGramCounts]] — build them
+    * once, persist them (they are the model; ≤ 16^hexLen rows), then feed
+    * them here. Taking counts rather than corpora keeps this function free
+    * of hidden rescans: each count relation is referenced twice below
+    * (per-bucket join + total), which is free for a persisted/parquet-backed
+    * model but would scan a raw 100 TB corpus twice.
+    */
+  def importanceWeights(targetCounts: DataFrame, backgroundCounts: DataFrame,
+                        hexLen: Int = 4, alpha: Double = 0.5): DataFrame = {
+    require(hexLen >= 1 && hexLen <= 5, s"hexLen=$hexLen: bucket domain 16^hexLen must stay broadcastable")
+    require(alpha > 0, "alpha must be positive (zero-count buckets need mass)")
+    val nBuckets = 1L << (4 * hexLen)
+    val spark = targetCounts.sparkSession
+    val domain = spark.range(nBuckets)
+      .select(lpad(lower(hex(col("id"))), hexLen, "0").as("bucket"))
+    val ct = targetCounts.select(col("bucket"), col("cnt").as("__ct"))
+    val cr = backgroundCounts.select(col("bucket"), col("cnt").as("__cr"))
+    val tt = ct.agg(coalesce(sum("__ct"), lit(0L)).cast("double").as("__tt"))
+    val tr = cr.agg(coalesce(sum("__cr"), lit(0L)).cast("double").as("__tr"))
+    domain
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .select(col("bucket"),
+        (log((coalesce(col("__ct"), lit(0L)) + alpha) / (col("__tt") + alpha * nBuckets)) -
+         log((coalesce(col("__cr"), lit(0L)) + alpha) / (col("__tr") + alpha * nBuckets)))
+          .as("logw"))
+  }
 }

@@ -105,6 +105,18 @@ case class SplitNodeSpec(input: OpSpec, idCol: String,
 case class MixNodeSpec(input: OpSpec, idCol: String, stratumCol: String,
                        weights: Map[String, Double],
                        defaultWeight: Double = 1.0) extends OpSpec
+/** DSIR importance resampling ([[graft.operators.Sampling.importanceResample]]):
+  * keep the `k` rows of `input` drawn without replacement ∝ exp(importance
+  * weight) toward the `target` node's gram distribution. Like
+  * [[SemanticDedupNodeSpec]]'s centroid training, the hashed-ngram count
+  * models are built EAGERLY at compile time (two bounded hash aggs,
+  * ≤ 16^hexLen rows each, collected like the k-means centroids — a
+  * run-once model, reused by the lazily-compiled selection plan). Both
+  * corpora must expose `textCol`.
+  */
+case class DsirNodeSpec(input: OpSpec, target: OpSpec, idCol: String,
+                        textCol: String, k: Int, hexLen: Int = 4,
+                        alpha: Double = 0.5, salt: String = "dsir") extends OpSpec
 /** Drop rows sharing ≥ minHits word n-grams with the bench node. */
 case class DecontamNodeSpec(input: OpSpec, bench: OpSpec, idCol: String,
                             textCol: String, n: Int = 8, minHits: Int = 1) extends OpSpec
@@ -239,6 +251,20 @@ object PipelineCompiler {
         graft.operators.Sampling.hashSplit(build(in), sub(id), splits)
       case MixNodeSpec(in, id, stratum, weights, dw) =>
         graft.operators.Sampling.weightedMix(build(in), sub(id), sub(stratum), weights, dw)
+      case DsirNodeSpec(in, target, id, text, k, hexLen, alpha, salt) =>
+        val df = build(in)
+        // run-once model: collect the two bounded count relations to the
+        // driver (≤ 16^hexLen rows each) so the selection plan references
+        // small local relations instead of rescanning both corpora
+        def model(c: org.apache.spark.sql.DataFrame) = {
+          val rows = graft.operators.CorpusStats.hashedGramCounts(c, sub(text), hexLen)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          spark.createDataFrame(rows).toDF("bucket", "cnt")
+        }
+        val weights = graft.operators.CorpusStats.importanceWeights(
+          model(build(target)), model(df), hexLen, alpha)
+        graft.operators.Sampling.importanceResample(df, sub(id), sub(text), weights,
+          k, hexLen, salt)
       case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
         graft.operators.Dedup.decontaminate(build(in), build(bench), sub(id), sub(text),
           ngram, minHits)
@@ -289,6 +315,7 @@ object PipelineCompiler {
     case SemanticDedupNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case SplitNodeSpec(in, _, _)        => refsOf(in)
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
+    case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => refsOf(in) ++ refsOf(tgt)
     case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)

@@ -81,6 +81,10 @@ object SpecJson {
         pairs(n, "op" -> "mix", "idCol" -> id, "stratumCol" -> stratum)
         n.put("defaultWeight", dw); n.set[JsonNode]("input", opNode(in))
         val o = n.putObject("weights"); weights.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      case DsirNodeSpec(in, target, id, text, k, hexLen, alpha, salt) =>
+        pairs(n, "op" -> "dsir", "idCol" -> id, "textCol" -> text, "salt" -> salt)
+        n.put("k", k); n.put("hexLen", hexLen); n.put("alpha", alpha)
+        n.set[JsonNode]("input", opNode(in)); n.set[JsonNode]("target", opNode(target))
       case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
         pairs(n, "op" -> "decontaminate", "idCol" -> id, "textCol" -> text)
         n.put("n", ngram); n.put("minHits", minHits)
@@ -161,6 +165,11 @@ object SpecJson {
                           o.properties().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
                           .getOrElse(Map.empty),
                         Option(n.get("defaultWeight")).map(_.asDouble).getOrElse(1.0))
+    case "dsir"    => DsirNodeSpec(parseOp(n.get("input")), parseOp(n.get("target")),
+                        str(n, "idCol"), str(n, "textCol"), n.get("k").asInt,
+                        Option(n.get("hexLen")).map(_.asInt).getOrElse(4),
+                        Option(n.get("alpha")).map(_.asDouble).getOrElse(0.5),
+                        str(n, "salt", "dsir"))
     case "decontaminate" => DecontamNodeSpec(parseOp(n.get("input")), parseOp(n.get("bench")),
                         str(n, "idCol"), str(n, "textCol"),
                         Option(n.get("n")).map(_.asInt).getOrElse(8),
@@ -222,6 +231,7 @@ object SpecJson {
         case SemanticDedupNodeSpec(in, _, _, _, _, _) => link(in)
         case SplitNodeSpec(in, _, _) => link(in)
         case MixNodeSpec(in, _, _, _, _) => link(in)
+        case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => link(in); link(tgt)
         case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusStats, Sampling}
+
+/** DSIR importance resampling (Xie et al. 2023): the float log-ratio /
+  * Gumbel-top-k pipeline the q_n_dsir integer gate cannot hash — locked
+  * here against an exact Scala brute-force replay (same md5 buckets, same
+  * smoothing, same derandomized Gumbel keys), plus the statistical
+  * property the method exists for (target-distribution enrichment).
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HexLen = 4
+  private val Alpha = 0.5
+  private val NBuckets = 1L << (4 * HexLen)
+
+  // --- brute-force reference implementation (pure Scala) -------------------
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+  private def gramBuckets(text: String): Seq[String] = {
+    val t = toks(text)
+    val bigrams = t.sliding(2).filter(_.size == 2).map(p => p(0) + "" + p(1))
+    (t ++ bigrams).map(g => md5hex(g).take(HexLen))
+  }
+  private def counts(corpus: Seq[String]): Map[String, Long] =
+    corpus.flatMap(gramBuckets).groupBy(identity).view.mapValues(_.size.toLong).toMap
+  private def logw(ct: Map[String, Long], cr: Map[String, Long]): String => Double = {
+    val (tt, tr) = (ct.values.sum.toDouble, cr.values.sum.toDouble)
+    b => math.log((ct.getOrElse(b, 0L) + Alpha) / (tt + Alpha * NBuckets)) -
+         math.log((cr.getOrElse(b, 0L) + Alpha) / (tr + Alpha * NBuckets))
+  }
+  private def gumbelKey(id: Long, docLogw: Double, salt: String): Double = {
+    val u = (java.lang.Long.parseLong(md5hex(salt + id.toString).take(8), 16) + 0.5) / 4294967296.0
+    docLogw - math.log(-math.log(u))
+  }
+
+  // --- fixtures -------------------------------------------------------------
+  // target-flavored docs draw from one vocabulary, noise docs from another;
+  // varying lengths keep the importance weights well separated (no
+  // float-boundary ties between ranks k and k+1)
+  private val targetVocab = Seq("spark", "catalyst", "shuffle", "broadcast", "partition")
+  private val noiseVocab = Seq("lorem", "ipsum", "dolor", "amet", "consectetur")
+  private def doc(vocab: Seq[String], seed: Int, len: Int): String =
+    (0 until len).map(i => vocab((seed + i * 7) % vocab.size)).mkString(" ")
+
+  private lazy val targetCorpus = (0 until 10).map(i => doc(targetVocab, i, 8 + i))
+  private lazy val rawDocs: Seq[(Long, String)] =
+    (0 until 20).map(i => (i.toLong, doc(targetVocab, i + 3, 6 + i % 5))) ++
+    (20 until 40).map(i => (i.toLong, doc(noiseVocab, i, 6 + i % 5)))
+  private lazy val backgroundCorpus = rawDocs.map(_._2)
+
+  private lazy val weightsDf = CorpusStats.importanceWeights(
+    CorpusStats.hashedGramCounts(targetCorpus.toDF("text"), "text", HexLen),
+    CorpusStats.hashedGramCounts(backgroundCorpus.toDF("text"), "text", HexLen),
+    HexLen, Alpha)
+
+  test("importanceWeights matches the brute-force model on every touched bucket") {
+    val expected = logw(counts(targetCorpus), counts(backgroundCorpus))
+    val touched = backgroundCorpus.flatMap(gramBuckets).distinct
+    val got = weightsDf.filter(col("bucket").isin(touched: _*))
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == touched.toSet)
+    touched.foreach { b =>
+      assert(math.abs(got(b) - expected(b)) < 1e-12, s"bucket $b: ${got(b)} vs ${expected(b)}")
+    }
+    // untouched buckets carry the pure-smoothing constant, not null/zero
+    val untouched = weightsDf.filter(!col("bucket").isin(touched: _*)).limit(1)
+      .as[(String, Double)].collect()
+    assert(untouched.nonEmpty && !untouched.head._2.isNaN)
+  }
+
+  test("importanceResample reproduces the brute-force Gumbel-top-k selection exactly") {
+    val k = 12
+    val expectedLogw = {
+      val f = logw(counts(targetCorpus), counts(backgroundCorpus))
+      rawDocs.filter(d => gramBuckets(d._2).nonEmpty)
+        .map { case (id, text) => id -> gramBuckets(text).map(f).sum }.toMap
+    }
+    val expectedIds = expectedLogw.toSeq
+      .map { case (id, lw) => (id, gumbelKey(id, lw, "dsir")) }
+      .sortBy { case (id, key) => (-key, id) }.take(k).map(_._1).toSet
+    val got = Sampling.importanceResample(rawDocs.toDF("doc_id", "text"),
+        "doc_id", "text", weightsDf, k, HexLen)
+      .select("doc_id", "dsir_logw").as[(Long, Double)].collect()
+    assert(got.length == k)
+    assert(got.map(_._1).toSet == expectedIds, s"selection diverged: ${got.map(_._1).sorted}")
+    got.foreach { case (id, lw) =>
+      assert(math.abs(lw - expectedLogw(id)) < 1e-9, s"doc $id logw $lw vs ${expectedLogw(id)}")
+    }
+  }
+
+  test("selection is enriched in target-flavored docs and deterministic across runs") {
+    val df = rawDocs.toDF("doc_id", "text")
+    def run() = Sampling.importanceResample(df, "doc_id", "text", weightsDf, 15, HexLen)
+      .select("doc_id").as[Long].collect().toSet
+    val sel = run()
+    // ids < 20 are target-vocabulary docs; DSIR should overwhelmingly prefer
+    // them over the 20 noise docs (a uniform draw would pick ~7.5 of each)
+    assert(sel.count(_ < 20) >= 13, s"weak enrichment: $sel")
+    assert(run() == sel, "resample must be deterministic")
+  }
+
+  test("gram-less docs are never selected; k beyond candidates returns all") {
+    val df = (rawDocs.take(5) :+ (99L, "   ")).toDF("doc_id", "text")
+    val sel = Sampling.importanceResample(df, "doc_id", "text", weightsDf, 50, HexLen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == rawDocs.take(5).map(_._1).toSet, s"got $sel")
+  }
+}

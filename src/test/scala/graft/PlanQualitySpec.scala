@@ -404,4 +404,37 @@ class PlanQualitySpec extends SparkSpec {
       vecExchanges.forall(_.outputPartitioning.toString.contains("cluster")),
       s"vectors may ride only the cluster-key shuffle:\n${vecExchanges.mkString("\n")}")
   }
+
+  test("DSIR resample: weights broadcast, one scalar shuffle, heap-based top-k, no payload shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the weights model is parquet-backed in production (≤ 16^hexLen rows,
+    // persisted like the dedup stores) — cut the lineage the same way so
+    // the plan under test is the selection pipeline, not the model build
+    val wDir = java.nio.file.Files.createTempDirectory("dsir_w").toString + "/weights"
+    graft.operators.CorpusStats.importanceWeights(
+        graft.operators.CorpusStats.hashedGramCounts(docs.filter(col("lang") === "en"), "text"),
+        graft.operators.CorpusStats.hashedGramCounts(docs, "text"))
+      .write.parquet(wDir)
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    val plan = try {
+      spark.conf.set(aqe, "false")
+      graft.operators.Sampling.importanceResample(
+          docs, "doc_id", "text", spark.read.parquet(wDir), k = 50)
+        .queryExecution.executedPlan
+    } finally spark.conf.set(aqe, prev)
+    val p = plan.toString
+    // per-gram weight lookup and k-row id join-back are broadcasts
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p.take(3000))
+    // selection is per-partition k-heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the ONLY shuffle is the per-doc weight agg, and it carries scalars
+    // (id + partial sum) — never gram strings or the document payload
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 1, s"expected exactly the id-agg shuffle:\n$p")
+    val leaked = exchanges.head.child.output.filter(a => carriesText(a.dataType))
+    assert(leaked.isEmpty, s"text rides the weight-agg shuffle: ${leaked.map(_.name)}")
+  }
 }
