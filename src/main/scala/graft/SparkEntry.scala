@@ -946,6 +946,30 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Pinned quality-classifier weights — a model asset like
+    * [[bpeGateMerges]]: trained once by `tools.QualityTrainProbe`
+    * (self-supervised organic-vs-corrupted, lr=5, iters=1500, sf0.01;
+    * organic accept 0.97, corrupted accept 0.076) and pinned so the gate
+    * is deterministic. Order matches [[QualityModel.features]]: bias,
+    * length saturation, distinct-token ratio, punct ratio, mean word
+    * length (scaled), stopword density, top-bigram fraction.
+    */
+  val qualityGateWeights: Seq[Double] = Seq(
+    -4.2627960659, 12.1640084758, 21.5034395273, -5.0739632683,
+    -23.1214741799, 11.0592704619, -17.6127551396)
+
+  /** Trained-quality-model gate: score every document under the pinned
+    * weights. The whole pipeline — features, fixed-order dot product,
+    * 10^6 scaling — is transcendental-free IEEE arithmetic, so the DuckDB
+    * oracle recomputes the identical integers (the oracle SQL is
+    * GENERATED from [[qualityGateWeights]], so the two sides cannot
+    * drift).
+    */
+  private def qNQualityModel(s: SparkSession, dir: String): DataFrame =
+    QualityModel.score(t(s, dir, "documents"), "text", qualityGateWeights)
+      .select(col("doc_id"), col("quality_score_1e6"), col("quality_accept"))
+      .orderBy("doc_id")
+
   /** DSIR gate — the integer sufficient statistics of the importance
     * weight (per doc: gram count + summed target/background bucket counts
     * over its gram occurrences), exactly the [[qNLmScore]] pattern: the
@@ -1499,6 +1523,7 @@ object SparkEntry {
     "q_n_commonness"     -> (qNCommonness _),
     "q_n_lm_score"       -> (qNLmScore _),
     "q_n_dsir"           -> (qNDsir _),
+    "q_n_quality_model"  -> (qNQualityModel _),
     "q_n_dedup_incr"     -> (qNDedupIncr _),
     "q_n_mix"            -> (qNMix _),
     "q_n_ann_int8"       -> (qNAnnInt8 _),
@@ -2000,6 +2025,44 @@ object SparkEntry {
     },
     // bigram-LM integer anchors: occurrence bigrams (chr(1)-joined), corpus
     // bigram counts, left-context counts — the ln itself is CI-pinned
+    "q_n_quality_model" -> {
+      // the linear chain is emitted from the SAME pinned Seq the Spark side
+      // uses — Double.toString round-trips through DuckDB's literal parser
+      val w = qualityGateWeights
+      val linear = (0 until 7).map(i => s"${w(i)} * x$i").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, text, toks,
+                 CASE WHEN len(toks) < 2 THEN []
+                      ELSE list_transform(range(1, len(toks)),
+                             i -> toks[i] || chr(1) || toks[i+1]) END AS grams
+                FROM base),
+          f AS (SELECT doc_id,
+                 1.0 AS x0,
+                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS x1,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS x2,
+                 CASE WHEN len(text) = 0 THEN 0.0
+                      ELSE CAST(len(text) - len(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))
+                           AS DOUBLE) / len(text) END AS x3,
+                 least((CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                             / len(toks) END) / 10.0, 1.0) AS x4,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE least(CAST(len(regexp_extract_all(lower(text),
+                             '\\b(the|and|of|to|in|is|that|for)\\b')) AS DOUBLE)
+                           / len(toks), 1.0) END AS x5,
+                 CASE WHEN len(grams) = 0 THEN 0.0
+                      ELSE CAST(list_max(list_transform(list_distinct(grams),
+                             gg -> len(list_filter(grams, x -> x = gg)))) AS DOUBLE)
+                           / len(grams) END AS x6
+                FROM g),
+          s AS (SELECT doc_id,
+                 CAST(floor(($linear) * 1000000.0 + 0.5) AS BIGINT) AS quality_score_1e6
+                FROM f)
+          SELECT doc_id, quality_score_1e6,
+                 CAST(quality_score_1e6 > 0 AS BIGINT) AS quality_accept
+          FROM s ORDER BY doc_id"""
+    },
     "q_n_dsir" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
           g AS (SELECT doc_id, lang, unnest(list_concat(

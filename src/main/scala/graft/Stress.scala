@@ -134,6 +134,24 @@ object Stress {
         }
         fpStore.unpersist(false)
       }
+      // DSIR selection over the same corpus: target model from a ~1%
+      // deterministic slice, background from the whole corpus. The count
+      // models are persisted before weighting (the documented run-once
+      // model discipline — importanceWeights references each twice), and
+      // timed separately from the selection pass they parameterize.
+      if (only.forall(_.contains("dsir_resample"))) {
+        import graft.operators.{CorpusStats, Sampling}
+        val t0 = System.nanoTime()
+        val ct = CorpusStats.hashedGramCounts(
+          big.filter(col("doc_id") % 97 === 0), "text").persist()
+        val cr = CorpusStats.hashedGramCounts(big, "text").persist()
+        val modelBuckets = ct.count() + cr.count()
+        println(f"STRESS dsir_model        n=$actual%9d ${(System.nanoTime() - t0) / 1e9}%8.2f s buckets=$modelBuckets")
+        val w = CorpusStats.importanceWeights(ct, cr)
+        time("dsir_resample")(
+          Sampling.importanceResample(big, "doc_id", "text", w, k = 10000).count())
+        ct.unpersist(false); cr.unpersist(false)
+      }
       // Embedding analogue of the text corpus — construction and the
       // planted-pair accounting live in tools.SemanticStressCorpus (shared
       // with the SemDedupProbe recall probe): per base, exact twins + ≈7°

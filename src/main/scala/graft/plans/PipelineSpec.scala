@@ -117,6 +117,14 @@ case class MixNodeSpec(input: OpSpec, idCol: String, stratumCol: String,
 case class DsirNodeSpec(input: OpSpec, target: OpSpec, idCol: String,
                         textCol: String, k: Int, hexLen: Int = 4,
                         alpha: Double = 0.5, salt: String = "dsir") extends OpSpec
+/** Pinned-weight quality scoring ([[graft.operators.QualityModel.score]]):
+  * adds the scaled-integer linear score and accept columns. The weights
+  * ride IN the spec JSON — a pinned model asset like the BPE merge list
+  * (train offline with `QualityModel.trainVsCorrupted`); chain a
+  * `FilterSpec` on the accept column to drop rejects.
+  */
+case class QualityScoreNodeSpec(input: OpSpec, textCol: String,
+                                weights: Seq[Double]) extends OpSpec
 /** Drop rows sharing ≥ minHits word n-grams with the bench node. */
 case class DecontamNodeSpec(input: OpSpec, bench: OpSpec, idCol: String,
                             textCol: String, n: Int = 8, minHits: Int = 1) extends OpSpec
@@ -265,6 +273,8 @@ object PipelineCompiler {
           model(build(target)), model(df), hexLen, alpha)
         graft.operators.Sampling.importanceResample(df, sub(id), sub(text), weights,
           k, hexLen, salt)
+      case QualityScoreNodeSpec(in, text, weights) =>
+        graft.operators.QualityModel.score(build(in), sub(text), weights)
       case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
         graft.operators.Dedup.decontaminate(build(in), build(bench), sub(id), sub(text),
           ngram, minHits)
@@ -316,6 +326,7 @@ object PipelineCompiler {
     case SplitNodeSpec(in, _, _)        => refsOf(in)
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
     case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => refsOf(in) ++ refsOf(tgt)
+    case QualityScoreNodeSpec(in, _, _) => refsOf(in)
     case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)

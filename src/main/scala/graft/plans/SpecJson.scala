@@ -85,6 +85,10 @@ object SpecJson {
         pairs(n, "op" -> "dsir", "idCol" -> id, "textCol" -> text, "salt" -> salt)
         n.put("k", k); n.put("hexLen", hexLen); n.put("alpha", alpha)
         n.set[JsonNode]("input", opNode(in)); n.set[JsonNode]("target", opNode(target))
+      case QualityScoreNodeSpec(in, text, weights) =>
+        pairs(n, "op" -> "qualityScore", "textCol" -> text)
+        val arr = n.putArray("weights"); weights.foreach(arr.add)
+        n.set[JsonNode]("input", opNode(in))
       case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
         pairs(n, "op" -> "decontaminate", "idCol" -> id, "textCol" -> text)
         n.put("n", ngram); n.put("minHits", minHits)
@@ -170,6 +174,9 @@ object SpecJson {
                         Option(n.get("hexLen")).map(_.asInt).getOrElse(4),
                         Option(n.get("alpha")).map(_.asDouble).getOrElse(0.5),
                         str(n, "salt", "dsir"))
+    case "qualityScore" => QualityScoreNodeSpec(parseOp(n.get("input")), str(n, "textCol"),
+                        Option(n.get("weights")).map(_.elements().asScala.map(_.asDouble).toSeq)
+                          .getOrElse(Nil))
     case "decontaminate" => DecontamNodeSpec(parseOp(n.get("input")), parseOp(n.get("bench")),
                         str(n, "idCol"), str(n, "textCol"),
                         Option(n.get("n")).map(_.asInt).getOrElse(8),
@@ -232,6 +239,7 @@ object SpecJson {
         case SplitNodeSpec(in, _, _) => link(in)
         case MixNodeSpec(in, _, _, _, _) => link(in)
         case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => link(in); link(tgt)
+        case QualityScoreNodeSpec(in, _, _) => link(in)
         case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityModel
+
+/** Trained quality classifier: training converges and separates, scoring
+  * replays a hand-computed dot product exactly, and the scoring plan is
+  * expression-only (the q_n_quality_model gate pins the engine-portable
+  * arithmetic against DuckDB; this spec owns the training loop and the
+  * float pipeline the integer gate feeds).
+  */
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("self-supervised training separates organic docs from their corruptions") {
+    val w = QualityModel.trainVsCorrupted(docs, "doc_id", "text", lr = 5.0, iters = 300)
+    def acceptRate(df: org.apache.spark.sql.DataFrame): Double =
+      QualityModel.score(df, "text", w).agg(avg("quality_accept")).head().getDouble(0)
+    val pos = acceptRate(docs)
+    val neg = acceptRate(QualityModel.syntheticNegatives(docs, "doc_id", "text"))
+    assert(pos >= 0.9, s"organic accept rate $pos")
+    assert(neg <= 0.3, s"corrupted accept rate $neg")
+  }
+
+  test("learned weights point the direction the features mean") {
+    // quality-positive signals (distinct-token ratio, stopword density)
+    // must come out positive; repetition (top-bigram fraction) negative —
+    // the corruptions are CONSTRUCTED to force these directions
+    val w = QualityModel.trainVsCorrupted(docs, "doc_id", "text", lr = 5.0, iters = 300)
+    assert(w(2) > 0, s"distinct-token-ratio weight should be positive: ${w(2)}")
+    assert(w(5) > 0, s"stopword-density weight should be positive: ${w(5)}")
+    assert(w(6) < 0, s"top-bigram-fraction weight should be negative: ${w(6)}")
+  }
+
+  test("scoring replays a hand-computed fixed-order dot product") {
+    val df = Seq((1L, "the quick brown fox and the lazy dog of the north")).toDF("doc_id", "text")
+    val w = Seq(0.5, 1.0, -2.0, 3.0, -1.0, 4.0, -5.0)
+    // features by hand: 11 tokens, 9 distinct ('the' x3), no punctuation,
+    // stop hits: the(3) + and + of = 5; top bigram: all 10 distinct -> 1/10
+    val toks = 11.0
+    val x = Seq(1.0, toks / 100.0, 9.0 / toks, 0.0,
+      (("thequickbrownfoxandthelazydogofthenorth".length: Double) / toks) / 10.0,
+      5.0 / toks, 1.0 / 10.0)
+    val expected = math.floor(x.zip(w).map { case (xi, wi) => wi * xi }
+      .reduceLeft(_ + _) * 1e6 + 0.5).toLong
+    val got = QualityModel.score(df, "text", w)
+      .select("quality_score_1e6").as[Long].head()
+    assert(got == expected, s"$got vs $expected")
+  }
+
+  test("empty and whitespace-only docs score the bias only and are rejected under gate weights") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val scored = QualityModel.score(df, "text", SparkEntry.qualityGateWeights)
+      .select("doc_id", "quality_accept").as[(Long, Long)].collect().toMap
+    assert(scored == Map(1L -> 0L, 2L -> 0L), s"got $scored")
+  }
+
+  test("scoring is expression-only: zero exchanges, zero UDFs") {
+    val p = QualityModel.score(docs, "text", SparkEntry.qualityGateWeights)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"),
+      s"scoring must be a narrow pass:\n${p.take(2000)}")
+  }
+}

@@ -44,6 +44,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: SplitNodeSpec => SplitNodeSpec(in, "id", Seq("train" -> 0.75, "test" -> 0.25))
       case _: MixNodeSpec => MixNodeSpec(in, "id", "lang", Map("fr" -> 2.0, "en" -> 0.5), 1.5)
       case _: DsirNodeSpec => DsirNodeSpec(in, RefSpec("tgt"), "id", "txt", 500, 3, 0.25, "s2")
+      case _: QualityScoreNodeSpec => QualityScoreNodeSpec(in, "txt", Seq(0.5, -1.25, 3.0))
       case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2)
       case _: PackNodeSpec => PackNodeSpec(in, "id", "txt", 2048L, 64)
       case _: LayoutNodeSpec => LayoutNodeSpec(in, "zorder", "/data/z", Seq("a", "b"), 32, 8)
@@ -59,7 +60,7 @@ class SpecJsonSpec extends SparkSpec {
       SemanticDedupNodeSpec(in, "i", "v"),
       SplitNodeSpec(in, "i", Nil),
       MixNodeSpec(in, "i", "s", Map.empty), DsirNodeSpec(in, in, "i", "t", 1),
-      DecontamNodeSpec(in, in, "i", "t"),
+      QualityScoreNodeSpec(in, "t", Nil), DecontamNodeSpec(in, in, "i", "t"),
       PackNodeSpec(in, "i", "t", 1L), LayoutNodeSpec(in, "sorted", "p", Nil),
       CompactStoreSpec("p", Seq("fp")))
     shapes.foreach { shape =>
@@ -93,8 +94,11 @@ class SpecJsonSpec extends SparkSpec {
       "spans" -> SpanDedupNodeSpec(RefSpec("docs"), "doc_id", "text", 16),
       "dedup" -> DedupNodeSpec(RefSpec("spans"), "doc_id", "text", "near", 0.7),
       "decon" -> DecontamNodeSpec(RefSpec("dedup"), RefSpec("bench"), "doc_id", "text", 8, 1),
+      "qual"  -> QualityScoreNodeSpec(RefSpec("decon"), "text",
+        SparkEntry.qualityGateWeights),
+      "kept"  -> FilterSpec(RefSpec("qual"), "quality_accept = 1"),
       "tgt"   -> FilterSpec(RefSpec("docs"), "lang = 'en'"),
-      "dsir"  -> DsirNodeSpec(RefSpec("decon"), RefSpec("tgt"), "doc_id", "text", k = 300),
+      "dsir"  -> DsirNodeSpec(RefSpec("kept"), RefSpec("tgt"), "doc_id", "text", k = 300),
       "split" -> SplitNodeSpec(RefSpec("dsir"), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.1)),
       "train" -> FilterSpec(RefSpec("split"), "split = 'train'"),
@@ -116,8 +120,8 @@ class SpecJsonSpec extends SparkSpec {
     assert(exact.columns.contains("doc_id") && !exact.columns.contains("dup_count"))
     // DAG export names the new node types
     val dag = SpecJson.dag(prep)
-    Seq("dedupnode", "spandedupnode", "decontamnode", "dsirnode", "splitnode",
-        "mixnode", "packnode")
+    Seq("dedupnode", "spandedupnode", "decontamnode", "qualityscorenode",
+        "dsirnode", "splitnode", "mixnode", "packnode")
       .foreach(t => assert(dag.contains(t), s"dag missing $t"))
   }
 
