@@ -13,9 +13,15 @@ class QualityModelSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  // trained ONCE for the suite — the driver-coordinated gradient steps
+  // dominate this spec's time, so both training tests share one fit
+  // (fewer/larger steps measured flaky on the sf0.001 fixtures: corrupted
+  // accept 0.368 at lr=8/iters=120 vs ≤0.3 asserted)
+  private lazy val trained: Seq[Double] =
+    QualityModel.trainVsCorrupted(docs, "doc_id", "text", lr = 5.0, iters = 300)
 
   test("self-supervised training separates organic docs from their corruptions") {
-    val w = QualityModel.trainVsCorrupted(docs, "doc_id", "text", lr = 5.0, iters = 300)
+    val w = trained
     def acceptRate(df: org.apache.spark.sql.DataFrame): Double =
       QualityModel.score(df, "text", w).agg(avg("quality_accept")).head().getDouble(0)
     val pos = acceptRate(docs)
@@ -28,7 +34,7 @@ class QualityModelSpec extends SparkSpec {
     // quality-positive signals (distinct-token ratio, stopword density)
     // must come out positive; repetition (top-bigram fraction) negative —
     // the corruptions are CONSTRUCTED to force these directions
-    val w = QualityModel.trainVsCorrupted(docs, "doc_id", "text", lr = 5.0, iters = 300)
+    val w = trained
     assert(w(2) > 0, s"distinct-token-ratio weight should be positive: ${w(2)}")
     assert(w(5) > 0, s"stopword-density weight should be positive: ${w(5)}")
     assert(w(6) < 0, s"top-bigram-fraction weight should be negative: ${w(6)}")
