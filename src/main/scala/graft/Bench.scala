@@ -8,15 +8,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   // Representative of each cost class: scan+agg, broadcast join, shuffle
   // join+rollup, window, set-reshape, text analysis, minhash dedup, simhash,
-  // ANN, sessionization, and the spec-compiled flagship LLM pipelines
-  // (seven-stage word-budget and eight-stage BPE-budget forms, each one
-  // Catalyst-optimized plan).
+  // ANN, sessionization, model-based selection (DSIR end-to-end, quality
+  // scoring), and the spec-compiled flagship LLM pipelines (seven-stage
+  // word-budget and eight-stage BPE-budget forms, each one
+  // Catalyst-optimized plan). q_n_dsir and q_n_quality_model joined in
+  // round 11 — absent from earlier BENCH_r*.json by construction.
   val headline: Seq[String] = Seq(
     "q_c4_reducer", "q_h1_joiner", "q_h2_join_detail", "q_x_rollup",
     "q_x_window_topn", "q_c7c8_map_roundtrip", "q_e_sessionize",
     "q_n_text_stats", "q_n_dedup_minhash", "q_n_dedup_simhash",
-    "q_n_dedup_spans", "q_n_ann_cosine", "q_n_emb_dups", "q_n_llm_pipeline",
-    "q_n_llm_pipeline_v2")
+    "q_n_dedup_spans", "q_n_ann_cosine", "q_n_emb_dups", "q_n_dsir",
+    "q_n_quality_model", "q_n_llm_pipeline", "q_n_llm_pipeline_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

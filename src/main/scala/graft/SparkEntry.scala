@@ -1565,7 +1565,25 @@ object SparkEntry {
     * configuration — these entries shadow the gated [[queries]] under the
     * same names for [[graft.Bench]].
     */
+  /** End-to-end DSIR for the bench: eager run-once model build (the
+    * collected-counts discipline of [[plans.PipelineCompiler]]'s
+    * DsirNodeSpec) + the k=1000 selection, so the timed number is the
+    * whole documented workflow, not a lazy plan that would rescan the
+    * corpus once per count-relation reference.
+    */
+  private def qNDsirFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def model(c: DataFrame) = s.createDataFrame(
+      CorpusStats.hashedGramCounts(c, "text")
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+      .toDF("bucket", "cnt")
+    val w = CorpusStats.importanceWeights(
+      model(docs.filter(col("lang") === "en")), model(docs))
+    Sampling.importanceResample(docs, "doc_id", "text", w, k = 1000)
+  }
+
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_n_dsir"          -> (qNDsirFull _),
     "q_n_dedup_spans"   -> (qNDedupSpansFull _),
     "q_n_dedup_minhash" -> (qNDedupMinhashFull _),
     "q_n_dedup_simhash" -> (qNDedupSimhashFull _),

@@ -153,21 +153,41 @@ object TextOps {
     * detector's raw material; [[wordShingles]] distinct-ifies for Jaccard.
     */
   def wordNgrams(toks: Column, n: Int): Column =
+    // n parallel slices zipped once - slicing inside the lambda would
+    // re-evaluate toks per gram (see [[hashedGrams]]); arrays_zip names
+    // positional fields "0".."n-1"
     when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws("", slice(toks, i + 1, lit(n)))))
+      transform(
+        arrays_zip((0 until n).map(j => slice(toks, lit(j + 1), size(toks) - n + 1)): _*),
+        s => concat_ws("\u0001", (0 until n).map(j => s.getField(j.toString)): _*)))
 
   /** Fraction of the document's n-grams taken up by the single most frequent
     * n-gram — the Gopher/C4 "top n-gram fraction" repetition gate (boilerplate
-    * and keyword-stuffed pages score high). O(grams × distinct) per row:
-    * fine for documents, and entirely codegen-free-of-shuffle (a pure column
-    * expression, unlike the groupBy-per-doc formulation).
+    * and keyword-stuffed pages score high). Sort-then-longest-run: the max
+    * multiplicity is the longest run of equal values in the SORTED gram
+    * array, found with one `aggregate` pass — O(L log L) per row, still a
+    * pure column expression (no shuffle, no groupBy-per-doc).
+    *
+    * The obvious `transform(distinct, g -> size(filter(grams, = g)))`
+    * formulation is a trap: an outer expression referenced INSIDE a
+    * higher-order-function lambda is RE-EVALUATED per lambda call, so
+    * `grams` (tokenizer included) was rebuilt once per distinct gram —
+    * measured ~700 s for one 5 000-doc bench partition vs milliseconds for
+    * this form. Lambdas here touch only the accumulator and the element.
     */
-  def topNgramFrac(toks: Column, n: Int): Column = {
-    val grams = wordNgrams(toks, n)
-    val top = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
-    when(size(grams) === 0, lit(0.0)).otherwise(top.cast("double") / size(grams))
+  def topNgramFrac(toks: Column, n: Int): Column =
+    topNgramFracOf(wordNgrams(toks, n))
+
+  /** [[topNgramFrac]] over a pre-computed (non-distinct) gram array. */
+  def topNgramFracOf(grams: Column): Column = {
+    val best = aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(grams) === 0, lit(0.0)).otherwise(best.cast("double") / size(grams))
   }
 
   /** English stopword-marker hits (the Gopher "must contain ≥2 stopwords"
@@ -200,9 +220,16 @@ object TextOps {
     */
   def hashedGrams(text: Column, hexLen: Int): Column = {
     val toks = tokens(text)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws("\u0001", element_at(toks, i), element_at(toks, i + 1))))
+    val n = size(toks)
+    // zip_with over two equal-length slices, NOT element_at inside a
+    // sequence-transform lambda: an outer expression captured in a
+    // higher-order-function lambda is re-evaluated per element (the toks
+    // split would run once per bigram position - O(L^2) interpreter work
+    // per row); here both slices are evaluated once and the lambda touches
+    // only its element arguments
+    val bigrams = when(n >= 2,
+      zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit("\u0001"), b)))
       .otherwise(array().cast("array<string>"))
     transform(concat(toks, bigrams), g => substring(md5(g), 1, hexLen))
   }
@@ -215,11 +242,6 @@ object TextOps {
     * disagree with the oracle's `list_transform(range(1, len(toks)))`,
     * which is empty for short docs).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws("\u0001", slice(toks, i + 1, lit(n))))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordNgrams(tokens(text), n))
 }

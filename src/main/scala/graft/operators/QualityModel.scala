@@ -34,9 +34,20 @@ object QualityModel {
     * stopwordDensity (capped), topBigramFrac]`. Every entry is a
     * ratio of exact integers (or a `least` thereof) — no logs, no exps —
     * so any IEEE-754 engine computes identical doubles.
+    *
+    * This single-Column form re-derives tokens/grams inline — fine for a
+    * one-off expression; the DataFrame paths ([[score]], [[train]]) go
+    * through [[featuresOf]] over STAGED token/gram attribute columns, so
+    * the tokenizer runs once per row, not once per feature.
     */
-  def features(text: Column): Column = {
-    val toks = TextOps.tokens(text)
+  def features(text: Column): Column =
+    featuresOf(text, TextOps.tokens(text),
+      TextOps.wordNgrams(TextOps.tokens(text), 2))
+
+  /** [[features]] from pre-projected token and bigram arrays (attribute
+    * references, so each is computed once per row).
+    */
+  def featuresOf(text: Column, toks: Column, grams: Column): Column = {
     val n = size(toks)
     val lenSat = least(n.cast("double") / 100.0, lit(1.0))
     val distinctRatio = when(n === 0, lit(0.0))
@@ -45,8 +56,18 @@ object QualityModel {
     val stopDens = when(n === 0, lit(0.0))
       .otherwise(least(TextOps.stopwordHits(lower(text)).cast("double") / n, lit(1.0)))
     array(lit(1.0), lenSat, distinctRatio, TextOps.punctRatio(text), meanW,
-      stopDens, TextOps.topNgramFrac(toks, 2))
+      stopDens, TextOps.topNgramFracOf(grams))
   }
+
+  /** Stage tokens → grams → features as separate projections (Catalyst
+    * keeps them apart when a non-cheap expression is multiply referenced),
+    * yielding `df` plus a `__qx` features column.
+    */
+  private def withFeatures(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__qtoks", TextOps.tokens(col(textCol)))
+      .withColumn("__qgrams", TextOps.wordNgrams(col("__qtoks"), 2))
+      .withColumn("__qx", featuresOf(col(textCol), col("__qtoks"), col("__qgrams")))
+      .drop("__qtoks", "__qgrams")
 
   /** Fixed-order dot product over a pre-projected [[features]] column:
     * `w0*x0 + w1*x1 + …` associated strictly left-to-right, so the float
@@ -87,8 +108,8 @@ object QualityModel {
     */
   def train(df: DataFrame, textCol: String, labelCol: String,
             lr: Double = 1.0, iters: Int = 200, l2: Double = 0.0): Seq[Double] = {
-    val data = df.select(col(labelCol).cast("double").as("__y"),
-      features(col(textCol)).as("__x")).persist()
+    val data = withFeatures(df, textCol)
+      .select(col(labelCol).cast("double").as("__y"), col("__qx").as("__x")).persist()
     try {
       val n = math.max(1L, data.count()).toDouble
       var w = Seq.fill(numFeatures)(0.0)
@@ -147,7 +168,7 @@ object QualityModel {
   def score(df: DataFrame, textCol: String, weights: Seq[Double],
             scoreCol: String = "quality_score_1e6",
             acceptCol: String = "quality_accept"): DataFrame =
-    df.withColumn("__qx", features(col(textCol)))
+    withFeatures(df, textCol)
       .withColumn(scoreCol,
         floor(linearScoreOf(col("__qx"), weights) * 1000000.0 + 0.5).cast("long"))
       .withColumn(acceptCol, (col(scoreCol) > 0).cast("long"))

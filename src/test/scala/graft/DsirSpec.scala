@@ -9,35 +9,59 @@ import graft.operators.{CorpusStats, Sampling}
   * smoothing, same derandomized Gumbel keys), plus the statistical
   * property the method exists for (target-distribution enrichment).
   */
-class DsirSpec extends SparkSpec {
-  import spark.implicits._
-
-  private val HexLen = 4
-  private val Alpha = 0.5
-  private val NBuckets = 1L << (4 * HexLen)
-
-  // --- brute-force reference implementation (pure Scala) -------------------
-  private def md5hex(s: String): String =
+/** Pure-Scala brute-force replay of the DSIR pipeline (md5 buckets,
+  * add-α smoothing, derandomized Gumbel keys) — shared by DsirSpec's
+  * fixed fixtures and InvariantPropertySpec's randomized corpora.
+  */
+object DsirBrute {
+  def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  private def toks(text: String): Seq[String] =
+  def toks(text: String): Seq[String] =
     text.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
-  private def gramBuckets(text: String): Seq[String] = {
+  def gramBuckets(text: String, hexLen: Int): Seq[String] = {
     val t = toks(text)
     val bigrams = t.sliding(2).filter(_.size == 2).map(p => p(0) + "" + p(1))
-    (t ++ bigrams).map(g => md5hex(g).take(HexLen))
+    (t ++ bigrams).map(g => md5hex(g).take(hexLen))
   }
-  private def counts(corpus: Seq[String]): Map[String, Long] =
-    corpus.flatMap(gramBuckets).groupBy(identity).view.mapValues(_.size.toLong).toMap
-  private def logw(ct: Map[String, Long], cr: Map[String, Long]): String => Double = {
+  def counts(corpus: Seq[String], hexLen: Int): Map[String, Long] =
+    corpus.flatMap(gramBuckets(_, hexLen)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+  def logw(ct: Map[String, Long], cr: Map[String, Long],
+           hexLen: Int, alpha: Double): String => Double = {
+    val nBuckets = 1L << (4 * hexLen)
     val (tt, tr) = (ct.values.sum.toDouble, cr.values.sum.toDouble)
-    b => math.log((ct.getOrElse(b, 0L) + Alpha) / (tt + Alpha * NBuckets)) -
-         math.log((cr.getOrElse(b, 0L) + Alpha) / (tr + Alpha * NBuckets))
+    b => math.log((ct.getOrElse(b, 0L) + alpha) / (tt + alpha * nBuckets)) -
+         math.log((cr.getOrElse(b, 0L) + alpha) / (tr + alpha * nBuckets))
   }
-  private def gumbelKey(id: Long, docLogw: Double, salt: String): Double = {
+  def gumbelKey(id: Long, docLogw: Double, salt: String): Double = {
     val u = (java.lang.Long.parseLong(md5hex(salt + id.toString).take(8), 16) + 0.5) / 4294967296.0
     docLogw - math.log(-math.log(u))
   }
+  /** Expected top-k ids for a raw corpus under the given models. */
+  def select(raw: Seq[(Long, String)], ct: Map[String, Long], cr: Map[String, Long],
+             k: Int, hexLen: Int, alpha: Double, salt: String = "dsir"): Seq[Long] = {
+    val f = logw(ct, cr, hexLen, alpha)
+    raw.filter(d => gramBuckets(d._2, hexLen).nonEmpty)
+      .map { case (id, text) => (id, gramBuckets(text, hexLen).map(f).sum) }
+      .map { case (id, lw) => (id, gumbelKey(id, lw, salt)) }
+      .sortBy { case (id, key) => (-key, id) }.take(k).map(_._1)
+  }
+}
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+  import DsirBrute.{gramBuckets => gb}
+
+  private val HexLen = 4
+  private val Alpha = 0.5
+
+  private def gramBuckets(text: String): Seq[String] = gb(text, HexLen)
+  private def counts(corpus: Seq[String]): Map[String, Long] =
+    DsirBrute.counts(corpus, HexLen)
+  private def logw(ct: Map[String, Long], cr: Map[String, Long]): String => Double =
+    DsirBrute.logw(ct, cr, HexLen, Alpha)
+  private def gumbelKey(id: Long, docLogw: Double, salt: String): Double =
+    DsirBrute.gumbelKey(id, docLogw, salt)
 
   // --- fixtures -------------------------------------------------------------
   // target-flavored docs draw from one vocabulary, noise docs from another;

@@ -125,6 +125,57 @@ class InvariantPropertySpec extends SparkSpec {
     }
   }
 
+  test("DSIR weights and selection match the brute force on random corpora") {
+    import graft.operators.{CorpusStats, Sampling}
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "lime", "onyx", "gold")
+    (1 to 3).foreach { _ =>
+      val hexLen = 2 + rnd.nextInt(2) // 256 or 4096 buckets: forces collisions
+      val alpha = 0.1 + rnd.nextDouble()
+      val k = 3 + rnd.nextInt(8)
+      def doc() = Seq.fill(2 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val target = Seq.fill(5 + rnd.nextInt(10))(doc())
+      val raw = (0 until (20 + rnd.nextInt(20))).map(i => (i.toLong, doc()))
+      val weights = CorpusStats.importanceWeights(
+        CorpusStats.hashedGramCounts(target.toDF("text"), "text", hexLen),
+        CorpusStats.hashedGramCounts(raw.map(_._2).toDF("text"), "text", hexLen),
+        hexLen, alpha)
+      // every touched bucket carries the brute-force log-ratio
+      val expectedW = DsirBrute.logw(DsirBrute.counts(target, hexLen),
+        DsirBrute.counts(raw.map(_._2), hexLen), hexLen, alpha)
+      val touched = raw.flatMap(d => DsirBrute.gramBuckets(d._2, hexLen)).distinct
+      val gotW = weights.filter(col("bucket").isin(touched: _*))
+        .as[(String, Double)].collect().toMap
+      touched.foreach { b =>
+        assert(math.abs(gotW(b) - expectedW(b)) < 1e-12,
+          s"hexLen=$hexLen alpha=$alpha bucket $b: ${gotW(b)} vs ${expectedW(b)}")
+      }
+      // and the end-to-end selection is the brute-force Gumbel-top-k
+      val expectedIds = DsirBrute.select(raw, DsirBrute.counts(target, hexLen),
+        DsirBrute.counts(raw.map(_._2), hexLen), k, hexLen, alpha).toSet
+      val got = Sampling.importanceResample(raw.toDF("doc_id", "text"),
+          "doc_id", "text", weights, k, hexLen)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expectedIds, s"hexLen=$hexLen alpha=$alpha k=$k: $got vs $expectedIds")
+    }
+  }
+
+  test("quality features are total: in [0,1], never NaN/null, on adversarial text") {
+    import graft.operators.QualityModel
+    val adversarial = Seq(
+      "", " ", "\n\t\n", "!!!???###", "a", "ab cd", "😀 😀",
+      "字 字 字 字", Seq.fill(500)("x").mkString(" "),
+      Seq.fill(50)("the").mkString(" "), "  leading and trailing  ")
+    val rows = adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val feats = rows.toDF("id", "text")
+      .select(QualityModel.features(col("text")).as("x"))
+      .as[Seq[Double]].collect()
+    feats.zip(adversarial).foreach { case (x, t) =>
+      assert(x != null && x.length == QualityModel.numFeatures, s"null/short features for '$t'")
+      x.foreach(v => assert(!v.isNaN && v >= 0.0 && v <= 1.0,
+        s"feature out of range for '$t': $x"))
+    }
+  }
+
   test("semantic pairs equal the brute-force within-cluster reference on random corpora") {
     import graft.operators.Dedup
     (1 to 3).foreach { _ =>
