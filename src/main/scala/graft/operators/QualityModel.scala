@@ -118,7 +118,10 @@ object QualityModel {
         val grads = (0 until numFeatures)
           .map(j => sum(err * element_at(col("__x"), j + 1)).as(s"g$j"))
         val row = data.agg(grads.head, grads.tail: _*).head()
-        w = w.zipWithIndex.map { case (wj, j) => wj - lr * (row.getDouble(j) / n + l2 * wj) }
+        // an empty input leaves every sum null — keep the zero vector
+        // rather than NPE mid-iteration
+        def g(j: Int) = if (row.isNullAt(j)) 0.0 else row.getDouble(j)
+        w = w.zipWithIndex.map { case (wj, j) => wj - lr * (g(j) / n + l2 * wj) }
       }
       w
     } finally { data.unpersist(blocking = false); () }
