@@ -159,15 +159,27 @@ object Sampling {
     * rate-style selection at corpus scale, threshold on `dsir_logw`
     * yourself instead of top-k.
     */
+  /** Per-document DSIR log importance weight: `(<idCol>, dsir_logw)`, one
+    * row per document with ≥ 1 gram. The building block under
+    * [[importanceResample]] — use it directly for rate-style selection at
+    * corpus scale (`.filter(col("dsir_logw") > t)`, no top-k bound) or to
+    * persist scores for reuse across selection runs. Same plan shape as
+    * the resample's scoring phase: narrow gram pass, broadcast weights
+    * join, map-side-combined `(id, double)` agg.
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       weights: DataFrame, hexLen: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.TextOps.hashedGrams(col(textCol), hexLen)).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(idCol).agg(sum("logw").as("dsir_logw"))
+
   def importanceResample(df: DataFrame, idCol: String, textCol: String,
                          weights: DataFrame, k: Int, hexLen: Int = 4,
                          salt: String = "dsir"): DataFrame = {
     require(k > 0, "k must be positive")
-    val logw = df
-      .select(col(idCol).as("__id"),
-        explode(graft.functions.TextOps.hashedGrams(col(textCol), hexLen)).as("bucket"))
-      .join(broadcast(weights), "bucket")
-      .groupBy("__id").agg(sum("logw").as("dsir_logw"))
+    val logw = importanceScores(df, idCol, textCol, weights, hexLen)
+      .withColumnRenamed(idCol, "__id")
     val u = (conv(hashBucket(col("__id"), salt), 16, 10).cast("double") + 0.5) / 4294967296.0
     val selected = logw
       .withColumn("__key", col("dsir_logw") - log(-log(u)))

@@ -118,6 +118,19 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("importanceScores covers every gram-bearing doc with the brute-force weight") {
+    val f = logw(counts(targetCorpus), counts(backgroundCorpus))
+    val expected = rawDocs.filter(d => gramBuckets(d._2).nonEmpty)
+      .map { case (id, text) => id -> gramBuckets(text).map(f).sum }.toMap
+    val got = Sampling.importanceScores(rawDocs.toDF("doc_id", "text"),
+        "doc_id", "text", weightsDf, HexLen)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, lw) =>
+      assert(math.abs(lw - expected(id)) < 1e-9, s"doc $id: $lw vs ${expected(id)}")
+    }
+  }
+
   test("selection is enriched in target-flavored docs and deterministic across runs") {
     val df = rawDocs.toDF("doc_id", "text")
     def run() = Sampling.importanceResample(df, "doc_id", "text", weightsDf, 15, HexLen)
