@@ -197,13 +197,20 @@ object TextOps {
   def stopwordHits(ltext: Column): Column =
     markerHits(ltext, langMarkers.head._2)
 
-  /** Character n-gram shingles (distinct, for MinHash / Jaccard). */
+  /** Character n-gram shingles (distinct, for MinHash / Jaccard).
+    * Capture-free like [[wordNgrams]]: `norm.substr` inside the position
+    * lambda would re-run the normalization regex once per shingle; the n
+    * zipped char-array slices evaluate it a constant number of times.
+    * (Hot-path minhash uses the native ShingleHashes kernel; this Column
+    * form serves the exact-Jaccard tiers and oracles.)
+    */
   def charShingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
+    val chars = split(norm, "")
     when(length(norm) < n, array(norm)).otherwise(
       array_distinct(transform(
-        sequence(lit(0), length(norm) - n),
-        i => norm.substr(i + 1, lit(n)))))
+        arrays_zip((0 until n).map(j => slice(chars, lit(j + 1), length(norm) - n + 1)): _*),
+        s => concat_ws("", (0 until n).map(j => s.getField(j.toString)): _*))))
   }
 
   /** Hashed unigram+bigram features: every whitespace token and every
