@@ -266,4 +266,43 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming corpus ingest with DSIR importance FILTERING: every
+    * micro-batch is scored against a pinned hashed-ngram weights model
+    * (train offline — [[graft.operators.CorpusStats.importanceWeights]] —
+    * and persist to `weightsDir` parquet, the same run-once-model
+    * discipline as [[ingestSemanticDedup]]'s centroids) and only
+    * documents with `dsir_logw >= minLogw` are appended to `corpusDir`
+    * (with their score column, for downstream re-thresholding).
+    *
+    * Rate-THRESHOLD, not top-k: a per-batch top-k would make a document's
+    * survival depend on where the batch boundary fell; the threshold form
+    * gives the streaming-consistent semantics — the same document gets
+    * the same verdict in any batch, and the kept rate converges to the
+    * batch-mode rate at that threshold. Pick `minLogw` offline from the
+    * batch score distribution ([[graft.operators.Sampling.importanceScores]]
+    * + a quantile). Documents with no grams score nothing and are
+    * dropped, matching the batch operator. One sink, no cross-batch
+    * state: restarts simply replay the uncommitted batch, appending
+    * byte-identical rows — recover with `dropDuplicates(idCol)` readers
+    * or [[graft.operators.Dedup.compactStore]], as with [[ingestDedup]].
+    */
+  def ingestImportanceFiltered(stream: DataFrame, idCol: String, textCol: String,
+                               weightsDir: String, minLogw: Double,
+                               corpusDir: String, checkpointDir: String,
+                               hexLen: Int = 4
+                              ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val weights = spark.read.parquet(weightsDir)
+        batch.join(
+            graft.operators.Sampling.importanceScores(batch, idCol, textCol, weights, hexLen)
+              .filter(col("dsir_logw") >= minLogw),
+            Seq(idCol))
+          .write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
 }

@@ -94,6 +94,43 @@ class StreamsSpec extends SparkSpec {
     assert(sigIds == kept)
   }
 
+  test("ingestImportanceFiltered: batch boundaries don't change a doc's verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{CorpusStats, Sampling}
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_dsir").toString
+    val (corpus, wDir, ckpt) = (s"$dir/corpus", s"$dir/weights", s"$dir/ckpt")
+    // pinned model: target = spark-ish vocab, background = both vocabs
+    val target = Seq("spark shuffle broadcast", "spark partition shuffle")
+    val noise = Seq("lorem ipsum dolor amet", "ipsum dolor lorem sit")
+    CorpusStats.importanceWeights(
+        CorpusStats.hashedGramCounts(target.toDF("text"), "text"),
+        CorpusStats.hashedGramCounts((target ++ noise).toDF("text"), "text"))
+      .write.parquet(wDir)
+    val docs = Seq(
+      (1L, "spark shuffle broadcast partition"), (2L, "lorem ipsum dolor sit"),
+      (3L, "spark broadcast shuffle"), (4L, "dolor amet ipsum lorem"),
+      (5L, "   ")) // gram-less: dropped like the batch operator
+    // threshold from the batch score distribution: strictly between the
+    // target-ish and noise-ish scores, so the verdict set is unambiguous
+    val batchScores = Sampling.importanceScores(docs.toDF("doc_id", "text"),
+        "doc_id", "text", spark.read.parquet(wDir))
+      .as[(Long, Double)].collect().toMap
+    val minLogw = (batchScores(1L).min(batchScores(3L)) +
+      batchScores(2L).max(batchScores(4L))) / 2
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.ingestImportanceFiltered(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", wDir, minLogw, corpus, ckpt)
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+    // the streaming verdict equals the batch-mode verdict at the threshold
+    assert(kept == batchScores.filter(_._2 >= minLogw).keySet)
+  }
+
   test("ingestSemanticDedup: later batches drop semantic dups of earlier batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
