@@ -983,17 +983,20 @@ object SparkEntry {
     */
   private def qNDsir(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val ct = CorpusStats.hashedGramCounts(docs.filter(col("lang") === "en"), "text")
-      .withColumnRenamed("cnt", "__ct")
-    val cr = CorpusStats.hashedGramCounts(docs, "text")
-      .withColumnRenamed("cnt", "__cr")
+    // single-scan model build: target (en) and background counts from ONE
+    // conditional aggregation over the same gram pass — the gate's whole
+    // plan touches `documents` exactly twice (model + per-doc scoring
+    // pass), a shape PlanQualitySpec locks
+    val counts = CorpusStats.hashedGramCountsSplit(
+      docs, "text", col("lang") === "en")
+      .select(col("bucket"), col("cnt_target").as("__ct"),
+        col("cnt_background").as("__cr"))
     docs.select(col("doc_id"),
         explode(graft.functions.TextOps.hashedGrams(col("text"), 4)).as("bucket"))
-      .join(ct, Seq("bucket"), "left")
-      .join(cr, Seq("bucket"))
+      .join(broadcast(counts), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__ct"), lit(0L))).as("sum_ct"),
+        sum(col("__ct")).as("sum_ct"),
         sum(col("__cr")).as("sum_cr"))
       .orderBy("doc_id")
   }
@@ -1569,16 +1572,19 @@ object SparkEntry {
     * collected-counts discipline of [[plans.PipelineCompiler]]'s
     * DsirNodeSpec) + the k=1000 selection, so the timed number is the
     * whole documented workflow, not a lazy plan that would rescan the
-    * corpus once per count-relation reference.
+    * corpus once per count-relation reference. The model is ONE
+    * conditional-aggregation scan ([[CorpusStats.hashedGramCountsSplit]]);
+    * with the scoring pass and the selected-id join-back, the workflow
+    * reads `documents` three times end-to-end — the floor for
+    * build-model → score → select without caching the corpus.
     */
   private def qNDsirFull(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    def model(c: DataFrame) = s.createDataFrame(
-      CorpusStats.hashedGramCounts(c, "text")
-        .collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
-      .toDF("bucket", "cnt")
-    val w = CorpusStats.importanceWeights(
-      model(docs.filter(col("lang") === "en")), model(docs))
+    val joint = s.createDataFrame(
+      CorpusStats.hashedGramCountsSplit(docs, "text", col("lang") === "en")
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+      .toDF("bucket", "cnt_target", "cnt_background")
+    val w = CorpusStats.importanceWeightsJoint(joint)
     Sampling.importanceResample(docs, "doc_id", "text", w, k = 1000)
   }
 

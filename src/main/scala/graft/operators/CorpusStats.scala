@@ -159,6 +159,43 @@ object CorpusStats {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Joint target/background hashed-gram counts in ONE corpus scan:
+    * `(bucket, cnt_target, cnt_background)` where `cnt_target` counts only
+    * gram occurrences from rows satisfying `targetPred` and
+    * `cnt_background` counts all of them. This is the model build for the
+    * common DSIR shape — target = a predicate slice of the background
+    * corpus (a language, a domain, a quality tier) — where running
+    * [[hashedGramCounts]] twice would scan the same 100 TB table twice.
+    * The conditional count rides the SAME map-side-combined hash agg, so
+    * the one shuffle still carries ≤ 16^hexLen rows per partition, now 16
+    * bytes wider. Feed the result to [[importanceWeightsJoint]].
+    */
+  def hashedGramCountsSplit(df: DataFrame, textCol: String,
+                            targetPred: org.apache.spark.sql.Column,
+                            hexLen: Int = 4): DataFrame = {
+    require(hexLen >= 1 && hexLen <= 5, s"hexLen=$hexLen: bucket domain 16^hexLen must stay broadcastable")
+    df.select(targetPred.as("__is_t"),
+        explode(TextOps.hashedGrams(col(textCol), hexLen)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(when(col("__is_t"), lit(1))).as("cnt_target"),
+        count(lit(1)).as("cnt_background"))
+  }
+
+  /** [[importanceWeights]] over a joint count relation from
+    * [[hashedGramCountsSplit]]. The joint relation is referenced twice
+    * (target slice + background slice) — free when it is the collected /
+    * persisted ≤ 16^hexLen-row model this API expects (the run-once
+    * discipline of [[graft.plans.PipelineCompiler]]'s DsirNodeSpec), but a
+    * LAZY joint relation over a raw corpus would rescan it; collect or
+    * persist first.
+    */
+  def importanceWeightsJoint(joint: DataFrame, hexLen: Int = 4,
+                             alpha: Double = 0.5): DataFrame =
+    importanceWeights(
+      joint.select(col("bucket"), col("cnt_target").as("cnt")),
+      joint.select(col("bucket"), col("cnt_background").as("cnt")),
+      hexLen, alpha)
+
   /** DSIR importance log-weights over the FULL 16^hexLen bucket domain:
     * `logw(b) = ln p_target(b) − ln p_background(b)` under add-α smoothing
     * `p(b) = (cnt(b) + α) / (total + α·16^hexLen)`. Covering the whole

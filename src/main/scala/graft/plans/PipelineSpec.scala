@@ -109,10 +109,12 @@ case class MixNodeSpec(input: OpSpec, idCol: String, stratumCol: String,
   * keep the `k` rows of `input` drawn without replacement ∝ exp(importance
   * weight) toward the `target` node's gram distribution. Like
   * [[SemanticDedupNodeSpec]]'s centroid training, the hashed-ngram count
-  * models are built EAGERLY at compile time (two bounded hash aggs,
+  * models are built EAGERLY at compile time (bounded hash aggs,
   * ≤ 16^hexLen rows each, collected like the k-means centroids — a
-  * run-once model, reused by the lazily-compiled selection plan). Both
-  * corpora must expose `textCol`.
+  * run-once model, reused by the lazily-compiled selection plan); when
+  * `target` is a `FilterSpec` over the same `input` node, both counts come
+  * from ONE conditional-aggregation corpus scan. Both corpora must expose
+  * `textCol`.
   */
 case class DsirNodeSpec(input: OpSpec, target: OpSpec, idCol: String,
                         textCol: String, k: Int, hexLen: Int = 4,
@@ -261,16 +263,29 @@ object PipelineCompiler {
         graft.operators.Sampling.weightedMix(build(in), sub(id), sub(stratum), weights, dw)
       case DsirNodeSpec(in, target, id, text, k, hexLen, alpha, salt) =>
         val df = build(in)
-        // run-once model: collect the two bounded count relations to the
-        // driver (≤ 16^hexLen rows each) so the selection plan references
-        // small local relations instead of rescanning both corpora
-        def model(c: org.apache.spark.sql.DataFrame) = {
-          val rows = graft.operators.CorpusStats.hashedGramCounts(c, sub(text), hexLen)
-            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-          spark.createDataFrame(rows).toDF("bucket", "cnt")
+        // run-once model: collect the bounded count relations to the driver
+        // (≤ 16^hexLen rows each) so the selection plan references small
+        // local relations instead of rescanning both corpora. The common
+        // spec shape — target = a predicate slice of the SAME input node —
+        // builds both sides from ONE conditional-aggregation scan
+        // (hashedGramCountsSplit); disjoint targets fall back to two scans.
+        val weights = target match {
+          case FilterSpec(tin, pred) if tin == in =>
+            val rows = graft.operators.CorpusStats
+              .hashedGramCountsSplit(df, sub(text), expr(sub(pred)), hexLen)
+              .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+            graft.operators.CorpusStats.importanceWeightsJoint(
+              spark.createDataFrame(rows).toDF("bucket", "cnt_target", "cnt_background"),
+              hexLen, alpha)
+          case _ =>
+            def model(c: org.apache.spark.sql.DataFrame) = {
+              val rows = graft.operators.CorpusStats.hashedGramCounts(c, sub(text), hexLen)
+                .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+              spark.createDataFrame(rows).toDF("bucket", "cnt")
+            }
+            graft.operators.CorpusStats.importanceWeights(
+              model(build(target)), model(df), hexLen, alpha)
         }
-        val weights = graft.operators.CorpusStats.importanceWeights(
-          model(build(target)), model(df), hexLen, alpha)
         graft.operators.Sampling.importanceResample(df, sub(id), sub(text), weights,
           k, hexLen, salt)
       case QualityScoreNodeSpec(in, text, weights) =>

@@ -405,6 +405,19 @@ class PlanQualitySpec extends SparkSpec {
       s"vectors may ride only the cluster-key shuffle:\n${vecExchanges.mkString("\n")}")
   }
 
+  test("DSIR gate scans documents at most twice (single-scan conditional model)") {
+    // the r11 gate built target and background counts with two separate
+    // hashedGramCounts passes — three documents scans end-to-end; the
+    // split-count model makes it model-scan + scoring-scan and no more
+    val plan = SparkEntry.queries("q_n_dsir")(spark, sf).queryExecution.executedPlan
+    val docScans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }
+    assert(docScans.size <= 2,
+      s"DSIR gate reads documents ${docScans.size}x — model build rescans the corpus:\n$plan")
+  }
+
   test("DSIR resample: weights broadcast, one scalar shuffle, heap-based top-k, no payload shuffle") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // the weights model is parquet-backed in production (≤ 16^hexLen rows,
