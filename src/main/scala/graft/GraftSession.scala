@@ -66,6 +66,12 @@ object Tables {
       // action time, so a scoped restore would break the deferred scan) so
       // Tables works on sessions not built via the factory.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the NTZ branch below reads the wall-clock as an instant, which is
+      // only correct under a UTC session zone — pin it here (same
+      // set-not-restore discipline as the conf above: the cast is resolved
+      // at action time) so an external non-UTC session cannot silently
+      // shift every event timestamp
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       val raw = spark.read.parquet(s"$dir/$name.parquet")

@@ -2603,7 +2603,8 @@ object SparkEntry {
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks, lower(text) AS lt FROM documents),
                g AS (SELECT doc_id, toks, lt,
                      CASE WHEN len(toks) < 2 THEN []
-                          ELSE list_transform(range(1, len(toks)), i -> toks[i] || toks[i+1])
+                          ELSE list_transform(range(1, len(toks)),
+                                 i -> toks[i] || chr(1) || toks[i+1])
                      END AS grams
                      FROM base),
                m AS (SELECT doc_id,

@@ -149,13 +149,31 @@ class InvariantPropertySpec extends SparkSpec {
         assert(math.abs(gotW(b) - expectedW(b)) < 1e-12,
           s"hexLen=$hexLen alpha=$alpha bucket $b: ${gotW(b)} vs ${expectedW(b)}")
       }
-      // and the end-to-end selection is the brute-force Gumbel-top-k
-      val expectedIds = DsirBrute.select(raw, DsirBrute.counts(target, hexLen),
-        DsirBrute.counts(raw.map(_._2), hexLen), k, hexLen, alpha).toSet
+      // and the end-to-end selection is the brute-force Gumbel-top-k —
+      // compared with a tolerance band around rank k: Spark accumulates the
+      // per-doc sum(logw) in partition order while the brute force sums in
+      // gram order, so docs whose key sits within float noise of the k-th
+      // key may legitimately swap; only docs STRICTLY above (below) the
+      // band are mandatory (forbidden)
+      val lw = DsirBrute.logw(DsirBrute.counts(target, hexLen),
+        DsirBrute.counts(raw.map(_._2), hexLen), hexLen, alpha)
+      val keys = raw.filter(d => DsirBrute.gramBuckets(d._2, hexLen).nonEmpty)
+        .map { case (id, text) =>
+          id -> DsirBrute.gumbelKey(id, DsirBrute.gramBuckets(text, hexLen).map(lw).sum, "dsir")
+        }
+      val kth = keys.map(_._2).sorted(Ordering[Double].reverse)
+        .drop(k - 1).headOption.getOrElse(Double.NegativeInfinity)
+      val mandatory = keys.filter(_._2 > kth + 1e-9).map(_._1).toSet
+      val forbidden = keys.filter(_._2 < kth - 1e-9).map(_._1).toSet
       val got = Sampling.importanceResample(raw.toDF("doc_id", "text"),
           "doc_id", "text", weights, k, hexLen)
         .select("doc_id").as[Long].collect().toSet
-      assert(got == expectedIds, s"hexLen=$hexLen alpha=$alpha k=$k: $got vs $expectedIds")
+      assert(got.size == math.min(k, keys.size),
+        s"hexLen=$hexLen alpha=$alpha k=$k: selected ${got.size} of ${keys.size}")
+      assert(mandatory.subsetOf(got),
+        s"hexLen=$hexLen alpha=$alpha k=$k: missing clear winners ${mandatory -- got}")
+      assert(got.intersect(forbidden).isEmpty,
+        s"hexLen=$hexLen alpha=$alpha k=$k: selected clear losers ${got.intersect(forbidden)}")
     }
   }
 
