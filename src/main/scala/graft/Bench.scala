@@ -12,13 +12,16 @@ object Bench {
   // scoring), and the spec-compiled flagship LLM pipelines (seven-stage
   // word-budget and eight-stage BPE-budget forms, each one
   // Catalyst-optimized plan). q_n_dsir and q_n_quality_model joined in
-  // round 11 — absent from earlier BENCH_r*.json by construction.
+  // round 11, the ten-stage v3 composite (quality model → semantic dedup →
+  // DSIR → BPE pack) in round 12 — absent from earlier BENCH_r*.json by
+  // construction.
   val headline: Seq[String] = Seq(
     "q_c4_reducer", "q_h1_joiner", "q_h2_join_detail", "q_x_rollup",
     "q_x_window_topn", "q_c7c8_map_roundtrip", "q_e_sessionize",
     "q_n_text_stats", "q_n_dedup_minhash", "q_n_dedup_simhash",
     "q_n_dedup_spans", "q_n_ann_cosine", "q_n_emb_dups", "q_n_dsir",
-    "q_n_quality_model", "q_n_llm_pipeline", "q_n_llm_pipeline_v2")
+    "q_n_quality_model", "q_n_llm_pipeline", "q_n_llm_pipeline_v2",
+    "q_n_llm_pipeline_v3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,6 +46,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     graft.operators.Dedup.unpersistCaches() // warm-up caches must not linger
+    spark.sharedState.cacheManager.clearCache() // v3's CacheSpec persists too
     // Host-load noise control (VERDICT r6 §next #5): every query runs
     // `reps` times and the MEDIAN is the reported number; min/max ride
     // along so round-over-round regressions are attributable to the code,
@@ -64,6 +68,10 @@ object Bench {
       val times = (0 to reps).map { _ =>
         val t = timeOnce(name)
         graft.operators.Dedup.unpersistCaches()
+        // the v3 flagship's CacheSpec persists register with the session
+        // cache manager, not the operator registry — drop them too, or
+        // reps 2..n measure cache hits instead of the pipeline
+        spark.sharedState.cacheManager.clearCache()
         // settle the heap between reps: dropping DataFrame references lets
         // the ContextCleaner reclaim their broadcast variables, but only
         // after a GC notices them — without this, queries that build a

@@ -38,6 +38,14 @@ object GraftSession {
       // full JVM charset set for text sources — the reference's CSV feeds
       // use windows-1251 etc., beyond Spark 4's default charset whitelist
       .config("spark.sql.legacy.javaCharsets", "true")
+      // bound plan stringification: the SQL listener renders explainString
+      // for EVERY execution and AQE re-renders it per stage update — on the
+      // spec-compiled composites (deep trees, wide CASE/fold expressions)
+      // unbounded rendering burned multi-second driver gaps between jobs
+      // (measured via stack sampling: Expression.toString dominated the
+      // flagship-v3 action). 64 KB keeps explain() useful and bounds the
+      // cost; real clusters set exactly this knob for the same reason.
+      .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

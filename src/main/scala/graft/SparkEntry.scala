@@ -927,6 +927,96 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  /** Flagship v3 — the round-11 tiers COMPOSED: the full corpus flow with
+    * the trained quality classifier as the corpus gate, a vector-side
+    * semantic-dedup tier, and DSIR importance selection between cleaning
+    * and packing, all as ONE persisted spec DAG (stages 1–10), then the
+    * fused BPE encode-pack as in [[qNLlmPipelineV2]].
+    *
+    * Stage order and the scale design it encodes:
+    *   1. quality-model gate (pinned weights, pure Column math) — cheapest
+    *      filter first, and it feeds BOTH branches;
+    *   2. semantic dedup runs on the VECTOR relation alone
+    *      (`vecs left_semi passed` → SemDeDup with oracle-portable firstK
+    *      centroids): document payloads never join with embeddings — the
+    *      doc pipeline consumes only the surviving/covered ID sets
+    *      (`passed ⋉ sem  ∪  passed ▷ qvecs`, so docs WITHOUT an embedding
+    *      row survive — at sf0.1 embeddings cover 2k of 5k docs), keeping
+    *      vectors off every text-stage exchange (PlanQualitySpec-locked);
+    *   3. span dedup → exact dedup → decontam exactly as v1/v2;
+    *   4. the cleaned relation is a [[graft.plans.CacheSpec]] barrier: the
+    *      DSIR node's compile-time model build (one conditional-aggregation
+    *      scan), its scoring pass, and its selected-id join all read the
+    *      cache instead of re-executing nine upstream stages;
+    *   5. DSIR Gumbel-top-k selection (target = the cached node's own `en`
+    *      slice → single-scan model), then split → train → BPE-budget pack.
+    *
+    * Semantic fixture: ×2-scaled embedding twins with IDENTICAL text at
+    * `doc_id + 100000` (cosine exactly 1.0 — power-of-two scaling is exact
+    * in IEEE floats, so `centroid_sim` ties and the keep-rule's min-id
+    * tie-break keeps the original). The oracle replays all the stages in
+    * one DuckDB query — assignment argmax, within-cluster pairs, recursive
+    * connected components, the keep-rule, the add-α log-ratio weights, and
+    * the derandomized Gumbel draw (`-ln(-ln(u))` of the md5 uniform). The
+    * DSIR keys are the one float rank in the chain: DsirSpec pins the
+    * formula exactly; the gate's robustness rests on the rank-`k` key gap
+    * (~10⁻¹ on this corpus, vs ~10⁻¹² cross-engine ln/summation noise —
+    * checked at build time, see the margin probe in DsirSpec).
+    */
+  private def qNLlmPipelineV3(s: SparkSession, dir: String): DataFrame = {
+    val spec = PipelineSpec(nodes = Seq(
+      "docs"   -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
+      "emb"    -> SourceSpec("parquet", "{%dir%}/embeddings.parquet"),
+      "base"   -> MapSpec(RefSpec("docs"), Seq(
+                    "doc_id" -> "doc_id", "text" -> "text", "lang" -> "lang")),
+      "twins"  -> MapSpec(FilterSpec(RefSpec("base"), "doc_id < 64 AND doc_id % 50 != 0"),
+                    Seq("doc_id" -> "doc_id + 100000", "text" -> "text", "lang" -> "lang")),
+      "all"    -> UnionSpec(Seq(RefSpec("base"), RefSpec("twins"))),
+      "bench"  -> FilterSpec(RefSpec("base"), "doc_id % 50 = 0"),
+      "scored" -> QualityScoreNodeSpec(FilterSpec(RefSpec("all"), "doc_id % 50 != 0"),
+                    "text", qualityGateWeights),
+      "passed" -> CacheSpec(FilterSpec(RefSpec("scored"), "quality_accept = 1")),
+      "vbase"  -> MapSpec(RefSpec("emb"), Seq(
+                    "vec_id" -> "vec_id", "embedding" -> "embedding")),
+      "vtwins" -> MapSpec(FilterSpec(RefSpec("vbase"), "vec_id < 64 AND vec_id % 50 != 0"),
+                    Seq("vec_id" -> "vec_id + 100000",
+                        "embedding" -> "transform(embedding, x -> cast(x * cast(2 as float) as float))")),
+      "vecs"   -> UnionSpec(Seq(RefSpec("vbase"), RefSpec("vtwins"))),
+      "qvecs"  -> CacheSpec(JoinSpec(RefSpec("vecs"), RefSpec("passed"),
+                    "vec_id", "doc_id", "left_semi", broadcastVocab = false)),
+      "sem"    -> SemanticDedupNodeSpec(RefSpec("qvecs"), "vec_id", "embedding",
+                    k = 8, threshold = 0.9, maxClusterSize = 10000, centroids = "firstK"),
+      "semids" -> MapSpec(RefSpec("sem"), Seq("kid" -> "vec_id")),
+      "qvids"  -> MapSpec(RefSpec("qvecs"), Seq("qid" -> "vec_id")),
+      "keptA"  -> JoinSpec(RefSpec("passed"), RefSpec("semids"),
+                    "doc_id", "kid", "left_semi", broadcastVocab = false),
+      "keptB"  -> JoinSpec(RefSpec("passed"), RefSpec("qvids"),
+                    "doc_id", "qid", "left_anti", broadcastVocab = false),
+      "kept"   -> UnionSpec(Seq(RefSpec("keptA"), RefSpec("keptB"))),
+      "spans"  -> SpanDedupNodeSpec(RefSpec("kept"), "doc_id", "text", k = 16),
+      "nonempty" -> FilterSpec(RefSpec("spans"), "text != ''"),
+      "deduped"  -> DedupNodeSpec(RefSpec("nonempty"), "doc_id", "text", mode = "exact"),
+      "cleaned"  -> CacheSpec(DecontamNodeSpec(RefSpec("deduped"), RefSpec("bench"),
+                      "doc_id", "text", n = 3, minHits = 1)),
+      "sel"    -> DsirNodeSpec(RefSpec("cleaned"), FilterSpec(RefSpec("cleaned"), "lang = 'en'"),
+                    "doc_id", "text", k = 128),
+      "split"  -> SplitNodeSpec(RefSpec("sel"), "doc_id",
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      // cached: the BPE tail scans `train` three times (distinct-word
+      // vocabulary, occurrence explode, per-doc assembly) — uncached, each
+      // scan re-ran the whole DSIR selection cascade
+      "train"  -> CacheSpec(FilterSpec(RefSpec("split"), "split = 'train'"))),
+      out = "train")
+    val train = PipelineCompiler.compile(
+      SpecJson.fromJson(SpecJson.toJson(spec)), s, Map("dir" -> dir))
+    val seg = Bpe.vocabSegmentation(Bpe.wordCounts(train, "text"), bpeGateMerges)
+    Packing.packSequencesEncoded(train, "doc_id", "text", seg,
+        budgetTokens = 700, shards = 16)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_toks"),
+        md5(concat_ws(" ", col("seq"))).as("seq_md5"))
+      .orderBy("shard", "bin")
+  }
+
   /** Bigram-LM quality scoring, gated on its engine-exact integer anchors:
     * `n_bigrams` / `sum_c2` / `sum_c1` verify the occurrence explode, both
     * count aggregations, and both joins — everything except the final `ln`
@@ -1560,6 +1650,7 @@ object SparkEntry {
     "q_x_zorder"         -> (qXZorder _),
     "q_n_multimodal_decode" -> (qNMultimodalDecode _),
     "q_n_llm_pipeline_v2" -> (qNLlmPipelineV2 _),
+    "q_n_llm_pipeline_v3" -> (qNLlmPipelineV3 _),
     "q_r4_paged_v2"      -> (qR4PagedV2 _))
 
   /** Bench-time overrides: the correctness gate runs the approximate tiers
@@ -1621,32 +1712,29 @@ object SparkEntry {
       s"replace(replace($e, $pat, $rep), $pat, $rep)"
     }
 
-  /** Shared oracle CTE chain for the flagship pipeline's stages 1–6
-    * (quality gate → span dedup → exact dedup → decontam → 80% train
-    * split), ending at `train AS (doc_id, toks)` — composed by both the
-    * seven-stage (word-budget pack) and eight-stage (BPE-budget pack)
-    * flagship oracles.
+  /** Span dedup → exact dedup → trigram decontam CTE chain, parametrized by
+    * the corpus CTE name (must expose `doc_id, toks`) and the bench CTE
+    * name (same shape): yields `cleaned AS (doc_id, toks)`. Composed by the
+    * v1/v2 flagship oracles (corpus = the n_chars slice) and the v3 oracle
+    * (corpus = the quality-model + semantic-dedup survivors).
     */
-  private lazy val llmTrainCtes =
-    s"""d AS (
-            SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
-          corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0 AND n_chars >= 100),
-          socc AS (
+  private def spanCleanCtesSql(corpus: String, bench: String): String =
+    s"""socc AS MATERIALIZED (
             SELECT doc_id, s AS start,
                    md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
-            FROM corpus, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
+            FROM $corpus, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
             WHERE len(list_slice(toks, s + 1, s + 16)) > 0),
           sranked AS (SELECT *, row_number() OVER (PARTITION BY fp
                         ORDER BY doc_id, start) AS rn FROM socc),
           sdrops AS (SELECT doc_id, list(start) AS ds FROM sranked
                      WHERE rn > 1 GROUP BY doc_id),
           sreb AS (
-            SELECT corpus.doc_id,
+            SELECT $corpus.doc_id,
                    flatten(list_transform(
                      list_filter(range(0, greatest(len(toks), 1), 16),
                        s -> NOT list_contains(coalesce(ds, []), s)),
                      s -> list_slice(toks, s + 1, s + 16))) AS toks
-            FROM corpus LEFT JOIN sdrops USING (doc_id)),
+            FROM $corpus LEFT JOIN sdrops USING (doc_id)),
           sp AS (SELECT doc_id, toks FROM sreb WHERE len(toks) > 0),
           fp AS (SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
                  FROM sp),
@@ -1658,12 +1746,26 @@ object SparkEntry {
                   FROM dd),
           bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
                    i -> concat(toks[i], chr(1), toks[i+1], chr(1), toks[i+2])))) AS g
-                 FROM d WHERE doc_id % 50 = 0),
+                 FROM $bench),
           hits AS (SELECT DISTINCT t.doc_id
                    FROM (SELECT doc_id, unnest(sh) AS g FROM tri) t JOIN bg USING (g)),
-          train AS (SELECT doc_id, toks FROM tri
-                    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
-                      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          cleaned AS (SELECT doc_id, toks FROM tri
+                      WHERE doc_id NOT IN (SELECT doc_id FROM hits))"""
+
+  /** Shared oracle CTE chain for the flagship pipeline's stages 1–6
+    * (quality gate → span dedup → exact dedup → decontam → 80% train
+    * split), ending at `train AS (doc_id, toks)` — composed by both the
+    * seven-stage (word-budget pack) and eight-stage (BPE-budget pack)
+    * flagship oracles.
+    */
+  private lazy val llmTrainCtes =
+    s"""d AS (
+            SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
+          corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0 AND n_chars >= 100),
+          hold AS (SELECT doc_id, toks FROM d WHERE doc_id % 50 = 0),
+          ${spanCleanCtesSql("corpus", "hold")},
+          train AS MATERIALIZED (SELECT doc_id, toks FROM cleaned
+                    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                             < '${Sampling.hexThreshold(0.8)}')"""
 
   /** Shared oracle prelude for the clustering queries: word-bigram Jaccard
@@ -1682,11 +1784,101 @@ object SparkEntry {
           FROM d a JOIN d b ON a.doc_id < b.doc_id
           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                       / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.1),
-        und AS (SELECT id_a AS a, id_b AS b FROM p
+        und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
                 UNION SELECT id_b, id_a FROM p),
         reach(a, b) AS (SELECT a, b FROM und
                         UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        cl AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)"""
+        cl AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)"""
+
+  /** BPE-encode + subword-budget pack oracle tail over a `train (doc_id,
+    * toks)` CTE: segmentation under the pinned gate merges, per-doc subword
+    * assembly, md5-shard window recurrence at `budget` subwords per bin,
+    * ending in the flagship gates' `(shard, bin, n_docs, n_toks, seq_md5)`
+    * projection. Shared by the v2 and v3 flagship oracles.
+    */
+  private def bpePackTailSql(budget: Int): String = {
+    val syms0 =
+      """chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+           i -> CASE WHEN i = length(word) THEN word[i] || '</w>'
+                     ELSE word[i] END), chr(1)) || chr(1)"""
+    s"""w AS (SELECT DISTINCT unnest(toks) AS word FROM train),
+          seg AS (SELECT word,
+                    list_filter(string_split(${bpeSegSql(syms0)}, chr(1)),
+                                x -> len(x) > 0) AS sub
+                  FROM w),
+          o AS (SELECT doc_id, i AS pos, toks[i] AS word
+                FROM train, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+          e AS (SELECT o.doc_id, CAST(sum(len(sub)) AS BIGINT) AS tokens,
+                       flatten(list(sub ORDER BY pos)) AS subwords
+                FROM o JOIN seg USING (word) GROUP BY o.doc_id),
+          enc AS (SELECT t.doc_id, coalesce(e.tokens, 0) AS tokens,
+                         coalesce(e.subwords, []) AS subwords
+                  FROM (SELECT doc_id FROM train) t LEFT JOIN e USING (doc_id)),
+          pw AS (SELECT doc_id, subwords, tokens,
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b
+                 FROM enc),
+          pw2 AS (SELECT *, sum(tokens) OVER (PARTITION BY shard
+                    ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM pw),
+          g AS (SELECT shard, CAST(floor((cum - tokens) / $budget) AS BIGINT) AS bin,
+                       count(*) AS n_docs,
+                       flatten(list(list_append(subwords, '<eos>') ORDER BY b, doc_id)) AS seq
+                FROM pw2 GROUP BY 1, 2)
+          SELECT shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(len(seq) AS BIGINT) AS n_toks,
+                 md5(array_to_string(seq, ' ')) AS seq_md5
+          FROM g ORDER BY shard, bin"""
+  }
+
+  /** Quality-model feature + score CTEs over `src` (must expose `doc_id,
+    * text`): yields `qsc AS (doc_id, quality_score_1e6)`. The linear chain
+    * is emitted from the SAME pinned Seq the Spark side uses —
+    * Double.toString round-trips through DuckDB's literal parser. Shared by
+    * the q_n_quality_model gate oracle and the v3 flagship oracle.
+    */
+  private def qualityCtesSql(src: String): String = {
+    val linear = (0 until 7).map(i => s"${qualityGateWeights(i)} * x$i").mkString(" + ")
+    s"""qb AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
+          qgr AS (SELECT doc_id, text, toks,
+                 CASE WHEN len(toks) < 2 THEN []
+                      ELSE list_transform(range(1, len(toks)),
+                             i -> toks[i] || chr(1) || toks[i+1]) END AS grams
+                FROM qb),
+          qf AS (SELECT doc_id,
+                 1.0 AS x0,
+                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS x1,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS x2,
+                 CASE WHEN len(text) = 0 THEN 0.0
+                      ELSE CAST(len(text) - len(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))
+                           AS DOUBLE) / len(text) END AS x3,
+                 least((CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                             / len(toks) END) / 10.0, 1.0) AS x4,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE least(CAST(len(regexp_extract_all(lower(text),
+                             '\\b(the|and|of|to|in|is|that|for)\\b')) AS DOUBLE)
+                           / len(toks), 1.0) END AS x5,
+                 CASE WHEN len(grams) = 0 THEN 0.0
+                      ELSE CAST(list_max(list_transform(list_distinct(grams),
+                             gg -> len(list_filter(grams, x -> x = gg)))) AS DOUBLE)
+                           / len(grams) END AS x6
+                FROM qgr),
+          qsc AS (SELECT doc_id,
+                 CAST(floor(($linear) * 1000000.0 + 0.5) AS BIGINT) AS quality_score_1e6
+                FROM qf)"""
+  }
+
+  /** Exact double-precision cosine between two DuckDB float lists —
+    * left-to-right `list_sum` accumulation, matching the engine's
+    * [[graft.functions.VectorMathExpr]] kernel bit-for-bit.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform($a, t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE))))
+            * sqrt(list_sum(list_transform($b, t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE)))))"""
 
   def oracleSql: Map[String, String] = Map(
     "q_c1_filter" ->
@@ -2012,81 +2204,89 @@ object SparkEntry {
     // the eight-stage flagship: stages 1-6 shared, then BPE segmentation
     // under the pinned merges (vocabulary from the train split itself) and
     // packing on SUBWORD counts — the budget is tokenizer tokens
-    "q_n_llm_pipeline_v2" -> {
-      val syms0 =
-        """chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
-             i -> CASE WHEN i = length(word) THEN word[i] || '</w>'
-                       ELSE word[i] END), chr(1)) || chr(1)"""
-      s"""WITH $llmTrainCtes,
-          w AS (SELECT DISTINCT unnest(toks) AS word FROM train),
-          seg AS (SELECT word,
-                    list_filter(string_split(${bpeSegSql(syms0)}, chr(1)),
-                                x -> len(x) > 0) AS sub
-                  FROM w),
-          o AS (SELECT doc_id, i AS pos, toks[i] AS word
-                FROM train, UNNEST(range(1, len(toks) + 1)) AS u(i)),
-          e AS (SELECT o.doc_id, CAST(sum(len(sub)) AS BIGINT) AS tokens,
-                       flatten(list(sub ORDER BY pos)) AS subwords
-                FROM o JOIN seg USING (word) GROUP BY o.doc_id),
-          enc AS (SELECT t.doc_id, coalesce(e.tokens, 0) AS tokens,
-                         coalesce(e.subwords, []) AS subwords
-                  FROM (SELECT doc_id FROM train) t LEFT JOIN e USING (doc_id)),
-          pw AS (SELECT doc_id, subwords, tokens,
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b
-                 FROM enc),
-          pw2 AS (SELECT *, sum(tokens) OVER (PARTITION BY shard
-                    ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-                  FROM pw),
-          g AS (SELECT shard, CAST(floor((cum - tokens) / 700) AS BIGINT) AS bin,
-                       count(*) AS n_docs,
-                       flatten(list(list_append(subwords, '<eos>') ORDER BY b, doc_id)) AS seq
-                FROM pw2 GROUP BY 1, 2)
-          SELECT shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
-                 CAST(len(seq) AS BIGINT) AS n_toks,
-                 md5(array_to_string(seq, ' ')) AS seq_md5
-          FROM g ORDER BY shard, bin"""
-    },
+    "q_n_llm_pipeline_v2" -> s"WITH $llmTrainCtes,\n${bpePackTailSql(700)}",
+    // flagship v3 full replay: planted ×2 embedding twins → quality-model
+    // corpus gate → firstK SemDeDup on the vector side (argmax assignment,
+    // within-cluster pairs, recursive components, farthest-from-centroid
+    // keep-rule) → span/exact/decontam (shared CTE chain) → DSIR add-α
+    // log-ratio weights + derandomized Gumbel-top-k (k=128) → 80% split →
+    // BPE-budget pack (shared tail)
+    "q_n_llm_pipeline_v3" ->
+      s"""WITH RECURSIVE
+          vd0 AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
+          vtw AS (SELECT doc_id + 100000 AS doc_id, text, lang FROM vd0
+                  WHERE doc_id < 64 AND doc_id % 50 <> 0),
+          vall AS MATERIALIZED (SELECT * FROM vd0 UNION ALL SELECT * FROM vtw),
+          vcorp AS MATERIALIZED (SELECT * FROM vall WHERE doc_id % 50 <> 0),
+          ${qualityCtesSql("vcorp")},
+          qpass AS MATERIALIZED (SELECT v.doc_id, v.text, v.lang FROM vcorp v
+                    JOIN qsc USING (doc_id) WHERE quality_score_1e6 > 0),
+          ve0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+          vet AS (SELECT vec_id + 100000 AS vec_id,
+                    list_transform(embedding, x -> CAST(x*2 AS FLOAT)) AS embedding
+                  FROM ve0 WHERE vec_id < 64 AND vec_id % 50 <> 0),
+          vv AS MATERIALIZED (SELECT * FROM ve0 UNION ALL SELECT * FROM vet),
+          qv AS MATERIALIZED (SELECT vv.* FROM vv JOIN qpass ON vv.vec_id = qpass.doc_id),
+          cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+                    FROM (SELECT * FROM qv ORDER BY vec_id LIMIT 8)),
+          sasg AS (SELECT v.vec_id, cid, ${cosSql("v.embedding", "cv")} AS cs
+                   FROM qv v, cents),
+          rasg AS (SELECT vec_id, cid, cs,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                   FROM sasg),
+          av AS MATERIALIZED (SELECT r.vec_id, r.cid AS cluster, r.cs AS centroid_sim, v.embedding
+                 FROM rasg r JOIN qv v USING (vec_id) WHERE rn = 1),
+          csz AS (SELECT cluster, count(*) AS n FROM av GROUP BY 1),
+          avb AS MATERIALIZED (SELECT av.* FROM av JOIN csz USING (cluster) WHERE n BETWEEN 2 AND 10000),
+          sp2 AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b
+                  FROM avb x JOIN avb y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.9),
+          und AS MATERIALIZED (SELECT a, b FROM sp2 UNION SELECT b, a FROM sp2),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          comp AS (SELECT a AS id, least(a, min(b)) AS grp FROM reach GROUP BY a),
+          ck AS MATERIALIZED (SELECT comp.id, grp, centroid_sim FROM comp JOIN av ON comp.id = av.vec_id),
+          keepv AS (SELECT grp, id AS keep_id FROM (
+                      SELECT grp, id, row_number() OVER (PARTITION BY grp
+                        ORDER BY centroid_sim ASC NULLS FIRST, id) AS rn FROM ck)
+                    WHERE rn = 1),
+          losers AS MATERIALIZED (SELECT ck.id FROM ck JOIN keepv USING (grp) WHERE ck.id <> keep_id),
+          kd AS MATERIALIZED (SELECT doc_id, lang, $toksSql AS toks FROM qpass
+                 WHERE doc_id NOT IN (SELECT id FROM losers)),
+          bd AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM vd0 WHERE doc_id % 50 = 0),
+          ${spanCleanCtesSql("kd", "bd")},
+          cl AS MATERIALIZED (SELECT c.doc_id, c.toks, kd.lang FROM cleaned c JOIN kd USING (doc_id)),
+          occ AS MATERIALIZED (SELECT doc_id, lang, unnest(list_concat(
+                    list_transform(toks, x -> substr(md5(x), 1, 4)),
+                    list_transform(range(1, len(toks)),
+                      i -> substr(md5(toks[i] || chr(1) || toks[i+1]), 1, 4)))) AS b
+                  FROM cl),
+          tct AS MATERIALIZED (SELECT b, count(*) AS c FROM occ WHERE lang = 'en' GROUP BY 1),
+          tcr AS MATERIALIZED (SELECT b, count(*) AS c FROM occ GROUP BY 1),
+          tts AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS v FROM tct),
+          trs AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS v FROM tcr),
+          docw AS MATERIALIZED (SELECT occ.doc_id,
+                     sum(ln((coalesce(tct.c, 0) + 0.5) / (tts.v + 32768.0))
+                       - ln((tcr.c + 0.5) / (trs.v + 32768.0))) AS logw
+                   FROM occ LEFT JOIN tct USING (b) JOIN tcr USING (b), tts, trs
+                   GROUP BY occ.doc_id),
+          sel AS MATERIALIZED (SELECT doc_id FROM (
+                    SELECT doc_id, logw - ln(-ln(
+                      (CAST(concat('0x', substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       + 0.5) / 4294967296.0)) AS gk
+                    FROM docw)
+                  ORDER BY gk DESC, doc_id LIMIT 128),
+          train AS MATERIALIZED (SELECT cl.doc_id, cl.toks FROM cl JOIN sel USING (doc_id)
+                    WHERE substr(md5(CAST(cl.doc_id AS VARCHAR)), 1, 8)
+                            < '${Sampling.hexThreshold(0.8)}'),
+          ${bpePackTailSql(700)}""",
     // bigram-LM integer anchors: occurrence bigrams (chr(1)-joined), corpus
     // bigram counts, left-context counts — the ln itself is CI-pinned
-    "q_n_quality_model" -> {
-      // the linear chain is emitted from the SAME pinned Seq the Spark side
-      // uses — Double.toString round-trips through DuckDB's literal parser
-      val w = qualityGateWeights
-      val linear = (0 until 7).map(i => s"${w(i)} * x$i").mkString(" + ")
-      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-          g AS (SELECT doc_id, text, toks,
-                 CASE WHEN len(toks) < 2 THEN []
-                      ELSE list_transform(range(1, len(toks)),
-                             i -> toks[i] || chr(1) || toks[i+1]) END AS grams
-                FROM base),
-          f AS (SELECT doc_id,
-                 1.0 AS x0,
-                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS x1,
-                 CASE WHEN len(toks) = 0 THEN 0.0
-                      ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS x2,
-                 CASE WHEN len(text) = 0 THEN 0.0
-                      ELSE CAST(len(text) - len(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))
-                           AS DOUBLE) / len(text) END AS x3,
-                 least((CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
-                             / len(toks) END) / 10.0, 1.0) AS x4,
-                 CASE WHEN len(toks) = 0 THEN 0.0
-                      ELSE least(CAST(len(regexp_extract_all(lower(text),
-                             '\\b(the|and|of|to|in|is|that|for)\\b')) AS DOUBLE)
-                           / len(toks), 1.0) END AS x5,
-                 CASE WHEN len(grams) = 0 THEN 0.0
-                      ELSE CAST(list_max(list_transform(list_distinct(grams),
-                             gg -> len(list_filter(grams, x -> x = gg)))) AS DOUBLE)
-                           / len(grams) END AS x6
-                FROM g),
-          s AS (SELECT doc_id,
-                 CAST(floor(($linear) * 1000000.0 + 0.5) AS BIGINT) AS quality_score_1e6
-                FROM f)
+    "q_n_quality_model" ->
+      s"""WITH ${qualityCtesSql("documents")}
           SELECT doc_id, quality_score_1e6,
                  CAST(quality_score_1e6 > 0 AS BIGINT) AS quality_accept
-          FROM s ORDER BY doc_id"""
-    },
+          FROM qsc ORDER BY doc_id""",
     "q_n_dsir" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
           g AS (SELECT doc_id, lang, unnest(list_concat(

@@ -88,16 +88,21 @@ case class DedupNodeSpec(input: OpSpec, idCol: String, textCol: String,
 case class SpanDedupNodeSpec(input: OpSpec, idCol: String, textCol: String,
                              k: Int = 16) extends OpSpec
 /** Cluster-scoped semantic dedup over an embedding column (SemDeDup,
-  * [[graft.operators.Dedup.semanticDrop]]): coarse k-means centroids are
-  * trained at compile time on the input (deterministic seed + capped
-  * sample — a run-once model, like [[LayoutNodeSpec]]'s eager write), then
-  * every semantic near-dup except the member farthest from its centroid is
-  * dropped. `k` is the cell-size dial: pick it so clusters stay in the
-  * 10²–10⁴ range the within-cluster exact-cosine pass tolerates.
+  * [[graft.operators.Dedup.semanticDrop]]): coarse centroids are built at
+  * compile time on the input (a run-once model, like [[LayoutNodeSpec]]'s
+  * eager write), then every semantic near-dup except the member farthest
+  * from its centroid is dropped. `k` is the cell-size dial: pick it so
+  * clusters stay in the 10²–10⁴ range the within-cluster exact-cosine pass
+  * tolerates. `centroids` picks the model: `"kmeans"` (default —
+  * [[graft.operators.Dedup.trainSemanticCentroids]], deterministic seed +
+  * capped sample) or `"firstK"` ([[graft.operators.Dedup.firstKCentroids]]
+  * — the k lowest-id vectors verbatim, fully replayable on any engine; the
+  * oracle-portable choice for cross-engine-audited pipelines).
   */
 case class SemanticDedupNodeSpec(input: OpSpec, idCol: String, vecCol: String,
                                  k: Int = 256, threshold: Double = 0.95,
-                                 maxClusterSize: Int = 10000) extends OpSpec
+                                 maxClusterSize: Int = 10000,
+                                 centroids: String = "kmeans") extends OpSpec
 /** Deterministic split column over md5(id) (train/val/test). */
 case class SplitNodeSpec(input: OpSpec, idCol: String,
                          splits: Seq[(String, Double)]) extends OpSpec
@@ -154,6 +159,16 @@ case class LayoutNodeSpec(input: OpSpec, layout: String, path: String,
   * compiling this node is EAGER — maintenance is a run-once asset.
   */
 case class CompactStoreSpec(path: String, keys: Seq[String]) extends OpSpec
+/** Lazy persistence barrier (`MEMORY_AND_DISK`): mark a node whose result
+  * several downstream branches (or an eager model build PLUS the final
+  * plan — the [[DsirNodeSpec]] shape) will scan, so the upstream chain
+  * executes once instead of once per consumer. The mid-scale counterpart
+  * of [[LayoutNodeSpec]]: a cache is per-job and memory-bounded, a layout
+  * is a run-once on-disk asset — at 100 TB prefer a layout/sink for
+  * cross-job reuse and cache only relations that fit the cluster's
+  * storage fraction.
+  */
+case class CacheSpec(input: OpSpec) extends OpSpec
 
 /** A named-node pipeline: `nodes` define the DAG, `out` names the result. */
 case class PipelineSpec(nodes: Seq[(String, OpSpec)], out: String)
@@ -253,9 +268,16 @@ object PipelineCompiler {
         df.join(rebuilt, df(idc) === rebuilt("__span_id"))
           .withColumn(tc, col("text_out"))
           .drop("__span_id", "text_out")
-      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs) =>
+      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs, centMode) =>
         val df = build(in)
-        val cents = graft.operators.Dedup.trainSemanticCentroids(df, sub(id), sub(vec), k)
+        val cents = centMode match {
+          case "kmeans" =>
+            graft.operators.Dedup.trainSemanticCentroids(df, sub(id), sub(vec), k)
+          case "firstK" =>
+            graft.operators.Dedup.firstKCentroids(df, sub(id), sub(vec), k)
+          case other =>
+            throw new IllegalArgumentException(s"centroids '$other' (kmeans|firstK)")
+        }
         graft.operators.Dedup.semanticDrop(df, sub(id), sub(vec), cents, thr, maxCs)
       case SplitNodeSpec(in, id, splits) =>
         graft.operators.Sampling.hashSplit(build(in), sub(id), splits)
@@ -264,30 +286,41 @@ object PipelineCompiler {
       case DsirNodeSpec(in, target, id, text, k, hexLen, alpha, salt) =>
         val df = build(in)
         // run-once model: collect the bounded count relations to the driver
-        // (≤ 16^hexLen rows each) so the selection plan references small
-        // local relations instead of rescanning both corpora. The common
-        // spec shape — target = a predicate slice of the SAME input node —
-        // builds both sides from ONE conditional-aggregation scan
-        // (hashedGramCountsSplit); disjoint targets fall back to two scans.
-        val weights = target match {
+        // (≤ 16^hexLen rows each) and FINISH the log-ratio math there too —
+        // `logw` is pure per-bucket arithmetic over collected counts, and
+        // leaving it as the lazy importanceWeights plan (full-domain range
+        // join + total crossjoins) re-executed that cascade on every scan
+        // of the selection output. The driver Math.log is the same
+        // java.lang.Math.log Catalyst's `log` evaluates, so the weights are
+        // bit-identical to the lazy form's. The common spec shape — target
+        // = a predicate slice of the SAME input node — builds both sides
+        // from ONE conditional-aggregation scan (hashedGramCountsSplit);
+        // disjoint targets fall back to two scans.
+        val counts: Map[String, (Long, Long)] = target match {
           case FilterSpec(tin, pred) if tin == in =>
-            val rows = graft.operators.CorpusStats
+            graft.operators.CorpusStats
               .hashedGramCountsSplit(df, sub(text), expr(sub(pred)), hexLen)
-              .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-            graft.operators.CorpusStats.importanceWeightsJoint(
-              spark.createDataFrame(rows).toDF("bucket", "cnt_target", "cnt_background"),
-              hexLen, alpha)
+              .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
           case _ =>
-            def model(c: org.apache.spark.sql.DataFrame) = {
-              val rows = graft.operators.CorpusStats.hashedGramCounts(c, sub(text), hexLen)
-                .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-              spark.createDataFrame(rows).toDF("bucket", "cnt")
-            }
-            graft.operators.CorpusStats.importanceWeights(
-              model(build(target)), model(df), hexLen, alpha)
+            def model(c: org.apache.spark.sql.DataFrame): Map[String, Long] =
+              graft.operators.CorpusStats.hashedGramCounts(c, sub(text), hexLen)
+                .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val (t, b) = (model(build(target)), model(df))
+            (t.keySet ++ b.keySet).map(k0 =>
+              k0 -> (t.getOrElse(k0, 0L), b.getOrElse(k0, 0L))).toMap
         }
-        graft.operators.Sampling.importanceResample(df, sub(id), sub(text), weights,
-          k, hexLen, salt)
+        val nBuckets = 1L << (4 * hexLen)
+        val tt = counts.valuesIterator.map(_._1).sum.toDouble
+        val tr = counts.valuesIterator.map(_._2).sum.toDouble
+        val weightRows = (0L until nBuckets).map { b =>
+          val bucket = ("%0" + hexLen + "x").format(b)
+          val (ct, cr) = counts.getOrElse(bucket, (0L, 0L))
+          (bucket,
+            math.log((ct + alpha) / (tt + alpha * nBuckets)) -
+            math.log((cr + alpha) / (tr + alpha * nBuckets)))
+        }
+        graft.operators.Sampling.importanceResample(df, sub(id), sub(text),
+          spark.createDataFrame(weightRows).toDF("bucket", "logw"), k, hexLen, salt)
       case QualityScoreNodeSpec(in, text, weights) =>
         graft.operators.QualityModel.score(build(in), sub(text), weights)
       case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
@@ -313,6 +346,8 @@ object PipelineCompiler {
         val p = sub(path)
         graft.operators.Dedup.compactStore(spark, p, keys.map(sub))
         spark.read.parquet(p)
+      case CacheSpec(in) =>
+        build(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
     spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }
@@ -337,7 +372,7 @@ object PipelineCompiler {
     case UnionSpec(ins)                 => ins.flatMap(refsOf).toSet
     case DedupNodeSpec(in, _, _, _, _)  => refsOf(in)
     case SpanDedupNodeSpec(in, _, _, _) => refsOf(in)
-    case SemanticDedupNodeSpec(in, _, _, _, _, _) => refsOf(in)
+    case SemanticDedupNodeSpec(in, _, _, _, _, _, _) => refsOf(in)
     case SplitNodeSpec(in, _, _)        => refsOf(in)
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
     case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => refsOf(in) ++ refsOf(tgt)
@@ -346,6 +381,7 @@ object PipelineCompiler {
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case CompactStoreSpec(_, _)            => Set.empty
+    case CacheSpec(in)                  => refsOf(in)
   }
 
   /** All spec nodes (transitively) feeding `name`, including itself. */

@@ -69,8 +69,9 @@ object SpecJson {
       case SpanDedupNodeSpec(in, id, text, k) =>
         pairs(n, "op" -> "spanDedup", "idCol" -> id, "textCol" -> text)
         n.put("k", k); n.set[JsonNode]("input", opNode(in))
-      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs) =>
-        pairs(n, "op" -> "semanticDedup", "idCol" -> id, "vecCol" -> vec)
+      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs, cents) =>
+        pairs(n, "op" -> "semanticDedup", "idCol" -> id, "vecCol" -> vec,
+          "centroids" -> cents)
         n.put("k", k); n.put("threshold", thr); n.put("maxClusterSize", maxCs)
         n.set[JsonNode]("input", opNode(in))
       case SplitNodeSpec(in, id, splits) =>
@@ -105,6 +106,8 @@ object SpecJson {
       case CompactStoreSpec(path, keys) =>
         pairs(n, "op" -> "compactStore", "path" -> path)
         val k = n.putArray("keys"); keys.foreach(k.add)
+      case CacheSpec(in) =>
+        n.put("op", "cache"); n.set[JsonNode]("input", opNode(in))
     }
     n
   }
@@ -160,7 +163,8 @@ object SpecJson {
                         str(n, "vecCol"),
                         Option(n.get("k")).map(_.asInt).getOrElse(256),
                         Option(n.get("threshold")).map(_.asDouble).getOrElse(0.95),
-                        Option(n.get("maxClusterSize")).map(_.asInt).getOrElse(10000))
+                        Option(n.get("maxClusterSize")).map(_.asInt).getOrElse(10000),
+                        str(n, "centroids", "kmeans"))
     case "split"   => SplitNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
                         Option(n.get("splits")).map(_.elements().asScala.map(e =>
                           str(e, "name") -> e.get("weight").asDouble).toSeq).getOrElse(Nil))
@@ -189,6 +193,7 @@ object SpecJson {
                         Option(n.get("files")).map(_.asInt).getOrElse(64),
                         Option(n.get("bits")).map(_.asInt).getOrElse(10))
     case "compactStore" => CompactStoreSpec(str(n, "path"), strs(n, "keys"))
+    case "cache"   => CacheSpec(parseOp(n.get("input")))
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
 
@@ -235,7 +240,7 @@ object SpecJson {
         case UnionSpec(ins) => ins.foreach(link)
         case DedupNodeSpec(in, _, _, _, _) => link(in)
         case SpanDedupNodeSpec(in, _, _, _) => link(in)
-        case SemanticDedupNodeSpec(in, _, _, _, _, _) => link(in)
+        case SemanticDedupNodeSpec(in, _, _, _, _, _, _) => link(in)
         case SplitNodeSpec(in, _, _) => link(in)
         case MixNodeSpec(in, _, _, _, _) => link(in)
         case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => link(in); link(tgt)
@@ -244,6 +249,7 @@ object SpecJson {
         case PackNodeSpec(in, _, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
         case CompactStoreSpec(_, _) =>
+        case CacheSpec(in) => link(in)
       }
     }
     spec.nodes.foreach { case (name, op) => visit(op, name) }

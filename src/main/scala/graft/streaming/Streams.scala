@@ -240,11 +240,24 @@ object Streams {
     * match [[ingestDedup]]: corpus append precedes store append, so a
     * crash between them replays the batch against a store missing its
     * vectors and appends byte-identical rows again — recover with keyed
-    * distinct ([[graft.operators.Dedup.compactStore]]) on both sinks.
+    * distinct ([[graft.operators.Dedup.compactStore]]) on both sinks. A
+    * crash AFTER both appends but before the offset commits is fully
+    * SELF-HEALING here (better than the span tier's window 2): each batch
+    * is first pruned of ids ALREADY IN the store (an ids-only anti join —
+    * the pair kernel itself never matches identical ids, so without this
+    * a replayed vector would sail past its own store entry), so the
+    * replay of a fully-committed batch appends zero rows to either sink.
+    * Both windows are CI-tested in StreamsSpec via the same
+    * injected-crash seams as [[ingestSpanDedup]].
     */
   def ingestSemanticDedup(stream: DataFrame, idCol: String, vecCol: String,
                           centroids: Seq[(Int, Seq[Float])], threshold: Double,
-                          corpusDir: String, storeDir: String, checkpointDir: String
+                          corpusDir: String, storeDir: String, checkpointDir: String,
+                          // test seams for the two crash windows (no-ops in
+                          // production): between the sink appends, and after
+                          // both appends but before the checkpoint commit
+                          afterCorpusAppend: () => Unit = () => (),
+                          beforeCommit: () => Unit = () => ()
                          ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     stream.writeStream
@@ -254,12 +267,18 @@ object Streams {
         Dedup.withCacheScope {
           val store = Dedup.readStore(spark, storeDir)(
             Dedup.assignSemanticClusters(batch.limit(0), idCol, vecCol, centroids))
-          val kept = Dedup.incrementalSemanticDrop(batch, store, idCol, vecCol,
+          // replay idempotency: ids already in the store were fully
+          // ingested by a committed (or sink-complete) earlier attempt
+          val fresh = batch.join(store.select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+          val kept = Dedup.incrementalSemanticDrop(fresh, store, idCol, vecCol,
             centroids, threshold).persist()
           try {
             kept.write.mode("append").parquet(corpusDir)
+            afterCorpusAppend()
             Dedup.assignSemanticClusters(kept, idCol, vecCol, centroids)
               .write.mode("append").parquet(storeDir)
+            beforeCommit()
           } finally kept.unpersist(blocking = false)
         }
         ()
@@ -301,6 +320,36 @@ object Streams {
             graft.operators.Sampling.importanceScores(batch, idCol, textCol, weights, hexLen)
               .filter(col("dsir_logw") >= minLogw),
             Seq(idCol))
+          .write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+
+  /** Streaming corpus ingest behind the TRAINED quality classifier
+    * ([[graft.operators.QualityModel.score]]): every micro-batch is scored
+    * under pinned weights — a model asset like the DSIR weights and the
+    * semantic centroids; train offline with
+    * [[graft.operators.QualityModel.trainVsCorrupted]] and pin the vector —
+    * and only accepted documents append to `corpusDir`, carrying their
+    * `quality_score_1e6` / `quality_accept` columns for downstream
+    * re-thresholding. Scoring is a pure per-row Column expression — zero
+    * shuffle, zero cross-batch state — so a document's verdict is
+    * batch-boundary-invariant by construction and equals the batch
+    * operator's verdict exactly (the invariance StreamsSpec pins, the same
+    * shape as [[ingestImportanceFiltered]]'s). Restart semantics: one
+    * sink, at-least-once replay appends byte-identical rows — recover with
+    * `dropDuplicates(idCol)` readers or
+    * [[graft.operators.Dedup.compactStore]].
+    */
+  def ingestQualityFiltered(stream: DataFrame, textCol: String,
+                            weights: Seq[Double], corpusDir: String,
+                            checkpointDir: String
+                           ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.QualityModel.score(batch, textCol, weights)
+          .filter(col("quality_accept") === 1)
           .write.mode("append").parquet(corpusDir)
         ()
       }

@@ -450,4 +450,67 @@ class PlanQualitySpec extends SparkSpec {
     val leaked = exchanges.head.child.output.filter(a => carriesText(a.dataType))
     assert(leaked.isEmpty, s"text rides the weight-agg shuffle: ${leaked.map(_.name)}")
   }
+
+  test("flagship v3 composite: vectors cross only the semantic tier's exchanges; gram buckets never shuffle; DSIR top-k is heap-based") {
+    // AQE off + broadcast threshold off = the at-scale planning regime: no
+    // size-gated broadcast can hide a shuffle that would exist at 100 TB
+    val aqe = "spark.sql.adaptive.enabled"
+    val abt = "spark.sql.autoBroadcastJoinThreshold"
+    val (prevAqe, prevAbt) = (spark.conf.get(aqe), spark.conf.get(abt))
+    val plan = try {
+      spark.conf.set(aqe, "false")
+      spark.conf.set(abt, "-1")
+      SparkEntry.queries("q_n_llm_pipeline_v3")(spark, sf)
+        .queryExecution.executedPlan
+    } finally { spark.conf.set(aqe, prevAqe); spark.conf.set(abt, prevAbt) }
+    // the composite nests caches (train → cleaned → passed/qvecs):
+    // InMemoryTableScan is a LEAF whose cached plan hangs off a field, so
+    // walk cached plans to a fixpoint. Node-type collects, not toString —
+    // the full tree renders ~1.9M chars and the session's
+    // maxPlanStringLength bound truncates it mid-plan.
+    def allPlans(roots: Seq[org.apache.spark.sql.execution.SparkPlan]
+                ): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = roots.flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan
+      })
+      if (nested.isEmpty) roots else roots ++ allPlans(nested)
+    }
+    val all = allPlans(Seq(plan))
+    // embeddings may ride exactly two exchange families, both inside the
+    // vector-side subtree: the quality-prune semi join (vec_id — at scale a
+    // bucketed embeddings layout makes this zero-shuffle, PlanQualitySpec's
+    // bucketed-join test) and the within-cluster pair stage (cluster key).
+    // No text-pipeline exchange (span/exact/decontam/DSIR/pack) may carry a
+    // float-array column.
+    def carriesVec(a: org.apache.spark.sql.catalyst.expressions.Attribute) =
+      a.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+    val vecExchanges = all.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.output.exists(carriesVec) => e
+    })
+    assert(vecExchanges.nonEmpty, "expected the semantic tier's keyed exchanges in the plan")
+    assert(vecExchanges.forall { e =>
+      val p = e.outputPartitioning.toString
+      p.contains("cluster") || p.contains("vec_id")
+    }, s"vectors leaked into a text-stage exchange:\n${vecExchanges.mkString("\n")}")
+    // the DSIR gram-weight model joins by broadcast only: a bucket column
+    // crossing any exchange would mean the weights got shuffle-joined
+    val bucketLeaks = all.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.output.exists(_.name == "bucket") => e
+    })
+    assert(bucketLeaks.isEmpty, s"gram buckets crossed a shuffle:\n${bucketLeaks.mkString("\n")}")
+    // selection stays per-partition k-heaps inside the composite
+    assert(all.exists(_.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty), "DSIR selection should plan as TakeOrderedAndProject")
+    // and nothing in the composite degenerates to a cartesian expansion
+    assert(all.forall(_.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty), "composite must stay equi-join end to end")
+  }
 }

@@ -142,6 +142,44 @@ class SemDedupSpec extends SparkSpec {
       kept.intersect(Set(4L, 5L)).size == 1, s"got $kept")
   }
 
+  test("trained-centroid path: planted-pair recall floors on the ORGANIC fixture; model is seed-deterministic") {
+    // the production path — trainSemanticCentroids → assignSemanticClusters
+    // → semanticDedupPairsAssigned — pinned on organic embeddings the way
+    // DedupSpec pins the ANN recall floors: ×2-scaled exact twins (cosine
+    // 1.0 — MUST all pair: identical directions get bit-identical cosines
+    // to every centroid, hence the same argmax cell) and 3v+v_next blends
+    // (cosine ≈ 0.94–0.97 — may straddle cell boundaries; floor from the
+    // measured value minus a margin). Floors measured on sf0.001 with
+    // k=4: twins 1.0, blends 1.0 (16/16); the blend floor is 0.75 so a
+    // legitimate k-means library change can move individual boundary
+    // assignments without flaking, while a scoping regression still fails.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val twins = emb.filter(col("vec_id") < 16)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val nxt = emb.select((col("vec_id") - 1L).as("vec_id"), col("embedding").as("__nx"))
+    val blends = emb.join(nxt, "vec_id").filter(col("vec_id") < 16)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        zip_with(col("embedding"), col("__nx"),
+          (x, y) => (x.cast("double") * 3 + y.cast("double")).cast("float")).as("embedding"))
+    val corpus = emb.unionByName(twins).unionByName(blends)
+    val c1 = Dedup.trainSemanticCentroids(corpus, "vec_id", "embedding", k = 4)
+    val c2 = Dedup.trainSemanticCentroids(corpus, "vec_id", "embedding", k = 4)
+    assert(c1 == c2, "k-means centroids must replay identically under the pinned seed")
+    val assigned = Dedup.assignSemanticClusters(corpus, "vec_id", "embedding", c1)
+    val pairs = Dedup.semanticDedupPairsAssigned(assigned, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val twinRecall = (0 until 16).count(i =>
+      pairs.contains((i.toLong, i + 100000L))).toDouble / 16
+    assert(twinRecall == 1.0, s"exact-twin recall must be 1.0, got $twinRecall")
+    val blendRecall = (0 until 16).count(i =>
+      pairs.contains((i.toLong, i + 200000L))).toDouble / 16
+    assert(blendRecall >= 0.75, s"near-dup recall regressed: $blendRecall (measured 1.0)")
+    // precision: no organic-organic pair clears 0.9 on this fixture
+    assert(!pairs.exists { case (a, b) => a < 100000L && b < 100000L },
+      s"false organic pairs: ${pairs.filter { case (a, b) => a < 100000L && b < 100000L }}")
+  }
+
   test("kmeans-trained centroids separate the fixture's direction clusters") {
     val trained = Dedup.trainSemanticCentroids(vecs, "vec_id", "embedding", k = 2)
     assert(trained.map(_._1) == Seq(0, 1))

@@ -40,7 +40,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: UnionSpec   => UnionSpec(Seq(in, RefSpec("other")))
       case _: DedupNodeSpec => DedupNodeSpec(in, "id", "txt", "exact", 0.65)
       case _: SpanDedupNodeSpec => SpanDedupNodeSpec(in, "id", "txt", 24)
-      case _: SemanticDedupNodeSpec => SemanticDedupNodeSpec(in, "id", "emb", 64, 0.92, 5000)
+      case _: SemanticDedupNodeSpec => SemanticDedupNodeSpec(in, "id", "emb", 64, 0.92, 5000, "firstK")
       case _: SplitNodeSpec => SplitNodeSpec(in, "id", Seq("train" -> 0.75, "test" -> 0.25))
       case _: MixNodeSpec => MixNodeSpec(in, "id", "lang", Map("fr" -> 2.0, "en" -> 0.5), 1.5)
       case _: DsirNodeSpec => DsirNodeSpec(in, RefSpec("tgt"), "id", "txt", 500, 3, 0.25, "s2")
@@ -49,6 +49,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: PackNodeSpec => PackNodeSpec(in, "id", "txt", 2048L, 64)
       case _: LayoutNodeSpec => LayoutNodeSpec(in, "zorder", "/data/z", Seq("a", "b"), 32, 8)
       case _: CompactStoreSpec => CompactStoreSpec("/data/store", Seq("fp", "id"))
+      case _: CacheSpec => CacheSpec(FilterSpec(in, "x > 0"))
     }
     val shapes: Seq[OpSpec] = Seq(
       SourceSpec("parquet", "p"), RefSpec("r"), FilterSpec(in, "1=1"),
@@ -62,7 +63,7 @@ class SpecJsonSpec extends SparkSpec {
       MixNodeSpec(in, "i", "s", Map.empty), DsirNodeSpec(in, in, "i", "t", 1),
       QualityScoreNodeSpec(in, "t", Nil), DecontamNodeSpec(in, in, "i", "t"),
       PackNodeSpec(in, "i", "t", 1L), LayoutNodeSpec(in, "sorted", "p", Nil),
-      CompactStoreSpec("p", Seq("fp")))
+      CompactStoreSpec("p", Seq("fp")), CacheSpec(in))
     shapes.foreach { shape =>
       val op = exemplar(shape)
       val ps = PipelineSpec(Seq("n" -> op), "n")

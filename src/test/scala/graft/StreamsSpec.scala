@@ -272,4 +272,103 @@ class StreamsSpec extends SparkSpec {
     assert(after.length == dup.distinct.length && after.sorted.toSeq == dup.distinct.sorted.toSeq,
       s"store not compacted: ${after.length} rows vs ${dup.distinct.length} distinct")
   }
+
+  test("ingestQualityFiltered: batch boundaries don't change a doc's verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModel
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_q").toString
+    val (corpus, ckpt) = (s"$dir/corpus", s"$dir/ckpt")
+    val w = SparkEntry.qualityGateWeights
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog slept in the warm sun for hours today"),
+      (2L, "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz"),
+      (3L, "a reasonable sentence about the weather and the plans for the weekend trip"),
+      (4L, "!!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@"),
+      (5L, ""))
+    // batch-mode verdicts under the pinned gate weights are the reference
+    val batchVerdicts = QualityModel.score(docs.toDF("doc_id", "text"), "text", w)
+      .select("doc_id", "quality_accept").as[(Long, Long)].collect().toMap
+    // the fixture must exercise both branches, or the test proves nothing
+    assert(batchVerdicts.values.toSet == Set(0L, 1L), s"degenerate fixture: $batchVerdicts")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.ingestQualityFiltered(
+      in.toDF().toDF("doc_id", "text"), "text", w, corpus, ckpt)
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept == batchVerdicts.filter(_._2 == 1L).keySet, s"got $kept")
+    // survivors carry the scaled-integer score for downstream re-thresholding
+    val cols = spark.read.parquet(corpus).columns.toSet
+    assert(cols.contains("quality_score_1e6") && cols.contains("quality_accept"))
+  }
+
+  test("ingestSemanticDedup crash-replay: window 1 repairs via compactStore; window 2 self-heals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_sem_crash").toString
+    val (corpus, store, ckpt) = (s"$dir/corpus", s"$dir/store", s"$dir/ckpt")
+    val cents: Seq[(Int, Seq[Float])] = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    def start(afterCorpusAppend: () => Unit = () => (),
+              beforeCommit: () => Unit = () => ()) =
+      graft.streaming.Streams.ingestSemanticDedup(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents, threshold = 0.95, corpus, store, ckpt,
+        afterCorpusAppend = afterCorpusAppend, beforeCommit = beforeCommit)
+    lazy val in = MemoryStream[(Long, Seq[Float])]
+    // crash window 1: AFTER the corpus append, BEFORE the store append
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = start(afterCorpusAppend =
+      () => if (crash.get) throw new RuntimeException("injected crash between sink appends"))
+    try {
+      in.addData((1L, Seq(10f, 0f)), (2L, Seq(0f, 5f)))
+      q1.processAllAvailable()
+      crash.set(true)
+      // a novel direction plus its in-batch twin: survivor = 11
+      in.addData((11L, Seq(4f, 4.1f)), (12L, Seq(8f, 8.2f)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    // divergent sinks: batch 2's survivor is in the corpus, not the store
+    assert(spark.read.parquet(corpus).filter(col("vec_id") === 11L).count() == 1)
+    assert(spark.read.parquet(store).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // restart with the same checkpoint: the replay re-drops against the
+    // vector-less store and appends BYTE-IDENTICAL survivor rows again
+    crash.set(false)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val afterReplay = spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSeq
+    assert(afterReplay.count(_ == 11L) == 2, s"replay should duplicate vec 11: $afterReplay")
+    // the store self-healed on replay (survivor assigned + appended once)
+    val storeIds = spark.read.parquet(store).select("id").as[Long].collect().toSeq
+    assert(storeIds.sorted == Seq(1L, 2L, 11L), s"got $storeIds")
+    // the documented recovery — keyed distinct via the compactStore
+    // maintenance op — restores exact crash-free corpus content
+    graft.operators.Dedup.compactStore(spark, corpus, Seq("vec_id"))
+    val recovered = spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSeq
+    assert(recovered.sorted == Seq(1L, 2L, 11L), s"got $recovered")
+    // crash window 2: both appends complete, the offset never commits —
+    // the replay sees the batch's own vectors in the store, every vector
+    // is its own exact twin, the store wins, and NOTHING re-appends
+    val crash2 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q3 = start(beforeCommit =
+      () => if (crash2.get) throw new RuntimeException("injected crash before commit"))
+    try {
+      in.addData((20L, Seq(-3f, 4f)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+    } finally q3.stop()
+    crash2.set(false)
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    // full self-heal: single copies everywhere, no recovery step needed
+    val corpusIds = spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSeq
+    assert(corpusIds.sorted == Seq(1L, 2L, 11L, 20L), s"got $corpusIds")
+    val storeIds2 = spark.read.parquet(store).select("id").as[Long].collect().toSeq
+    assert(storeIds2.sorted == Seq(1L, 2L, 11L, 20L), s"got $storeIds2")
+  }
 }
