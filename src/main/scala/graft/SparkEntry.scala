@@ -1392,6 +1392,25 @@ object SparkEntry {
         round(TextOps.repeatedLineRatio(col("text")), 4).as("rep_line_ratio"))
       .orderBy("doc_id")
 
+  /** Within-document line dedup, hash-gated on a planted multi-line
+    * fixture (the organic texts are single-line): each document becomes
+    * the four lines `[text, text, "tail <id>", text]`, so
+    * [[TextOps.dropRepeatedLines]] provably keeps `[text, tail]` —
+    * first-occurrence order preserved, both repeats dropped. The oracle
+    * re-derives the keep rule with DuckDB's indexed `list_filter`
+    * (both sides: keep line i iff its first occurrence index IS i).
+    */
+  private def qNTextLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lined = concat_ws("\n", col("text"), col("text"),
+      concat(lit("tail "), col("doc_id")), col("text"))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(lined, "\n", -1)).cast("long").as("n_lines"),
+        size(TextOps.dropRepeatedLinesArr(split(lined, "\n", -1))).cast("long").as("n_kept"),
+        md5(TextOps.dropRepeatedLines(lined)).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   private def qNMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.asMedia(
@@ -1642,6 +1661,7 @@ object SparkEntry {
     "q_n_vector_stats"   -> (qNVectorStats _),
     "q_n_text_stats"     -> (qNTextStats _),
     "q_n_text_clean"     -> (qNTextClean _),
+    "q_n_text_line_dedup" -> (qNTextLineDedup _),
     "q_n_quality_gates"  -> (qNQualityGates _),
     "q_x_range_join"     -> (qXRangeJoin _),
     "q_n_llm_pipeline"   -> (qNLlmPipeline _),
@@ -2773,6 +2793,22 @@ object SparkEntry {
                 round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
                 round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot
          FROM embeddings ORDER BY vec_id""",
+    // planted 4-line fixture [text, text, tail, text] -> keep [text, tail]:
+    // first-occurrence-index line dedup replayed with DuckDB's indexed
+    // list_filter (1-based index = 1-based list_position)
+    "q_n_text_line_dedup" ->
+      """WITH b AS (SELECT doc_id,
+               text || chr(10) || text || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+                    || chr(10) || text AS lt
+             FROM documents),
+          s AS (SELECT doc_id, string_split(lt, chr(10)) AS l FROM b),
+          k AS (SELECT doc_id, l,
+                  list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+                FROM s)
+          SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_kept,
+                 md5(array_to_string(kept, chr(10))) AS clean_md5
+          FROM k ORDER BY doc_id""",
     "q_n_text_clean" -> {
       val redacted =
         """regexp_replace(regexp_replace(regexp_replace(text,

@@ -251,4 +251,27 @@ object TextOps {
     */
   def wordShingles(text: Column, n: Int): Column =
     array_distinct(wordNgrams(tokens(text), n))
+
+  // --- within-document cleaning (RefinedWeb/C4-style) -----------------------
+
+  /** WITHIN-document line dedup: keep each line's FIRST occurrence,
+    * preserving order (the RefinedWeb/Gopher boilerplate rule — repeated
+    * nav/footer lines inside one page collapse to their first copy; the
+    * CROSS-document form is [[graft.operators.Dedup.dropRepeatedSpans]]).
+    * Pure Column expression — order-preserving dedup via first-index
+    * equality, O(lines²) per row on data that is lines-per-doc bounded, no
+    * shuffle, no UDF. Engine-portable: DuckDB replays it as
+    * `list_filter(l, (x, i) -> list_position(l, x) = i)` (both index
+    * conventions resolve to 1-based first-occurrence).
+    */
+  def dropRepeatedLinesArr(lines: Column): Column =
+    filter(lines, (x, i) => array_position(lines, x) === (i + 1).cast("long"))
+
+  /** [[dropRepeatedLinesArr]] over a newline-delimited text column,
+    * re-joined with newlines. The REMOVAL counterpart of
+    * [[repeatedLineRatio]] (the detector): chain ratio-gate → line-drop in
+    * a cleaning pass.
+    */
+  def dropRepeatedLines(text: Column): Column =
+    array_join(dropRepeatedLinesArr(split(text, "\n", -1)), "\n")
 }

@@ -677,9 +677,19 @@ object Dedup {
     * materialization, or [[unpersistCaches]] between corpora); the packaged
     * entry points ([[dropNearDupsByPairs]], [[dropNearDups]],
     * [[incrementalDedup]], the streaming ingest) already scope it.
+    *
+    * Size gate: a pair graph of at most `driverCcMaxEdges` distinct edges
+    * (a few MB of scalar ids) is solved with a driver union-find instead of
+    * the star rounds — bit-identical membership (union by min-id, the same
+    * min-reachable-id representative), but ONE job instead of ~10 per star
+    * round. This is the broadcast-threshold idea applied to iteration: the
+    * star loop's per-round fixed latency dominates exactly when the graph
+    * is too small to need it. Distributed semantics are unchanged above the
+    * gate (the 1M-stress corpora run 3.9M-edge graphs through the star
+    * path).
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-               maxIter: Int = 50): DataFrame = {
+               maxIter: Int = 50, driverCcMaxEdges: Long = 100000L): DataFrame = {
     // The star rounds only need a TOTAL ORDER on ids (least/greatest/min),
     // which every atomic Spark type has — so run on the NATIVE id type. The
     // former cast("long") silently nulled string/hash ids (non-ANSI cast),
@@ -719,6 +729,49 @@ object Dedup {
     var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
+    // ids of scalar orderable types are runtime-Comparable — the driver
+    // path needs that total order for the min-id representative (binary /
+    // nested ids fall through to the star loop, whose ordering Catalyst
+    // supplies)
+    val driverOrderable = aT match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           org.apache.spark.sql.types.BinaryType |
+           org.apache.spark.sql.types.NullType => false
+      case _ => true
+    }
+    if (driverOrderable) {
+      val edges = e.head(driverCcMaxEdges.toInt + 1)
+      if (edges.length <= driverCcMaxEdges) {
+        e.unpersist(blocking = false)
+        def lt(a: Any, b: Any) = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { row =>
+          val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+          if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        }
+        val nodes = edges.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+        val rows: java.util.List[org.apache.spark.sql.Row] = {
+          import scala.jdk.CollectionConverters._
+          nodes.iterator.map(n => org.apache.spark.sql.Row(n, find(n)))
+            .toSeq.asJava
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", aT),
+          org.apache.spark.sql.types.StructField("cluster", aT)))
+        val membership = cached(pairs.sparkSession.createDataFrame(rows, schema))
+        membership.count()
+        return membership
+      }
+    }
     var sig = signature(e)
     var converged = false
     var it = 0

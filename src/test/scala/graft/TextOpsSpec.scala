@@ -103,6 +103,14 @@ class TextOpsSpec extends SparkSpec {
     assert(one("", TextOps.repeatedLineRatio(_)).getDouble(0) == 0.0)
   }
 
+  test("dropRepeatedLines keeps each line's first occurrence, order preserved") {
+    assert(one("a\nb\na\nc\nb", TextOps.dropRepeatedLines(_)).getString(0) == "a\nb\nc")
+    // blank lines dedup like any other line; whitespace variants are distinct
+    assert(one("x\n\ny\n\nx ", TextOps.dropRepeatedLines(_)).getString(0) == "x\n\ny\nx ")
+    assert(one("solo", TextOps.dropRepeatedLines(_)).getString(0) == "solo")
+    assert(one("", TextOps.dropRepeatedLines(_)).getString(0) == "")
+  }
+
   test("multimodal: feature extraction preserves ids, stub features normalized") {
     val media = Multimodal.asMedia(
       Seq((7L, "hello world")).toDF("id", "txt")
