@@ -44,10 +44,10 @@ object QualityModel {
     featuresOf(text, TextOps.tokens(text),
       TextOps.wordNgrams(TextOps.tokens(text), 2))
 
-  /** [[features]] from pre-projected token and bigram arrays (attribute
-    * references, so each is computed once per row).
+  /** The 7 feature expressions from pre-projected token and bigram arrays
+    * (attribute references, so each is computed once per row), bias first.
     */
-  def featuresOf(text: Column, toks: Column, grams: Column): Column = {
+  def featureSeq(text: Column, toks: Column, grams: Column): Seq[Column] = {
     val n = size(toks)
     val lenSat = least(n.cast("double") / 100.0, lit(1.0))
     val distinctRatio = when(n === 0, lit(0.0))
@@ -55,9 +55,13 @@ object QualityModel {
     val meanW = least(TextOps.meanWordLen(toks) / 10.0, lit(1.0))
     val stopDens = when(n === 0, lit(0.0))
       .otherwise(least(TextOps.stopwordHits(lower(text)).cast("double") / n, lit(1.0)))
-    array(lit(1.0), lenSat, distinctRatio, TextOps.punctRatio(text), meanW,
+    Seq(lit(1.0), lenSat, distinctRatio, TextOps.punctRatio(text), meanW,
       stopDens, TextOps.topNgramFracOf(grams))
   }
+
+  /** [[featureSeq]] packed as one array column. */
+  def featuresOf(text: Column, toks: Column, grams: Column): Column =
+    array(featureSeq(text, toks, grams): _*)
 
   /** Stage tokens → grams → features as separate projections (Catalyst
     * keeps them apart when a non-cheap expression is multiply referenced),
@@ -170,10 +174,22 @@ object QualityModel {
     */
   def score(df: DataFrame, textCol: String, weights: Seq[Double],
             scoreCol: String = "quality_score_1e6",
-            acceptCol: String = "quality_accept"): DataFrame =
-    withFeatures(df, textCol)
-      .withColumn(scoreCol,
-        floor(linearScoreOf(col("__qx"), weights) * 1000000.0 + 0.5).cast("long"))
+            acceptCol: String = "quality_accept"): DataFrame = {
+    require(weights.length == numFeatures, s"expected $numFeatures weights, got ${weights.length}")
+    // the weighted fold runs over the SCALAR feature expressions, not
+    // element_at over a staged features array: identical IEEE arithmetic
+    // (same multiplicands, same left-assoc adds), but the array+element_at
+    // form tripped a Spark 4.1 GeneratePredicate bug when a downstream
+    // filter absorbed the score ("isNull_N is not an rvalue" → silent
+    // interpreter fallback for the whole corpus-gate predicate)
+    val feats = featureSeq(col(textCol), col("__qtoks"), col("__qgrams"))
+    val linear = weights.zip(feats)
+      .map { case (w, f) => lit(w) * f }
+      .reduceLeft(_ + _)
+    df.withColumn("__qtoks", TextOps.tokens(col(textCol)))
+      .withColumn("__qgrams", TextOps.wordNgrams(col("__qtoks"), 2))
+      .withColumn(scoreCol, floor(linear * 1000000.0 + 0.5).cast("long"))
       .withColumn(acceptCol, (col(scoreCol) > 0).cast("long"))
-      .drop("__qx")
+      .drop("__qtoks", "__qgrams")
+  }
 }

@@ -228,4 +228,52 @@ class InvariantPropertySpec extends SparkSpec {
         s"dim=$dim n=$n k=$k t=$threshold: missing=${expected.diff(got)} extra=${got.diff(expected)}")
     }
   }
+
+  test("clusters(): driver union-find and the star loop give identical membership on random graphs") {
+    import graft.operators.Dedup
+    (1 to 4).foreach { round =>
+      val n = 10 + rnd.nextInt(30)
+      val m = 5 + rnd.nextInt(60)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id_a", "id_b")
+      def membership(cap: Long) = Dedup.withCacheScope {
+        Dedup.clusters(pairs, driverCcMaxEdges = cap)
+          .as[(Long, Long)].collect().toSet
+      }
+      val viaDriver = membership(100000L) // union-find path (m << cap)
+      val viaStars = membership(0L)       // force the distributed star loop
+      assert(viaDriver == viaStars,
+        s"round $round n=$n m=$m: driver=${viaDriver.diff(viaStars)} stars=${viaStars.diff(viaDriver)}")
+      // and both agree with a reference closure: cluster = min reachable id
+      val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+      def comp(s: Long): Set[Long] = {
+        var seen = Set(s); var frontier = List(s)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(seen)
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        .map((v: Long) => (v, comp(v).min))
+      assert(viaDriver == expected)
+    }
+  }
+
+  test("dropRepeatedLines: idempotent, order-preserving, keeps exactly the distinct lines") {
+    import graft.functions.TextOps
+    (1 to 4).foreach { _ =>
+      val vocab = Seq("alpha", "beta", "gamma", "", "  ", "delta line")
+      val lines = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val text = lines.mkString("\n")
+      val got = Seq(text).toDF("t")
+        .select(TextOps.dropRepeatedLines(col("t"))).as[String].head()
+      val expected = lines.distinct.mkString("\n") // Scala distinct keeps first occurrence
+      assert(got == expected, s"lines=$lines")
+      val again = Seq(got).toDF("t")
+        .select(TextOps.dropRepeatedLines(col("t"))).as[String].head()
+      assert(again == got, "not idempotent")
+    }
+  }
 }
