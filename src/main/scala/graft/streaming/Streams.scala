@@ -354,4 +354,78 @@ object Streams {
         ()
       }
       .start()
+
+  /** The STREAMING counterpart of the flagship-v3 composite: one
+    * micro-batch pass through the model-driven tiers in the batch
+    * pipeline's order — trained-quality gate (pinned weights, stateless) →
+    * cross-batch SEMANTIC dedup against the assigned store (pinned
+    * centroids, id-anti-join replay idempotency as in
+    * [[ingestSemanticDedup]]) → cross-batch SPAN dedup against the
+    * fingerprint store — then appends the rebuilt survivors (quality
+    * columns + rewritten `textCol` + `n_kept`) to `corpusDir` and the two
+    * store deltas to `semStoreDir` / `spanStoreDir`.
+    *
+    * All three models are pinned run-once assets (weights vector, centroid
+    * seq, and the stores' contents); nothing re-trains mid-stream. Restart
+    * semantics compose the per-tier contracts: the quality verdict is
+    * stateless (batch-boundary-invariant), the semantic tier skips
+    * fully-committed replays outright (store-id anti join), and the span
+    * tier has the two documented crash windows — the corpus sinks are
+    * written FIRST, so recovery is the span tier's max-`n_kept`-per-id
+    * rule / [[graft.operators.Dedup.compactStore]], exactly as on the
+    * single-tier ingests.
+    */
+  def ingestPretrainCorpus(stream: DataFrame, idCol: String, textCol: String,
+                           vecCol: String, qualityWeights: Seq[Double],
+                           centroids: Seq[(Int, Seq[Float])], semThreshold: Double,
+                           spanK: Int, corpusDir: String, semStoreDir: String,
+                           spanStoreDir: String, checkpointDir: String
+                          ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, QualityModel}
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Dedup.withCacheScope {
+          val accepted = QualityModel.score(batch, textCol, qualityWeights)
+            .filter(col("quality_accept") === 1)
+          val semStore = Dedup.readStore(spark, semStoreDir)(
+            Dedup.assignSemanticClusters(accepted.limit(0), idCol, vecCol, centroids))
+          val fresh = accepted.join(semStore.select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+          val novel = Dedup.incrementalSemanticDrop(fresh, semStore, idCol, vecCol,
+            centroids, semThreshold).persist()
+          try {
+            val fpStore = Dedup.readStore(spark, spanStoreDir)(Seq.empty[String].toDF("fp"))
+            val (rebuilt, newFps) = Dedup.incrementalSpanDedup(novel, fpStore, idCol,
+              textCol, spanK)
+            // graft the rebuilt text back onto the full survivor rows
+            // (quality columns + embedding ride through), SpanDedupNodeSpec's
+            // join-back shape; the embedding column itself is not persisted
+            // to the corpus — it lives in the semantic store's assigned form
+            val kept = novel
+              .join(rebuilt.select(col("id").as("__sid"), col("text_out"), col("n_kept")),
+                novel(idCol) === col("__sid"))
+              .withColumn(textCol, col("text_out"))
+              .drop("__sid", "text_out", vecCol)
+              .persist()
+            try {
+              // sink order is load-bearing: every parquet append ends in a
+              // refreshByPath that UNCACHES any plan reading that path —
+              // `novel` reads the semantic store, so the semantic append
+              // must come LAST (an earlier append would evict novel's
+              // cache and its recompute would see the batch's own vectors
+              // in the store and drop everything as self-dups)
+              kept.write.mode("append").parquet(corpusDir)
+              newFps.write.mode("append").parquet(spanStoreDir)
+              Dedup.assignSemanticClusters(novel, idCol, vecCol, centroids)
+                .write.mode("append").parquet(semStoreDir)
+            } finally kept.unpersist(blocking = false)
+          } finally novel.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -305,6 +305,49 @@ class StreamsSpec extends SparkSpec {
     assert(cols.contains("quality_score_1e6") && cols.contains("quality_accept"))
   }
 
+  test("ingestPretrainCorpus: quality gate, semantic store, and span store compose in one ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_v3").toString
+    val (corpus, semStore, spanStore, ckpt) =
+      (s"$dir/corpus", s"$dir/sem", s"$dir/span", s"$dir/ckpt")
+    val cents: Seq[(Int, Seq[Float])] = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val w = SparkEntry.qualityGateWeights
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = graft.streaming.Streams.ingestPretrainCorpus(
+      in.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
+      w, cents, semThreshold = 0.95, spanK = 4, corpus, semStore, spanStore, ckpt)
+    val passText = "the cat sat on the mat and the dog slept in the warm sun for hours today"
+    try {
+      in.addData(
+        (1L, passText, Seq(10f, 0f)),                                // keeps everything
+        (2L, "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz", Seq(0f, 5f))) // quality-reject
+      q.processAllAvailable()
+      in.addData(
+        // passes quality but is an exact-direction semantic twin of doc 1
+        (10L, "a reasonable sentence about the weather and the plans for the weekend trip", Seq(20f, 0f)),
+        // novel direction; its FIRST 4-token window repeats doc 1's -> span-dropped
+        (11L, "the cat sat on a spotted rug by the fire late last night", Seq(0f, 7f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L, 11L), s"got ${rows.keySet}")
+    assert(rows(1L) == passText)
+    assert(rows(11L) == "a spotted rug by the fire late last night", rows(11L))
+    // quality columns ride into the corpus; the embedding column does NOT
+    // (it lives in the semantic store's assigned form)
+    val cols = spark.read.parquet(corpus).columns.toSet
+    assert(cols.contains("quality_score_1e6") && !cols.contains("embedding"))
+    // semantic store: assigned survivors only
+    assert(spark.read.parquet(semStore).select("id").as[Long].collect().toSet == Set(1L, 11L))
+    // span store: doc 1's 5 windows + doc 11's 3 fresh ones (its repeated
+    // leading window is a store hit, never re-appended); doc 10 was dropped
+    // before the span tier so none of its windows registered
+    val fps = spark.read.parquet(spanStore).as[String].collect()
+    assert(fps.length == 8 && fps.distinct.length == 8, s"got ${fps.length} fps")
+  }
+
   test("ingestSemanticDedup crash-replay: window 1 repairs via compactStore; window 2 self-heals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
