@@ -358,6 +358,8 @@ object Streams {
   /** The STREAMING counterpart of the flagship-v3 composite: one
     * micro-batch pass through the model-driven tiers in the batch
     * pipeline's order — trained-quality gate (pinned weights, stateless) →
+    * optional DSIR importance gate (pinned gram model, rate-threshold — the
+    * batch-boundary-invariant form of the composite's Gumbel-top-k) →
     * cross-batch SEMANTIC dedup against the assigned store (pinned
     * centroids, id-anti-join replay idempotency as in
     * [[ingestSemanticDedup]]) → cross-batch SPAN dedup against the
@@ -379,7 +381,16 @@ object Streams {
                            vecCol: String, qualityWeights: Seq[Double],
                            centroids: Seq[(Int, Seq[Float])], semThreshold: Double,
                            spanK: Int, corpusDir: String, semStoreDir: String,
-                           spanStoreDir: String, checkpointDir: String
+                           spanStoreDir: String, checkpointDir: String,
+                           // optional DSIR importance gate between quality and
+                           // the dedup tiers — the rate-THRESHOLD streaming
+                           // form of the batch composite's Gumbel-top-k (a
+                           // per-batch top-k would make survival depend on
+                           // where the batch boundary fell, cf.
+                           // [[ingestImportanceFiltered]]); weightsDir is the
+                           // pinned hashed-gram model parquet
+                           dsirWeightsDir: Option[String] = None,
+                           minLogw: Double = Double.NegativeInfinity
                           ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, QualityModel}
     stream.writeStream
@@ -388,8 +399,17 @@ object Streams {
         val spark = batch.sparkSession
         import spark.implicits._
         Dedup.withCacheScope {
-          val accepted = QualityModel.score(batch, textCol, qualityWeights)
+          val qualified = QualityModel.score(batch, textCol, qualityWeights)
             .filter(col("quality_accept") === 1)
+          val accepted = dsirWeightsDir match {
+            case None => qualified
+            case Some(wDir) =>
+              qualified.join(
+                graft.operators.Sampling.importanceScores(qualified, idCol, textCol,
+                    spark.read.parquet(wDir))
+                  .filter(col("dsir_logw") >= minLogw),
+                Seq(idCol))
+          }
           val semStore = Dedup.readStore(spark, semStoreDir)(
             Dedup.assignSemanticClusters(accepted.limit(0), idCol, vecCol, centroids))
           val fresh = accepted.join(semStore.select(col("id").as(idCol)),

@@ -313,11 +313,38 @@ class StreamsSpec extends SparkSpec {
       (s"$dir/corpus", s"$dir/sem", s"$dir/span", s"$dir/ckpt")
     val cents: Seq[(Int, Seq[Float])] = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
     val w = SparkEntry.qualityGateWeights
+    val passText = "the cat sat on the mat and the dog slept in the warm sun for hours today"
+    val noiseText = "lorem ipsum and the dolor sit for amet the consectetur of elit and more of it here"
+    // pinned DSIR model: target = the cat-domain vocabulary; the noise doc
+    // passes the QUALITY gate (asserted — else the fixture is degenerate)
+    // but scores below the importance threshold
+    import graft.operators.{CorpusStats, QualityModel, Sampling}
+    val wDir = s"$dir/weights"
+    CorpusStats.importanceWeights(
+        CorpusStats.hashedGramCounts(Seq(passText).toDF("text"), "text"),
+        CorpusStats.hashedGramCounts(Seq(passText, noiseText).toDF("text"), "text"))
+      .write.parquet(wDir)
+    val keepTexts = Seq(
+      1L -> passText,
+      10L -> "a reasonable sentence about the weather and the plans for the weekend trip",
+      11L -> "the cat sat on a spotted rug by the fire late last night")
+    val qv = QualityModel.score((keepTexts :+ (12L -> noiseText)).toDF("doc_id", "text"),
+      "text", w).select("doc_id", "quality_accept").as[(Long, Long)].collect().toMap
+    assert(qv.values.forall(_ == 1L), s"fixture must pass the quality gate: $qv")
+    // threshold strictly between the noise doc and EVERY doc the later
+    // tiers are supposed to see — the DSIR gate rejects exactly doc 12
+    val scores = Sampling.importanceScores(
+        (keepTexts :+ (12L -> noiseText)).toDF("doc_id", "text"),
+        "doc_id", "text", spark.read.parquet(wDir))
+      .as[(Long, Double)].collect().toMap
+    val keepMin = keepTexts.map(kv => scores(kv._1)).min
+    assert(scores(12L) < keepMin, s"degenerate DSIR fixture: $scores")
+    val minLogw = (scores(12L) + keepMin) / 2
     val in = MemoryStream[(Long, String, Seq[Float])]
     val q = graft.streaming.Streams.ingestPretrainCorpus(
       in.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
-      w, cents, semThreshold = 0.95, spanK = 4, corpus, semStore, spanStore, ckpt)
-    val passText = "the cat sat on the mat and the dog slept in the warm sun for hours today"
+      w, cents, semThreshold = 0.95, spanK = 4, corpus, semStore, spanStore, ckpt,
+      dsirWeightsDir = Some(wDir), minLogw = minLogw)
     try {
       in.addData(
         (1L, passText, Seq(10f, 0f)),                                // keeps everything
@@ -327,7 +354,9 @@ class StreamsSpec extends SparkSpec {
         // passes quality but is an exact-direction semantic twin of doc 1
         (10L, "a reasonable sentence about the weather and the plans for the weekend trip", Seq(20f, 0f)),
         // novel direction; its FIRST 4-token window repeats doc 1's -> span-dropped
-        (11L, "the cat sat on a spotted rug by the fire late last night", Seq(0f, 7f)))
+        (11L, "the cat sat on a spotted rug by the fire late last night", Seq(0f, 7f)),
+        // passes quality, novel direction — rejected by the DSIR gate
+        (12L, noiseText, Seq(-5f, 0f)))
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.read.parquet(corpus)
