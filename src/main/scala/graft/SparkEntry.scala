@@ -1556,6 +1556,64 @@ object SparkEntry {
       .orderBy("user_id", "view_id", "buy_id")
   }
 
+  /** Driver gate for the COMPOSED streaming ingest
+    * ([[graft.streaming.Streams.ingestPretrainCorpus]] — the streaming
+    * form of the flagship-v3 tiers): quality gate → DSIR threshold →
+    * cross-batch semantic store → cross-batch span store, run over TWO
+    * deterministic micro-batches (batch 0 = even doc ids, batch 1 = odd)
+    * with planted semantic-twin cliques straddling the batch boundary in
+    * both directions (`+100001` flips parity — arrives in the OTHER batch;
+    * `+200000` keeps parity — an in-batch pair). The oracle replays the
+    * whole two-batch evolution in one DuckDB query: sequential
+    * first-seen-wins on an exact-twin clique is min-(batch, id), and the
+    * span store's first-occurrence rule is a window ranking ordered by
+    * (batch, id, start). The DSIR threshold (−30.0) sits 0.0104 from the
+    * nearest document logw at sf0.01 (probed) — ten orders of magnitude
+    * above cross-engine ln/summation noise.
+    */
+  private def qSPretrainIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val joined = base.join(emb, base("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("embedding"))
+    val twinA = joined.filter(col("doc_id") < 32)
+      .select((col("doc_id") + 100001L).as("doc_id"), col("text"), col("lang"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val twinB = joined.filter(col("doc_id") < 16)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"), col("lang"),
+        transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+    val rows = joined.unionByName(twinA).unionByName(twinB)
+      .as[(Long, String, String, Seq[Float])].collect().sortBy(_._1)
+    // pinned run-once models: the DSIR gram weights (target = the corpus's
+    // en slice, one conditional-aggregation scan) and the firstK centroids
+    val work = java.nio.file.Files.createTempDirectory("pretrain_ingest").toString
+    val joint = CorpusStats.hashedGramCountsSplit(base, "text", col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    CorpusStats.importanceWeightsJoint(
+        s.createDataFrame(joint).toDF("bucket", "cnt_target", "cnt_background"))
+      .write.mode("overwrite").parquet(s"$work/weights")
+    val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
+    val in = MemoryStream[(Long, String, String, Seq[Float])]
+    val q = graft.streaming.Streams.ingestPretrainCorpus(
+      in.toDF().toDF("doc_id", "text", "lang", "embedding"),
+      "doc_id", "text", "embedding", qualityGateWeights, cents,
+      semThreshold = 0.9, spanK = 16,
+      s"$work/corpus", s"$work/sem", s"$work/span", s"$work/ckpt",
+      dsirWeightsDir = Some(s"$work/weights"), minLogw = -30.0)
+    try {
+      in.addData(rows.filter(_._1 % 2 == 0).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 % 2 == 1).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(s"$work/corpus")
+      .select(col("doc_id"), col("n_kept"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Exact distributed percentiles (Catalyst `percentile`, one hash-agg
     * pass). Gate-output rule: prices are scaled to integer cents BEFORE the
     * percentile so interpolation happens on integers at binary-exact
@@ -1619,6 +1677,7 @@ object SparkEntry {
     "q_s_stream_window"  -> (qSStreamWindow _),
     "q_s_stream_session" -> (qSStreamSession _),
     "q_s_stream_dedup"   -> (qSStreamDedup _),
+    "q_s_pretrain_ingest" -> (qSPretrainIngest _),
     "q_s_stream_enrich"  -> (qSStreamEnrich _),
     "q_s_stream_join"    -> (qSStreamJoin _),
     "q_x_running"        -> (qXRunning _),
@@ -2512,6 +2571,96 @@ object SparkEntry {
     "q_s_stream_dedup" ->
       """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
          ORDER BY user_id""",
+    // two-batch composed-ingest replay: quality gate -> DSIR threshold
+    // (model = en slice of the raw corpus) -> semantic clique election by
+    // min-(batch, id) -> span first-occurrence by (batch, id, start)
+    "q_s_pretrain_ingest" ->
+      s"""WITH RECURSIVE
+          pd0 AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
+          pe0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+          pj AS MATERIALIZED (SELECT d.doc_id, d.text, d.lang
+                FROM pd0 d JOIN pe0 e ON d.doc_id = e.vec_id),
+          ptA AS (SELECT doc_id + 100001 AS doc_id, text, lang FROM pj WHERE doc_id < 32),
+          ptB AS (SELECT doc_id + 200000 AS doc_id, text, lang FROM pj WHERE doc_id < 16),
+          pall AS MATERIALIZED (SELECT * FROM pj UNION ALL SELECT * FROM ptA
+                                UNION ALL SELECT * FROM ptB),
+          ${qualityCtesSql("pall")},
+          qp AS MATERIALIZED (SELECT p.* FROM pall p JOIN qsc USING (doc_id)
+                WHERE quality_score_1e6 > 0),
+          mg AS MATERIALIZED (SELECT lang, unnest(list_concat(
+                  list_transform(toks, x -> substr(md5(x), 1, 4)),
+                  list_transform(range(1, len(toks)),
+                    i -> substr(md5(toks[i] || chr(1) || toks[i+1]), 1, 4)))) AS b
+                FROM (SELECT lang, $toksSql AS toks FROM pd0)),
+          tct AS MATERIALIZED (SELECT b, count(*) AS c FROM mg WHERE lang = 'en' GROUP BY 1),
+          tcr AS MATERIALIZED (SELECT b, count(*) AS c FROM mg GROUP BY 1),
+          tts AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS v FROM tct),
+          trs AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS v FROM tcr),
+          qg AS MATERIALIZED (SELECT doc_id, unnest(list_concat(
+                  list_transform(toks, x -> substr(md5(x), 1, 4)),
+                  list_transform(range(1, len(toks)),
+                    i -> substr(md5(toks[i] || chr(1) || toks[i+1]), 1, 4)))) AS b
+                FROM (SELECT doc_id, $toksSql AS toks FROM qp)),
+          docw AS MATERIALIZED (SELECT qg.doc_id,
+                   sum(ln((coalesce(tct.c, 0) + 0.5) / (tts.v + 32768.0))
+                     - ln((tcr.c + 0.5) / (trs.v + 32768.0))) AS logw
+                 FROM qg LEFT JOIN tct USING (b) JOIN tcr USING (b), tts, trs
+                 GROUP BY qg.doc_id),
+          dp AS MATERIALIZED (SELECT qp.* FROM qp JOIN docw USING (doc_id)
+                WHERE logw >= -30.0),
+          pvA AS (SELECT vec_id + 100001 AS vec_id,
+                    list_transform(embedding, x -> CAST(x*2 AS FLOAT)) AS embedding
+                  FROM pe0 WHERE vec_id < 32),
+          pvB AS (SELECT vec_id + 200000 AS vec_id,
+                    list_transform(embedding, x -> CAST(x*4 AS FLOAT)) AS embedding
+                  FROM pe0 WHERE vec_id < 16),
+          pvv AS MATERIALIZED (SELECT * FROM pe0 UNION ALL SELECT * FROM pvA
+                               UNION ALL SELECT * FROM pvB),
+          dv AS MATERIALIZED (SELECT v.* FROM pvv v JOIN dp ON v.vec_id = dp.doc_id),
+          pcents AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv
+                    FROM pe0 WHERE vec_id < 8),
+          sasg AS MATERIALIZED (SELECT v.vec_id, cid, ${cosSql("v.embedding", "cv")} AS cs
+                   FROM dv v, pcents),
+          rasg AS (SELECT vec_id, cid, cs,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                   FROM sasg),
+          av AS MATERIALIZED (SELECT r.vec_id, r.cid AS cluster, v.embedding
+                FROM rasg r JOIN dv v USING (vec_id) WHERE rn = 1),
+          csz AS (SELECT cluster, count(*) AS n FROM av GROUP BY 1),
+          avb AS MATERIALIZED (SELECT av.* FROM av JOIN csz USING (cluster)
+                 WHERE n BETWEEN 2 AND 10000),
+          sp2 AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b
+                  FROM avb x JOIN avb y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.9),
+          und AS MATERIALIZED (SELECT a, b FROM sp2 UNION SELECT b, a FROM sp2),
+          reach(a, b) AS (SELECT a, b FROM und
+                          UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          comp AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS grp FROM reach GROUP BY a),
+          keepv AS (SELECT grp, id AS keep_id FROM (
+                      SELECT grp, id, row_number() OVER (PARTITION BY grp
+                        ORDER BY id % 2, id) AS rn FROM comp)
+                    WHERE rn = 1),
+          losers AS MATERIALIZED (SELECT comp.id FROM comp JOIN keepv USING (grp)
+                    WHERE comp.id <> keep_id),
+          sk AS MATERIALIZED (SELECT dp.* FROM dp
+                WHERE doc_id NOT IN (SELECT id FROM losers)),
+          kd2 AS MATERIALIZED (SELECT doc_id, doc_id % 2 AS bt, $toksSql AS toks FROM sk),
+          so2 AS MATERIALIZED (SELECT doc_id, bt, s AS start,
+                   md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
+                 FROM kd2, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
+                 WHERE len(list_slice(toks, s + 1, s + 16)) > 0),
+          sr2 AS (SELECT *, row_number() OVER (PARTITION BY fp
+                    ORDER BY bt, doc_id, start) AS rn FROM so2),
+          sd2 AS (SELECT doc_id, list(start) AS ds FROM sr2 WHERE rn > 1 GROUP BY 1),
+          rb2 AS (SELECT kd2.doc_id,
+                    flatten(list_transform(
+                      list_filter(range(0, greatest(len(toks), 1), 16),
+                        s -> NOT list_contains(coalesce(ds, []), s)),
+                      s -> list_slice(toks, s + 1, s + 16))) AS ktoks
+                  FROM kd2 LEFT JOIN sd2 USING (doc_id))
+          SELECT doc_id, CAST(len(ktoks) AS BIGINT) AS n_kept,
+                 md5(array_to_string(ktoks, ' ')) AS text_md5
+          FROM rb2 ORDER BY doc_id""",
     // same lag-based sessionization oracle as the batch q_e_session_window —
     // the streaming run must produce identical sessions
     "q_s_stream_session" ->
