@@ -369,13 +369,20 @@ object Streams {
     *
     * All three models are pinned run-once assets (weights vector, centroid
     * seq, and the stores' contents); nothing re-trains mid-stream. Restart
-    * semantics compose the per-tier contracts: the quality verdict is
-    * stateless (batch-boundary-invariant), the semantic tier skips
-    * fully-committed replays outright (store-id anti join), and the span
-    * tier has the two documented crash windows — the corpus sinks are
-    * written FIRST, so recovery is the span tier's max-`n_kept`-per-id
-    * rule / [[graft.operators.Dedup.compactStore]], exactly as on the
-    * single-tier ingests.
+    * semantics compose the per-tier contracts (all three crash windows
+    * CI-tested in StreamsSpec via the injected seams):
+    *  - crash BETWEEN the corpus append and the span-store append: the
+    *    replay reprocesses the batch against unchanged stores and appends
+    *    BYTE-IDENTICAL corpus rows again — recover with keyed distinct
+    *    ([[graft.operators.Dedup.compactStore]] on `corpusDir`);
+    *  - crash between the span-store and semantic-store appends: the
+    *    replay's windows all hit the span store, so an EMPTIED rebuild
+    *    lands next to each true row — recover with the span tier's
+    *    max-`n_kept`-per-id rule;
+    *  - crash AFTER all three appends but before the offset commits: the
+    *    semantic store already holds the batch's ids, the id anti-join
+    *    empties the replay, and nothing re-appends — fully self-healing,
+    *    which is why the semantic append goes LAST.
     */
   def ingestPretrainCorpus(stream: DataFrame, idCol: String, textCol: String,
                            vecCol: String, qualityWeights: Seq[Double],
@@ -390,7 +397,12 @@ object Streams {
                            // [[ingestImportanceFiltered]]); weightsDir is the
                            // pinned hashed-gram model parquet
                            dsirWeightsDir: Option[String] = None,
-                           minLogw: Double = Double.NegativeInfinity
+                           minLogw: Double = Double.NegativeInfinity,
+                           // test seams for the crash windows between the
+                           // three sink appends (no-ops in production)
+                           afterCorpusAppend: () => Unit = () => (),
+                           afterSpanAppend: () => Unit = () => (),
+                           beforeCommit: () => Unit = () => ()
                           ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, QualityModel}
     stream.writeStream
@@ -438,9 +450,12 @@ object Streams {
               // cache and its recompute would see the batch's own vectors
               // in the store and drop everything as self-dups)
               kept.write.mode("append").parquet(corpusDir)
+              afterCorpusAppend()
               newFps.write.mode("append").parquet(spanStoreDir)
+              afterSpanAppend()
               Dedup.assignSemanticClusters(novel, idCol, vecCol, centroids)
                 .write.mode("append").parquet(semStoreDir)
+              beforeCommit()
             } finally kept.unpersist(blocking = false)
           } finally novel.unpersist(blocking = false)
         }

@@ -377,6 +377,86 @@ class StreamsSpec extends SparkSpec {
     assert(fps.length == 8 && fps.distinct.length == 8, s"got ${fps.length} fps")
   }
 
+  test("ingestPretrainCorpus crash-replay: all three sink windows recover as documented") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_v3_crash").toString
+    val (corpus, semStore, spanStore, ckpt) =
+      (s"$dir/corpus", s"$dir/sem", s"$dir/span", s"$dir/ckpt")
+    val cents: Seq[(Int, Seq[Float])] = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val w = SparkEntry.qualityGateWeights
+    lazy val in = MemoryStream[(Long, String, Seq[Float])]
+    def start(afterCorpusAppend: () => Unit = () => (),
+              afterSpanAppend: () => Unit = () => (),
+              beforeCommit: () => Unit = () => ()) =
+      graft.streaming.Streams.ingestPretrainCorpus(
+        in.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
+        w, cents, semThreshold = 0.95, spanK = 4, corpus, semStore, spanStore, ckpt,
+        afterCorpusAppend = afterCorpusAppend, afterSpanAppend = afterSpanAppend,
+        beforeCommit = beforeCommit)
+    def corpusRows = spark.read.parquet(corpus)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSeq
+    // window 1: crash between the corpus append and the span-store append
+    val crash1 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q1 = start(afterCorpusAppend =
+      () => if (crash1.get) throw new RuntimeException("crash before span append"))
+    try {
+      in.addData((1L, "the cat sat on the mat and the dog slept in the warm sun for hours today", Seq(10f, 0f)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    crash1.set(false)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // replay appended byte-identical rows; keyed distinct restores exactly
+    assert(corpusRows.count(_._1 == 1L) == 2, s"got $corpusRows")
+    assert(corpusRows.distinct.size == 1, "window-1 twins must be identical")
+    graft.operators.Dedup.compactStore(spark, corpus, Seq("doc_id"))
+    assert(corpusRows == Seq((1L, 17L)), s"got $corpusRows")
+    // window 2: crash between the span-store and semantic-store appends —
+    // the replay sees every window in the span store and appends an
+    // EMPTIED rebuild next to the true row; max-n_kept-per-id recovers
+    val crash2 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q3 = start(afterSpanAppend =
+      () => if (crash2.get) throw new RuntimeException("crash before sem append"))
+    try {
+      in.addData((2L, "the fresh words for the catalyst and the optimizer in the engine here today now", Seq(0f, 5f)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+    } finally q3.stop()
+    crash2.set(false)
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    val doc2 = corpusRows.filter(_._1 == 2L).map(_._2).sorted
+    assert(doc2 == Seq(0L, 15L), s"expected true row + emptied replay row, got $doc2")
+    val recovered = spark.read.parquet(corpus)
+      .groupBy("doc_id").agg(max("n_kept").as("n_kept"))
+      .as[(Long, Long)].collect().toMap
+    assert(recovered == Map(1L -> 17L, 2L -> 15L), s"got $recovered")
+    // window 3: crash after ALL appends, before the offset commits — the
+    // semantic store's id anti-join makes the replay a no-op
+    val nBefore = spark.read.parquet(corpus).count()
+    val crash3 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q5 = start(beforeCommit =
+      () => if (crash3.get) throw new RuntimeException("crash before commit"))
+    try {
+      in.addData((3L, "a third novel document with its own words and nothing shared at all", Seq(-4f, 1f)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q5.processAllAvailable()
+      }
+    } finally q5.stop()
+    crash3.set(false)
+    val q6 = start()
+    try q6.processAllAvailable() finally q6.stop()
+    assert(spark.read.parquet(corpus).count() == nBefore + 1, "window 3 must self-heal")
+    assert(spark.read.parquet(semStore).select("id").as[Long].collect().toSeq.sorted
+      == Seq(1L, 2L, 3L))
+    val fps = spark.read.parquet(spanStore).as[String].collect()
+    assert(fps.length == fps.distinct.length, "span store must never duplicate")
+  }
+
   test("ingestSemanticDedup crash-replay: window 1 repairs via compactStore; window 2 self-heals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
