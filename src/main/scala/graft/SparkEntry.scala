@@ -1569,7 +1569,10 @@ object SparkEntry {
     * span store's first-occurrence rule is a window ranking ordered by
     * (batch, id, start). The DSIR threshold (−30.0) sits 0.0104 from the
     * nearest document logw at sf0.01 (probed) — ten orders of magnitude
-    * above cross-engine ln/summation noise.
+    * above cross-engine ln/summation noise. The driver-side row staging
+    * here is the bounded gate HARNESS (MemoryStream needs local rows),
+    * not an operator pattern — production streams feed the same ingest
+    * from Kafka/file sources with no driver materialization.
     */
   private def qSPretrainIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
