@@ -261,6 +261,28 @@ class InvariantPropertySpec extends SparkSpec {
     }
   }
 
+  test("quality score: the codegen-friendly scalar fold is bit-identical to the array+element_at form") {
+    // the r12 GeneratePredicate workaround folds over the scalar feature
+    // expressions; this pins that it computes the EXACT same integer score
+    // as linearScoreOf over the staged features array (same multiplicands,
+    // same left-assoc adds), on organic corpus text
+    import graft.operators.QualityModel
+    import graft.functions.TextOps
+    val w = SparkEntry.qualityGateWeights
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val viaArray = docs
+      .withColumn("__t", TextOps.tokens(col("text")))
+      .withColumn("__g", TextOps.wordNgrams(col("__t"), 2))
+      .select(col("doc_id"), floor(QualityModel.linearScoreOf(
+        QualityModel.featuresOf(col("text"), col("__t"), col("__g")), w) * 1000000.0 + 0.5)
+        .cast("long").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val viaScalar = QualityModel.score(docs, "text", w)
+      .select("doc_id", "quality_score_1e6").as[(Long, Long)].collect().toMap
+    assert(viaArray == viaScalar,
+      s"forms diverge: ${viaArray.toSet.diff(viaScalar.toSet).take(3)}")
+  }
+
   test("dropRepeatedLines: idempotent, order-preserving, keeps exactly the distinct lines") {
     import graft.functions.TextOps
     (1 to 4).foreach { _ =>
