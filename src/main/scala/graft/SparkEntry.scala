@@ -1556,6 +1556,36 @@ object SparkEntry {
       .orderBy("user_id", "view_id", "buy_id")
   }
 
+  /** Driver gate for the streaming quality ingest
+    * ([[graft.streaming.Streams.ingestQualityFiltered]]): two
+    * deterministic micro-batches (even ids, then odd) through the pinned
+    * classifier; the corpus must equal the batch-mode accept set exactly —
+    * the verdict is a stateless per-row expression, so batch boundaries
+    * cannot move it (the invariance the CI test pins on a hand fixture,
+    * here hash-gated on the organic corpus).
+    */
+  private def qSQualityIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = t(s, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val work = java.nio.file.Files.createTempDirectory("quality_ingest").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.ingestQualityFiltered(
+      in.toDF().toDF("doc_id", "text"), "text", qualityGateWeights,
+      s"$work/corpus", s"$work/ckpt")
+    try {
+      in.addData(rows.filter(_._1 % 2 == 0).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 % 2 == 1).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(s"$work/corpus")
+      .select(col("doc_id"), col("quality_score_1e6"))
+      .orderBy("doc_id")
+  }
+
   /** Driver gate for the COMPOSED streaming ingest
     * ([[graft.streaming.Streams.ingestPretrainCorpus]] — the streaming
     * form of the flagship-v3 tiers): quality gate → DSIR threshold →
@@ -1681,6 +1711,7 @@ object SparkEntry {
     "q_s_stream_session" -> (qSStreamSession _),
     "q_s_stream_dedup"   -> (qSStreamDedup _),
     "q_s_pretrain_ingest" -> (qSPretrainIngest _),
+    "q_s_quality_ingest"  -> (qSQualityIngest _),
     "q_s_stream_enrich"  -> (qSStreamEnrich _),
     "q_s_stream_join"    -> (qSStreamJoin _),
     "q_x_running"        -> (qXRunning _),
@@ -2574,6 +2605,11 @@ object SparkEntry {
     "q_s_stream_dedup" ->
       """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
          ORDER BY user_id""",
+    // streaming quality ingest == the batch accept set (stateless verdict)
+    "q_s_quality_ingest" ->
+      s"""WITH ${qualityCtesSql("documents")}
+          SELECT doc_id, quality_score_1e6 FROM qsc
+          WHERE quality_score_1e6 > 0 ORDER BY doc_id""",
     // two-batch composed-ingest replay: quality gate -> DSIR threshold
     // (model = en slice of the raw corpus) -> semantic clique election by
     // min-(batch, id) -> span first-occurrence by (batch, id, start)
