@@ -46,7 +46,8 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     graft.operators.Dedup.unpersistCaches() // warm-up caches must not linger
-    spark.sharedState.cacheManager.clearCache() // v3's CacheSpec persists too
+    graft.plans.PipelineCompiler.unpersistCompiledCaches()
+      spark.sharedState.cacheManager.clearCache() // v3's CacheSpec persists too
     // Host-load noise control (VERDICT r6 §next #5): every query runs
     // `reps` times and the MEDIAN is the reported number; min/max ride
     // along so round-over-round regressions are attributable to the code,
@@ -71,7 +72,8 @@ object Bench {
         // the v3 flagship's CacheSpec persists register with the session
         // cache manager, not the operator registry — drop them too, or
         // reps 2..n measure cache hits instead of the pipeline
-        spark.sharedState.cacheManager.clearCache()
+        graft.plans.PipelineCompiler.unpersistCompiledCaches()
+      spark.sharedState.cacheManager.clearCache()
         // settle the heap between reps: dropping DataFrame references lets
         // the ContextCleaner reclaim their broadcast variables, but only
         // after a GC notices them — without this, queries that build a

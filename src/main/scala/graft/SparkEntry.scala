@@ -2699,7 +2699,7 @@ object SparkEntry {
                   FROM kd2 LEFT JOIN sd2 USING (doc_id))
           SELECT doc_id, CAST(len(ktoks) AS BIGINT) AS n_kept,
                  md5(array_to_string(ktoks, ' ')) AS text_md5
-          FROM rb2 ORDER BY doc_id""",
+          FROM rb2 WHERE len(ktoks) > 0 ORDER BY doc_id""",
     // same lag-based sessionization oracle as the batch q_e_session_window —
     // the streaming run must produce identical sessions
     "q_s_stream_session" ->

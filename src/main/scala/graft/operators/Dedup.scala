@@ -742,10 +742,21 @@ object Dedup {
       case _ => true
     }
     if (driverOrderable) {
-      val edges = e.head(driverCcMaxEdges.toInt + 1)
-      if (edges.length <= driverCcMaxEdges) {
+      val cap = math.min(driverCcMaxEdges, Int.MaxValue - 1L).toInt
+      val edges = e.head(cap + 1)
+      if (edges.length <= cap) {
         e.unpersist(blocking = false)
-        def lt(a: Any, b: Any) = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        // Strings must compare the way Catalyst's UTF8String does (unsigned
+        // UTF-8 bytes) — String.compareTo is UTF-16 code units, which orders
+        // supplementary characters differently, and the min-id REPRESENTATIVE
+        // must be bit-identical to the star loop's regardless of which path
+        // the edge-count gate picks.
+        def lt(a: Any, b: Any) = (a, b) match {
+          case (sa: String, sb: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(sa)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(sb)) < 0
+          case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        }
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
         def find(x: Any): Any = {
           var r = x

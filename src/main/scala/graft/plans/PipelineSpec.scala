@@ -179,6 +179,19 @@ object PipelineCompiler {
   def substitute(s: String, params: Map[String, String]): String =
     params.foldLeft(s) { case (acc, (k, v)) => acc.replace(s"{%$k%}", v) }
 
+  // Relations persisted by CacheSpec nodes during compile(). Without a
+  // registry every compile leaks its (possibly disk-spilled) persists for
+  // the session lifetime and each harness had to clearCache() manually;
+  // callers that compile many specs release them deterministically with
+  // [[unpersistCompiledCaches]] (the Dedup.cached/unpersistCaches pattern).
+  private val compiledCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Release every relation persisted by CacheSpec nodes in this session. */
+  def unpersistCompiledCaches(): Unit = compiledCaches.synchronized {
+    compiledCaches.foreach(_.unpersist(blocking = false))
+    compiledCaches.clear()
+  }
+
   def compile(spec: PipelineSpec, spark: SparkSession,
               params: Map[String, String] = Map.empty): DataFrame = {
     val resolved = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -347,7 +360,9 @@ object PipelineCompiler {
         graft.operators.Dedup.compactStore(spark, p, keys.map(sub))
         spark.read.parquet(p)
       case CacheSpec(in) =>
-        build(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = build(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        compiledCaches.synchronized { compiledCaches += df }
+        df
     }
 
     spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }

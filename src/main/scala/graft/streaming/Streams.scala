@@ -376,9 +376,10 @@ object Streams {
     *    BYTE-IDENTICAL corpus rows again — recover with keyed distinct
     *    ([[graft.operators.Dedup.compactStore]] on `corpusDir`);
     *  - crash between the span-store and semantic-store appends: the
-    *    replay's windows all hit the span store, so an EMPTIED rebuild
-    *    lands next to each true row — recover with the span tier's
-    *    max-`n_kept`-per-id rule;
+    *    replay's windows all hit the span store, the rebuilds empty, and
+    *    the `n_kept > 0` corpus filter drops them — the replay appends
+    *    NOTHING and the corpus is already exact (same keyed-distinct
+    *    recovery class as window 1, with nothing to even distinct);
     *  - crash AFTER all three appends but before the offset commits: the
     *    semantic store already holds the batch's ids, the id anti-join
     *    empties the replay, and nothing re-appends — fully self-healing,
@@ -436,9 +437,15 @@ object Streams {
             // (quality columns + embedding ride through), SpanDedupNodeSpec's
             // join-back shape; the embedding column itself is not persisted
             // to the corpus — it lives in the semantic store's assigned form
+            // n_kept = 0 means every window span-deduped away: drop the row
+            // (the batch flagship v3's 'nonempty' stage semantics — without
+            // this the corpus accumulated empty-text rows its batch
+            // counterpart never emits, and the window-2 crash replay
+            // re-appended them)
             val kept = novel
               .join(rebuilt.select(col("id").as("__sid"), col("text_out"), col("n_kept")),
                 novel(idCol) === col("__sid"))
+              .filter(col("n_kept") > 0)
               .withColumn(textCol, col("text_out"))
               .drop("__sid", "text_out", vecCol)
               .persist()

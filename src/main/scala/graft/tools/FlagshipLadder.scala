@@ -26,6 +26,7 @@ object FlagshipLadder {
     })
     def dropCaches(): Unit = {
       graft.operators.Dedup.unpersistCaches()
+      graft.plans.PipelineCompiler.unpersistCompiledCaches()
       spark.sharedState.cacheManager.clearCache()
     }
     for (gate <- gates; sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {

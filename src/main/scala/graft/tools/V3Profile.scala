@@ -24,7 +24,8 @@ object V3Profile {
     // JIT warm-up on the sibling flagship so the numbers are plan cost
     graft.SparkEntry.queries("q_n_llm_pipeline_v2")(spark, dir)
       .write.format("noop").mode("overwrite").save()
-    graft.operators.Dedup.unpersistCaches(); spark.sharedState.cacheManager.clearCache()
+    graft.operators.Dedup.unpersistCaches(); graft.plans.PipelineCompiler.unpersistCompiledCaches()
+      spark.sharedState.cacheManager.clearCache()
     val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val sampler = new Thread(() => {
       while (!Thread.currentThread().isInterrupted) {

@@ -415,8 +415,9 @@ class StreamsSpec extends SparkSpec {
     graft.operators.Dedup.compactStore(spark, corpus, Seq("doc_id"))
     assert(corpusRows == Seq((1L, 17L)), s"got $corpusRows")
     // window 2: crash between the span-store and semantic-store appends —
-    // the replay sees every window in the span store and appends an
-    // EMPTIED rebuild next to the true row; max-n_kept-per-id recovers
+    // the replay sees every window in the span store, the rebuild empties,
+    // and the n_kept > 0 corpus filter (batch v3's 'nonempty' semantics)
+    // drops it: the replay appends NOTHING, the corpus stays exactly right
     val crash2 = new java.util.concurrent.atomic.AtomicBoolean(true)
     val q3 = start(afterSpanAppend =
       () => if (crash2.get) throw new RuntimeException("crash before sem append"))
@@ -430,7 +431,7 @@ class StreamsSpec extends SparkSpec {
     val q4 = start()
     try q4.processAllAvailable() finally q4.stop()
     val doc2 = corpusRows.filter(_._1 == 2L).map(_._2).sorted
-    assert(doc2 == Seq(0L, 15L), s"expected true row + emptied replay row, got $doc2")
+    assert(doc2 == Seq(15L), s"expected the true row only (emptied replay filtered), got $doc2")
     val recovered = spark.read.parquet(corpus)
       .groupBy("doc_id").agg(max("n_kept").as("n_kept"))
       .as[(Long, Long)].collect().toMap
