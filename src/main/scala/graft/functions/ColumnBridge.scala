@@ -26,4 +26,23 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** A DataFrame rooted AT a persisted relation's `InMemoryRelation` leaf
+    * (`Dataset.ofRows` is private[sql]). Plain `persist()` truncates
+    * EXECUTION at the cache but not ANALYSIS: every downstream Dataset op
+    * re-analyzes the full upstream tree, and a plan DAG whose shared nodes
+    * are referenced from several branches is traversed once PER PATH — on a
+    * deep composed pipeline that analysis is seconds of driver time per op.
+    * Rooting downstream plans at the cache leaf makes each re-analysis
+    * O(downstream), while the cached subtree stays reachable (and
+    * plan-auditable) through `InMemoryTableScanExec.relation.cachedPlan`.
+    * Returns None when `df` is not in the cache manager.
+    */
+  def cachedRelation(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .map(cd => org.apache.spark.sql.classic.Dataset.ofRows(cs, cd.cachedRepresentation))
+  }
 }

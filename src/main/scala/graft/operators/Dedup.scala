@@ -72,10 +72,28 @@ object Dedup {
     * compute (signatures). A single parquet file arrives as one partition;
     * the shuffle is pennies next to the per-row kernel work. No-op when the
     * source is already split (the 100 TB case).
+    *
+    * The always-true `pmod(monotonically_increasing_id(), 1) >= 0` filter
+    * is a predicate-pushdown BARRIER, not row selection: Catalyst pushes a
+    * caller's downstream deterministic filter below the repartition (less
+    * data to shuffle — normally right), SUBSTITUTING its aliased inputs,
+    * which drags the caller's entire staged expression pipeline back into
+    * the pre-exchange stage — i.e. onto the ONE partition this repartition
+    * exists to escape, in UNSTAGED form (tokenizer re-run per feature;
+    * measured on the quality gate: 1512 ms single-task map stage vs 30 ms
+    * across 32 tasks). Predicates cannot reorder across a nondeterministic
+    * filter, so the caller's compute stays post-exchange. `rand()`-based
+    * barriers do not survive Spark 4's `OptimizeRand` range folding;
+    * nothing folds the pmod form. The barrier exists only on this
+    * small-input path — at scale `spread` returns the input untouched and
+    * pushdown behaves normally.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (df.rdd.getNumPartitions < par)
+      df.repartition(par)
+        .where(pmod(monotonically_increasing_id(), lit(1L)) >= 0)
+    else df
   }
 
   // Relations persisted by the LSH operators (they feed multiple plan
@@ -726,9 +744,14 @@ object Dedup {
                  lit(java.math.BigDecimal.ZERO))).head()
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
-    var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // The driver-path probe runs directly on the deduped-edge plan — small
+    // graphs (the latency-sensitive regime) finish in exactly ONE action.
+    // Only the star-loop fallthrough checkpoints, paying one extra pass
+    // over the pair expansion in the rare huge-graph case where the loop's
+    // ~10 jobs/round dominate anyway (an eager checkpoint before the probe
+    // was that same pass, paid on EVERY call).
+    val deduped = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
     // ids of scalar orderable types are runtime-Comparable — the driver
     // path needs that total order for the min-id representative (binary /
     // nested ids fall through to the star loop, whose ordering Catalyst
@@ -743,9 +766,8 @@ object Dedup {
     }
     if (driverOrderable) {
       val cap = math.min(driverCcMaxEdges, Int.MaxValue - 1L).toInt
-      val edges = e.head(cap + 1)
+      val edges = deduped.head(cap + 1)
       if (edges.length <= cap) {
-        e.unpersist(blocking = false)
         // Strings must compare the way Catalyst's UTF8String does (unsigned
         // UTF-8 bytes) — String.compareTo is UTF-16 code units, which orders
         // supplementary characters differently, and the min-id REPRESENTATIVE
@@ -778,11 +800,14 @@ object Dedup {
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", aT),
           org.apache.spark.sql.types.StructField("cluster", aT)))
-        val membership = cached(pairs.sparkSession.createDataFrame(rows, schema))
-        membership.count()
-        return membership
+        // driver-local rows plan as a LocalTableScan — re-"computing" it is
+        // free, so no persist and no materialization job (each is ~0.15 s of
+        // scheduler latency that dominated exactly the small-graph regime
+        // this path exists for)
+        return pairs.sparkSession.createDataFrame(rows, schema)
       }
     }
+    var e = deduped.localCheckpoint(true)
     var sig = signature(e)
     var converged = false
     var it = 0

@@ -186,7 +186,13 @@ object QualityModel {
     val linear = weights.zip(feats)
       .map { case (w, f) => lit(w) * f }
       .reduceLeft(_ + _)
-    df.withColumn("__qtoks", TextOps.tokens(col(textCol)))
+    // the feature pipeline is interpreted higher-order-function work
+    // (sort+fold over the bigram array) — a single-row-group parquet source
+    // arrives as ONE partition and would score serially; spread (with its
+    // pushdown barrier, see [[Dedup.spread]]) keeps the scoring stage
+    // post-exchange, and is a no-op once the input is already split (the
+    // 100 TB case)
+    Dedup.spread(df).withColumn("__qtoks", TextOps.tokens(col(textCol)))
       .withColumn("__qgrams", TextOps.wordNgrams(col("__qtoks"), 2))
       .withColumn(scoreCol, floor(linear * 1000000.0 + 0.5).cast("long"))
       .withColumn(acceptCol, (col(scoreCol) > 0).cast("long"))

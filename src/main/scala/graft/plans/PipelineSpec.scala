@@ -362,7 +362,13 @@ object PipelineCompiler {
       case CacheSpec(in) =>
         val df = build(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         compiledCaches.synchronized { compiledCaches += df }
-        df
+        // Root downstream nodes at the InMemoryRelation leaf: persist alone
+        // truncates execution but NOT analysis — each downstream op
+        // re-analyzes the full upstream tree (and a DAG's shared nodes are
+        // walked once per referencing path, so a composed pipeline's driver
+        // cost compounds). The cached subtree stays plan-auditable through
+        // `InMemoryTableScanExec.relation.cachedPlan`.
+        org.apache.spark.sql.graft.Bridge.cachedRelation(df).getOrElse(df)
     }
 
     spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }

@@ -63,10 +63,27 @@ class QualityModelSpec extends SparkSpec {
     assert(scored == Map(1L -> 0L, 2L -> 0L), s"got $scored")
   }
 
-  test("scoring is expression-only: zero exchanges, zero UDFs") {
-    val p = QualityModel.score(docs, "text", SparkEntry.qualityGateWeights)
+  test("scoring is expression-only: zero exchanges beyond the small-input spread, zero UDFs") {
+    // an input already split across the cluster (the 100 TB case) makes the
+    // spread a no-op — the scoring pipeline itself must add NO exchange
+    val par = spark.sparkContext.defaultParallelism
+    val p = QualityModel.score(docs.repartition(par), "text", SparkEntry.qualityGateWeights)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"),
-      s"scoring must be a narrow pass:\n${p.take(2000)}")
+    assert(p.split("Exchange").length - 1 == 1 && !p.contains("BatchEvalPython"),
+      s"scoring must add no exchange beyond the caller's repartition:\n${p.take(2000)}")
+    // a single-partition source gets exactly the ONE spread exchange, and
+    // a downstream accept-filter must stay ABOVE it (the pushdown barrier:
+    // a pushed filter would re-serialize scoring onto the lone partition)
+    val small = QualityModel.score(docs, "text", SparkEntry.qualityGateWeights)
+      .filter($"quality_accept" === 1)
+    val sp = small.queryExecution.executedPlan.toString
+    assert(sp.split("Exchange").length - 1 == 1 && !sp.contains("BatchEvalPython"),
+      s"expected exactly the spread exchange:\n${sp.take(2000)}")
+    // a pushed-down filter carries the SUBSTITUTED score expression (its
+    // FLOOR(...) dot product), so nothing rendered below the exchange may
+    // contain the scoring arithmetic
+    val belowExchange = sp.substring(sp.indexOf("Exchange"))
+    assert(!belowExchange.contains("FLOOR"),
+      s"accept filter pushed below the spread exchange:\n${sp.take(2000)}")
   }
 }
