@@ -1246,9 +1246,22 @@ object Dedup {
   def incrementalSemanticDedup(delta: DataFrame, store: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
       threshold: Double, maxClusterSize: Int = 10000): DataFrame =
+    incrementalSemanticDedupAssigned(
+      assignSemanticClusters(spread(delta), idCol, vecCol, centroids),
+      store, threshold, maxClusterSize)
+
+  /** [[incrementalSemanticDedup]] over a PRE-ASSIGNED delta (the
+    * `(id, vec, cluster, …)` relation [[assignSemanticClusters]] produces)
+    * — the entry point when the caller needs the delta's assignment for
+    * itself too (the streaming ingest assigns ONCE and reuses the relation
+    * for both the pair kernel and the semantic-store append, instead of
+    * recomputing the centroid cosines per consumer).
+    */
+  def incrementalSemanticDedupAssigned(assignedDelta: DataFrame, store: DataFrame,
+      threshold: Double, maxClusterSize: Int = 10000): DataFrame =
     withScopedCaches { localCached =>
       import graft.functions.VectorMath
-      val d = localCached(assignSemanticClusters(spread(delta), idCol, vecCol, centroids))
+      val d = localCached(assignedDelta.select("id", "vec", "cluster"))
       val deltaClusters = d.select("cluster").distinct()
       val pruned = store.select("id", "vec", "cluster")
         .join(broadcast(deltaClusters), Seq("cluster"), "left_semi")
@@ -1293,12 +1306,23 @@ object Dedup {
     */
   def incrementalSemanticDrop(delta: DataFrame, store: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      threshold: Double, maxClusterSize: Int = 10000): DataFrame =
+    incrementalSemanticDropAssigned(delta,
+      assignSemanticClusters(spread(delta), idCol, vecCol, centroids),
+      store, idCol, threshold, maxClusterSize)
+
+  /** [[incrementalSemanticDrop]] over a PRE-ASSIGNED delta — see
+    * [[incrementalSemanticDedupAssigned]] for when to prefer it.
+    * `assignedDelta` must be the assignment of exactly `delta`'s rows.
+    */
+  def incrementalSemanticDropAssigned(delta: DataFrame, assignedDelta: DataFrame,
+      store: DataFrame, idCol: String,
       threshold: Double, maxClusterSize: Int = 10000): DataFrame = {
     val losers = withCacheScope {
       // already persisted + registered by withScopedCaches inside — no
       // extra cached() wrapper (it would double-persist/double-register)
-      val pairs = incrementalSemanticDedup(delta, store, idCol, vecCol,
-        centroids, threshold, maxClusterSize)
+      val pairs = incrementalSemanticDedupAssigned(assignedDelta, store,
+        threshold, maxClusterSize)
       // the pair relation canonicalizes (least, greatest), so re-derive
       // which side is new by membership in the delta's id set
       val dIds = delta.select(col(idCol).as("__did"))

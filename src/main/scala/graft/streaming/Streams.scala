@@ -382,8 +382,15 @@ object Streams {
     *    recovery class as window 1, with nothing to even distinct);
     *  - crash AFTER all three appends but before the offset commits: the
     *    semantic store already holds the batch's ids, the id anti-join
-    *    empties the replay, and nothing re-appends — fully self-healing,
-    *    which is why the semantic append goes LAST.
+    *    empties the replay (and the empty-batch guard then skips all
+    *    work) — fully self-healing, which is why the semantic append goes
+    *    LAST.
+    *
+    * Sink ORDER is a recovery-quality choice, not a correctness
+    * dependency: `novel` is eagerly `localCheckpoint`ed before any append,
+    * so no append's `refreshByPath` can evict a plan that still reads a
+    * store mid-batch (the r12 coupling where the semantic append HAD to
+    * run last or the recompute saw the batch's own vectors).
     */
   def ingestPretrainCorpus(stream: DataFrame, idCol: String, textCol: String,
                            vecCol: String, qualityWeights: Seq[Double],
@@ -411,7 +418,10 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        Dedup.withCacheScope {
+        // a replayed-to-empty or source-empty micro-batch runs ZERO store
+        // reads and zero model passes — the one-task probe is pennies
+        // against the ~8 serialized actions it skips
+        if (!batch.isEmpty) Dedup.withCacheScope {
           val qualified = QualityModel.score(batch, textCol, qualityWeights)
             .filter(col("quality_accept") === 1)
           val accepted = dsirWeightsDir match {
@@ -427,44 +437,54 @@ object Streams {
             Dedup.assignSemanticClusters(accepted.limit(0), idCol, vecCol, centroids))
           val fresh = accepted.join(semStore.select(col("id").as(idCol)),
             Seq(idCol), "left_anti")
-          val novel = Dedup.incrementalSemanticDrop(fresh, semStore, idCol, vecCol,
-            centroids, semThreshold).persist()
+          // centroid assignment computed ONCE per batch: the pair kernel
+          // and the semantic-store append both consume this relation (the
+          // former via the Assigned entry points, the latter pruned to the
+          // survivors) instead of re-running the k×dim cosine pass. No
+          // spread here: `fresh` is already post-score (spread upstream),
+          // and probing partition counts on a plan WITH exchanges executes
+          // its map stages during planning — a whole wasted pass
+          val assigned = Dedup.assignSemanticClusters(fresh,
+            idCol, vecCol, centroids).persist()
           try {
-            val fpStore = Dedup.readStore(spark, spanStoreDir)(Seq.empty[String].toDF("fp"))
-            val (rebuilt, newFps) = Dedup.incrementalSpanDedup(novel, fpStore, idCol,
-              textCol, spanK)
-            // graft the rebuilt text back onto the full survivor rows
-            // (quality columns + embedding ride through), SpanDedupNodeSpec's
-            // join-back shape; the embedding column itself is not persisted
-            // to the corpus — it lives in the semantic store's assigned form
-            // n_kept = 0 means every window span-deduped away: drop the row
-            // (the batch flagship v3's 'nonempty' stage semantics — without
-            // this the corpus accumulated empty-text rows its batch
-            // counterpart never emits, and the window-2 crash replay
-            // re-appended them)
-            val kept = novel
-              .join(rebuilt.select(col("id").as("__sid"), col("text_out"), col("n_kept")),
-                novel(idCol) === col("__sid"))
-              .filter(col("n_kept") > 0)
-              .withColumn(textCol, col("text_out"))
-              .drop("__sid", "text_out", vecCol)
-              .persist()
+            // localCheckpoint (not persist): materializing `novel` HERE
+            // truncates its lineage, so no later parquet append's
+            // refreshByPath can evict a plan that still reads the semantic
+            // store — the sink appends below are ORDER-INDEPENDENT for
+            // correctness (the semantic append still goes last because its
+            // post-commit-crash replay is then a free no-op: the id
+            // anti-join empties the batch)
+            val novel = Dedup.incrementalSemanticDropAssigned(fresh, assigned,
+              semStore, idCol, semThreshold).localCheckpoint(true)
             try {
-              // sink order is load-bearing: every parquet append ends in a
-              // refreshByPath that UNCACHES any plan reading that path —
-              // `novel` reads the semantic store, so the semantic append
-              // must come LAST (an earlier append would evict novel's
-              // cache and its recompute would see the batch's own vectors
-              // in the store and drop everything as self-dups)
+              val fpStore = Dedup.readStore(spark, spanStoreDir)(Seq.empty[String].toDF("fp"))
+              val (rebuilt, newFps) = Dedup.incrementalSpanDedup(novel, fpStore, idCol,
+                textCol, spanK)
+              // graft the rebuilt text back onto the full survivor rows
+              // (quality columns + embedding ride through), SpanDedupNodeSpec's
+              // join-back shape; the embedding column itself is not persisted
+              // to the corpus — it lives in the semantic store's assigned form
+              // n_kept = 0 means every window span-deduped away: drop the row
+              // (the batch flagship v3's 'nonempty' stage semantics — without
+              // this the corpus accumulated empty-text rows its batch
+              // counterpart never emits, and the window-2 crash replay
+              // re-appended them)
+              val kept = novel
+                .join(rebuilt.select(col("id").as("__sid"), col("text_out"), col("n_kept")),
+                  novel(idCol) === col("__sid"))
+                .filter(col("n_kept") > 0)
+                .withColumn(textCol, col("text_out"))
+                .drop("__sid", "text_out", vecCol)
               kept.write.mode("append").parquet(corpusDir)
               afterCorpusAppend()
               newFps.write.mode("append").parquet(spanStoreDir)
               afterSpanAppend()
-              Dedup.assignSemanticClusters(novel, idCol, vecCol, centroids)
+              assigned.join(novel.select(col(idCol).as("__nid")),
+                  assigned("id") === col("__nid"), "left_semi")
                 .write.mode("append").parquet(semStoreDir)
               beforeCommit()
-            } finally kept.unpersist(blocking = false)
-          } finally novel.unpersist(blocking = false)
+            } finally novel.unpersist(blocking = false)
+          } finally assigned.unpersist(blocking = false)
         }
         ()
       }
