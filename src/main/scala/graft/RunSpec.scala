@@ -1,0 +1,62 @@
+package graft
+
+/** Spec-file runner — the reference's persisted-job UX
+  * (`jobs/hi-order/job-pipeline.js:86-106`: save a pipeline once, run it
+  * later without writing code) as a CLI over the JSON round-tripping the
+  * compiler already does:
+  *
+  * {{{
+  * runMain graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n]
+  * }}}
+  *
+  * `--param` values substitute `{%k%}` placeholders at compile time, the
+  * same resolution the programmatic API uses (environment variables cover
+  * the `$VAR` form, as in the reference's config loading). With `--out`
+  * the result is written as parquet; otherwise the first `--show` rows
+  * (default 20) print to stdout. Exits nonzero on a broken spec.
+  */
+object RunSpec {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n]")
+      sys.exit(2)
+    }
+    val specPath = args.head
+    var params = Map.empty[String, String]
+    var out: Option[String] = None
+    var show = 20
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--param" =>
+          val kv = args(i + 1).split("=", 2)
+          require(kv.length == 2, s"--param expects k=v, got '${args(i + 1)}'")
+          params += kv(0) -> kv(1); i += 2
+        case "--out"  => out = Some(args(i + 1)); i += 2
+        case "--show" => show = args(i + 1).toInt; i += 2
+        case other =>
+          System.err.println(s"unknown argument '$other'"); sys.exit(2)
+      }
+    }
+    val json = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specPath)), "UTF-8")
+    val spec = plans.SpecJson.fromJson(json)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val df = plans.PipelineCompiler.compile(spec, spark, params)
+      out match {
+        case Some(dir) =>
+          df.write.mode("overwrite").parquet(dir)
+          println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
+        case None => df.show(show, truncate = false)
+      }
+    } finally plans.PipelineCompiler.unpersistCompiledCaches()
+    // per the Verify/Bench convention: specs can open per-JVM services
+    // (paged-HTTP sources); a non-daemon dispatcher would hang the exit
+    sys.exit(0)
+  }
+}

@@ -963,8 +963,15 @@ object SparkEntry {
     * (~10⁻¹ on this corpus, vs ~10⁻¹² cross-engine ln/summation noise —
     * checked at build time, see the margin probe in DsirSpec).
     */
-  private def qNLlmPipelineV3(s: SparkSession, dir: String): DataFrame = {
-    val spec = PipelineSpec(nodes = Seq(
+  /** The flagship-v3 spec as a value — the SOURCE of the checked-in asset
+    * `src/main/resources/specs/llm_pipeline_v3.json` (exported by
+    * `tools.SpecExport`, equality-pinned in SpecJsonSpec so the two can
+    * never drift). The GATE compiles from the resource file, exercising
+    * the reference's persisted-job UX (`jobs/hi-order/job-pipeline.js:86-106`)
+    * end to end; `graft.RunSpec` is the matching user CLI.
+    */
+  private[graft] def llmPipelineV3Spec: PipelineSpec =
+    PipelineSpec(nodes = Seq(
       "docs"   -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
       "emb"    -> SourceSpec("parquet", "{%dir%}/embeddings.parquet"),
       "base"   -> MapSpec(RefSpec("docs"), Seq(
@@ -1007,8 +1014,21 @@ object SparkEntry {
       // scan re-ran the whole DSIR selection cascade
       "train"  -> CacheSpec(FilterSpec(RefSpec("split"), "split = 'train'"))),
       out = "train")
+
+  /** The checked-in JSON form of [[llmPipelineV3Spec]], read from the
+    * classpath so the asset resolves regardless of working directory.
+    */
+  private[graft] def llmPipelineV3Json: String = {
+    val in = getClass.getResourceAsStream("/specs/llm_pipeline_v3.json")
+    require(in != null, "missing resource /specs/llm_pipeline_v3.json")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def qNLlmPipelineV3(s: SparkSession, dir: String): DataFrame = {
+    // compiled FROM the checked-in spec asset — the persisted-job UX runs
+    // on the gate path itself (SpecJsonSpec pins file == toJson(inline))
     val train = PipelineCompiler.compile(
-      SpecJson.fromJson(SpecJson.toJson(spec)), s, Map("dir" -> dir))
+      SpecJson.fromJson(llmPipelineV3Json), s, Map("dir" -> dir))
     val seg = Bpe.vocabSegmentation(Bpe.wordCounts(train, "text"), bpeGateMerges)
     Packing.packSequencesEncoded(train, "doc_id", "text", seg,
         budgetTokens = 700, shards = 16)
@@ -1047,6 +1067,117 @@ object SparkEntry {
   val qualityGateWeights: Seq[Double] = Seq(
     -4.2627960659, 12.1640084758, 21.5034395273, -5.0739632683,
     -23.1214741799, 11.0592704619, -17.6127551396)
+
+  /** Pinned TRAINED k-means centroids for the semantic tier — the third
+    * model asset next to [[qualityGateWeights]] and [[bpeGateMerges]]:
+    * fit once by `tools.SemTrainProbe` ([[graft.operators.Dedup.trainSemanticCentroids]],
+    * seed 42, k = 8, sf0.01 embeddings; cluster sizes 25-88, all inside
+    * the pair-expansion band) and pinned because k-means re-training is
+    * not bit-deterministic (partition-order float sums). Under a PINNED
+    * set the argmax assignment and the within-cluster cosines are pure
+    * IEEE arithmetic any engine replays exactly — which is what lets
+    * `q_n_semdedup_trained` hash-gate the trained path against DuckDB,
+    * where the un-pinned trainer can only be invariant-tested (CI,
+    * PretrainPipelineSpec).
+    */
+  private[graft] val semanticCentroidsKmeans: Seq[(Int, Seq[Float])] = Seq(
+    (0, Seq[Float](
+      -0.05598204f, 0.02665207f, -0.040018927f, 0.0036957585f, -0.0056457967f, 0.04440719f,
+      0.075736344f, -0.012006346f, -0.015127673f, -0.03824064f, 0.011898907f, 7.014891E-4f,
+      -0.034285776f, 0.06534756f, -0.018900558f, -0.011807815f, 0.01476177f, -0.042199533f,
+      -0.018721078f, 0.01204822f, 0.011497453f, 0.009500411f, 0.017384347f, -0.010862058f,
+      0.05169489f, 0.046801206f, -0.027569352f, 0.01858834f, 0.008612488f, -0.0039355f,
+      -0.01611561f, 0.055685814f, -0.007978485f, -0.04356321f, -0.029865433f, 0.04630356f,
+      0.06533122f, 0.014240981f, -0.028199207f, 0.025981478f, 0.022492364f, 0.017363008f,
+      -0.014451613f, 0.0010083558f, -0.08461966f, -0.029188266f, 0.07035939f, -0.03592744f,
+      0.009005664f, 0.031781852f, 0.009834948f, 0.03205398f, 0.00671585f, 0.0075451476f,
+      -0.020197546f, -0.037923746f, 0.05546306f, -0.017850036f, -0.020568436f, 0.029577442f,
+      -0.010049423f, -0.011300782f, -0.004890287f, 0.008168603f)),
+    (1, Seq[Float](
+      -0.018008968f, -0.07359678f, -0.0028996058f, 0.07207995f, 0.022182375f, -0.050763395f,
+      -0.058644198f, 0.07072825f, 0.042179555f, 0.15309148f, -0.07511369f, 0.012658863f,
+      -0.018500974f, -0.0324905f, -0.013622207f, -0.04745862f, -0.05230312f, -0.10879155f,
+      -0.014177187f, -0.05417052f, 0.024753796f, 0.1595949f, 0.052134864f, 0.0063870004f,
+      -0.01348781f, 0.25205016f, 0.10277837f, -0.022411149f, 0.052287817f, -0.11269748f,
+      0.022269374f, 0.14395365f, 0.091616146f, -0.040987995f, 0.03373235f, -0.07925384f,
+      0.052415777f, -0.026748367f, 0.0067229513f, 0.05297144f, -0.010102924f, -0.084841244f,
+      -0.09011559f, 0.07366693f, -0.029820198f, 0.16332544f, 0.041292552f, 0.0106704645f,
+      -0.15215373f, 0.021494046f, -0.035394102f, 0.077187635f, -0.059843138f, 0.033016793f,
+      -0.13852392f, -0.1131302f, 0.12774661f, -0.047104508f, 0.08192265f, 0.016162725f,
+      0.020500144f, -0.018780263f, -0.043529004f, -0.039743062f)),
+    (2, Seq[Float](
+      -0.013179192f, -0.018049335f, -0.007434639f, 0.005191001f, 0.040025227f, 0.030622117f,
+      -0.045107026f, 0.042193122f, 0.009779944f, 0.01952444f, -0.017521918f, 0.047233645f,
+      -0.014516114f, 0.025677763f, -0.022414096f, 0.02238162f, 0.010360367f, 0.017600287f,
+      -0.008742489f, -0.05012042f, 0.0109903f, 0.0032804844f, 0.028919306f, -0.12159552f,
+      -0.020991225f, 0.0036631397f, -0.018042706f, 0.013795021f, 0.012845442f, -0.043616474f,
+      0.023538388f, -0.04971888f, 0.0031990726f, 0.028139237f, 0.026420875f, -0.016739553f,
+      -0.014458027f, 0.03728495f, 0.021666853f, -0.03753657f, -0.012230441f, 0.024840225f,
+      0.016089713f, -0.013282789f, -0.01017684f, -0.017717578f, 0.0078608105f, 0.01503875f,
+      -0.016687984f, -0.03244909f, -0.009520486f, 0.008350416f, -0.017263142f, 0.038888622f,
+      0.029119108f, -0.03316239f, -0.0509988f, 0.0020191872f, 0.014919055f, -0.025190903f,
+      -0.027652187f, 0.029465156f, 0.012101097f, 0.005768069f)),
+    (3, Seq[Float](
+      0.052567337f, -0.007173239f, -0.011624162f, 0.011214869f, -0.02740001f, 0.002539826f,
+      -0.049100053f, 0.016414044f, -0.0216099f, -0.04708448f, -0.0053845188f, 0.01699802f,
+      -0.04763152f, -0.03815796f, -0.029138343f, 0.033260617f, -0.0016337123f, 0.022358593f,
+      0.044370484f, -0.039772715f, -0.047554612f, 0.011422372f, 0.0063328627f, 0.070763364f,
+      0.03296972f, 0.0075248773f, 0.008114185f, 0.016772112f, 0.038289778f, 0.016787417f,
+      0.038043078f, 0.07389219f, -0.020793239f, -0.014044267f, 0.022838565f, 0.01287064f,
+      -0.067562f, -0.017414784f, -1.6184992E-4f, 0.02197822f, -0.006830312f, -0.012206653f,
+      0.07734367f, -0.019145658f, -0.012125594f, 0.05077807f, 0.0027317551f, 0.016376171f,
+      -0.02453766f, 0.01200172f, 0.028717391f, 0.029595833f, 0.01720864f, -0.06823438f,
+      -0.008882912f, 0.023955649f, 0.015123246f, 0.011279577f, -0.050660685f, -0.034416247f,
+      0.025259301f, 0.004856876f, 0.013574329f, 0.021775365f)),
+    (4, Seq[Float](
+      0.029459001f, 0.056099575f, -0.024260527f, 0.0476833f, 0.008710111f, -0.0019008457f,
+      -0.08906995f, 0.0025849843f, -0.016431125f, -0.019270238f, 0.032625705f, -0.115089454f,
+      0.0064463504f, 0.024165796f, 0.0151427f, 0.019998448f, -0.015532939f, 0.013883954f,
+      -0.057253547f, -0.0032701364f, 0.015620047f, -0.0095197195f, 0.05691437f, 0.03625248f,
+      0.059344735f, -0.039787263f, -0.022609448f, 0.005138756f, 9.0122246E-4f, 0.0517262f,
+      -0.024640433f, -0.076877266f, 0.026911136f, 0.015903134f, -0.0049963333f, -0.04368614f,
+      0.010073376f, 0.04094496f, -0.047560763f, 0.029303199f, -0.055521537f, -0.047168996f,
+      -0.040058445f, -0.021099241f, -0.028735971f, 0.008631902f, -0.039806474f, 0.021655038f,
+      0.051314563f, 0.035210177f, 0.060486387f, -0.060245614f, -0.0066542416f, 0.005624085f,
+      -0.01048776f, 0.01410556f, 0.031666443f, 0.020459373f, 0.0027870918f, 0.07314295f,
+      0.05368387f, -0.022721728f, 0.023448579f, -0.017885407f)),
+    (5, Seq[Float](
+      0.02805845f, -0.010825164f, 0.027034199f, -0.088321045f, -0.010272143f, 0.008531926f,
+      -0.01688171f, 0.024520922f, 0.043996517f, 0.076164156f, 0.015959583f, -0.004562446f,
+      0.059491854f, -0.017568355f, 0.019381173f, 0.025611477f, -0.005055878f, 0.07660289f,
+      0.014996342f, 0.08367122f, -0.008112739f, -0.039937563f, 0.0031154186f, -0.027585588f,
+      -0.042963296f, -0.012744228f, 7.2267215E-4f, 0.083776206f, -0.07497633f, 0.008457265f,
+      -0.017321115f, 0.0023707633f, 0.03187082f, 0.007656615f, 0.002217635f, 0.050102852f,
+      0.010993995f, -0.054430693f, 0.026829366f, -0.030580707f, 0.01623004f, -0.039386045f,
+      0.04678457f, 0.0076859337f, 0.0018839455f, -0.017123552f, -0.0038461406f, 0.0336089f,
+      0.023404313f, 0.0051891985f, -6.1554956E-4f, -0.008908499f, 0.001523423f, -0.0063986056f,
+      0.017774891f, 0.07741986f, -0.017897682f, -0.03947033f, -0.05899299f, -0.03996126f,
+      -0.0031209942f, 0.018710265f, -0.038687225f, -0.058978464f)),
+    (6, Seq[Float](
+      -0.00270344f, -0.0015911384f, 0.089608334f, -0.0421426f, 0.02761024f, -0.062677145f,
+      0.042618267f, 0.027955623f, -0.012707683f, -0.020182006f, 0.011623187f, -0.06972401f,
+      0.006087312f, -0.053239558f, -0.018244002f, -0.023850717f, 0.03525276f, -0.028985396f,
+      -0.015596469f, 0.03955888f, -0.008719313f, -0.0018948723f, 0.00294692f, 0.0072378074f,
+      -0.045627262f, 0.04060225f, 0.06425384f, -0.018861063f, 0.01667822f, 0.036567923f,
+      0.01035995f, -0.038141664f, 0.008957483f, 0.012601805f, -0.0057515195f, -0.0036669397f,
+      -0.02669808f, -0.040539645f, 0.022825772f, 0.050934322f, 0.0055804583f, -0.030171938f,
+      -0.017580936f, 0.06547714f, -0.036730047f, -5.301454E-4f, -0.049944736f, -0.011519521f,
+      -0.046119716f, 0.025852676f, -0.008482133f, -0.03279113f, 0.0081688315f, 0.024479317f,
+      0.09761131f, -0.05452087f, 0.029550746f, -0.021331014f, -0.003390559f, -0.008741935f,
+      -0.04561705f, -0.029621974f, 0.01742596f, -0.035827816f)),
+    (7, Seq[Float](
+      -0.012322076f, -0.033248696f, 0.0043550683f, 0.013262043f, 0.022641893f, 0.015816081f,
+      -0.027638463f, -0.04248583f, -0.01102029f, 0.0038332555f, 0.021826673f, 0.057921384f,
+      0.02054679f, 0.007760987f, 0.054455567f, -0.02213815f, -0.009580338f, -0.010751251f,
+      0.011223049f, 0.011796903f, 0.0019091631f, 0.0152962115f, -0.06347007f, 0.029784234f,
+      -0.023134058f, 0.014445631f, -0.014510858f, -0.029756634f, -0.024226598f, -0.01021398f,
+      -8.833761E-4f, -0.028358929f, 0.019516973f, -0.044905987f, 0.0026438986f, -0.022475302f,
+      0.0016913057f, -5.245798E-4f, -0.018879335f, -0.033213988f, 0.008816687f, -0.018618854f,
+      -0.06855118f, -0.014096022f, 0.055817585f, 0.013110303f, -0.01056842f, -5.850388E-4f,
+      0.010754345f, -0.09441552f, 0.008001874f, -0.012804815f, 0.044007193f, -0.026655423f,
+      -0.045011755f, 0.00474979f, -4.826109E-4f, 0.01985302f, 0.0511649f, -0.01683699f,
+      0.016497461f, 0.018389063f, -0.022639997f, -0.030269334f)),
+  )
 
   /** Trained-quality-model gate: score every document under the pinned
     * weights. The whole pipeline — features, fixed-order dot product,
@@ -1222,6 +1353,33 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("cluster"),
         round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** The TRAINED-centroid semantic path, hash-gated end to end under the
+    * pinned [[semanticCentroidsKmeans]] model: one row per corpus vector
+    * (organic + planted) carrying its argmax assignment, its centroid
+    * similarity, and its ≥ 0.9 within-cluster pair degree/max — so the
+    * oracle replays the k-means ASSIGNMENT for every vector (not just the
+    * paired ones) plus the cluster-scoped pair kernel. The oracle SQL is
+    * GENERATED from the pinned float literals, so the two sides cannot
+    * drift. This closes r12's "trained mode has no driver gate": the
+    * trainer itself stays CI-invariant-pinned (not bit-deterministic), but
+    * everything downstream of the pinned model is now DuckDB-replayed.
+    */
+  private def qNSemdedupTrained(s: SparkSession, dir: String): DataFrame = {
+    val (emb, planted) = semdedupFixture(s, dir)
+    val assigned = Dedup.assignSemanticClusters(emb.unionByName(planted),
+      "vec_id", "embedding", semanticCentroidsKmeans)
+    val pairs = Dedup.semanticDedupPairsAssigned(assigned, threshold = 0.9)
+    val deg = pairs.select(col("id_a").as("id"), col("cos_sim"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("cos_sim")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_pairs"), round(max(col("cos_sim")), 4).as("max_cos"))
+    assigned.select(col("id").as("vec_id"), col("cluster"),
+        round(col("centroid_sim"), 4).as("centroid_sim"))
+      .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_pairs")).na.fill(-1.0, Seq("max_cos"))
+      .orderBy("vec_id")
   }
 
   /** Incremental semantic dedup, hash-gated: the organic corpus is the
@@ -1746,6 +1904,7 @@ object SparkEntry {
     "q_n_emb_dups"       -> (qNEmbDups _),
     "q_n_semdedup_assign" -> (qNSemdedupAssign _),
     "q_n_semdedup"       -> (qNSemdedup _),
+    "q_n_semdedup_trained" -> (qNSemdedupTrained _),
     "q_n_semdedup_incr"  -> (qNSemdedupIncr _),
     "q_n_ann_cosine"     -> (qNAnnCosine _),
     "q_n_ann_lsh"        -> (qNAnnLsh _),
@@ -1992,6 +2151,15 @@ object SparkEntry {
            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform($a, t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE))))
             * sqrt(list_sum(list_transform($b, t -> CAST(t AS DOUBLE)*CAST(t AS DOUBLE)))))"""
+
+  /** The pinned [[semanticCentroidsKmeans]] as a DuckDB VALUES list —
+    * `Float.toString` is the shortest round-trip decimal, so `CAST(… AS
+    * FLOAT[])` reconstructs the exact float32 the engine holds.
+    */
+  private def trainedCentsSql: String =
+    semanticCentroidsKmeans.map { case (cid, v) =>
+      s"($cid, CAST([${v.mkString(", ")}] AS FLOAT[]))"
+    }.mkString(",\n                ")
 
   def oracleSql: Map[String, String] = Map(
     "q_c1_filter" ->
@@ -2906,6 +3074,45 @@ object SparkEntry {
                FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
          SELECT id_a, id_b, CAST(cluster AS INT) AS cluster, round(cos, 4) AS cos_sim
          FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""",
+    // trained-centroid path: same fixture, centroids from the PINNED
+    // k-means literal (VALUES list generated from the Scala constant) —
+    // per-vector argmax assignment + within-cluster >= 0.9 pair degree
+    "q_n_semdedup_trained" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+          twin AS (SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding, x -> CAST(x*2 AS FLOAT)) AS embedding
+                   FROM base WHERE vec_id < 64),
+          blend AS (SELECT a.vec_id + 200000 AS vec_id,
+                      list_transform(range(1, len(a.embedding)+1),
+                        i -> CAST(CAST(a.embedding[i] AS DOUBLE)*3
+                                  + CAST(b.embedding[i] AS DOUBLE) AS FLOAT)) AS embedding
+                    FROM base a JOIN base b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 32),
+          corpus AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM twin
+                                  UNION ALL SELECT * FROM blend),
+          c AS (SELECT * FROM (VALUES $trainedCentsSql) AS t(cid, cv)),
+          s AS (SELECT v.vec_id, cid, ${cosSql("v.embedding", "cv")} AS cs
+                FROM corpus v, c),
+          r AS (SELECT vec_id, cid, cs,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                FROM s),
+          av AS MATERIALIZED (SELECT r.vec_id, r.cid AS cluster, r.cs, v.embedding
+                FROM r JOIN corpus v USING (vec_id) WHERE rn = 1),
+          csz AS (SELECT cluster, count(*) AS n FROM av GROUP BY 1),
+          avb AS MATERIALIZED (SELECT av.* FROM av JOIN csz USING (cluster)
+                 WHERE n BETWEEN 2 AND 10000),
+          p AS MATERIALIZED (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                  ${cosSql("x.embedding", "y.embedding")} AS cos
+                FROM avb x JOIN avb y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+          pf AS (SELECT * FROM p WHERE cos >= 0.9),
+          d AS (SELECT id, count(*) AS np, round(max(cos), 4) AS mc
+                FROM (SELECT id_a AS id, cos FROM pf
+                      UNION ALL SELECT id_b AS id, cos FROM pf)
+                GROUP BY id)
+          SELECT av.vec_id, CAST(cluster AS INT) AS cluster,
+                 round(cs, 4) AS centroid_sim,
+                 CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+                 coalesce(mc, -1.0) AS max_cos
+          FROM av LEFT JOIN d ON av.vec_id = d.id ORDER BY av.vec_id""",
     // incremental tier: identical re-derivation, restricted to pairs that
     // TOUCH the delta (planted ids >= 100000) — store x store pairs must
     // not emit, and on this fixture none clear 0.9 anyway, so the filter

@@ -267,4 +267,13 @@ class SpecJsonSpec extends SparkSpec {
     assert(out.select(expr("f1['a']")).head().getInt(0) == 1)
     assert(out.select(expr("f2['b']")).head().getInt(0) == 2)
   }
+
+  test("checked-in flagship-v3 spec asset equals the inline definition (no drift)") {
+    // the gate compiles FROM the resource file; this pin makes editing the
+    // inline spec without re-running tools.SpecExport (or hand-editing the
+    // asset) a CI failure in either direction
+    assert(graft.SparkEntry.llmPipelineV3Json ==
+      SpecJson.toJson(graft.SparkEntry.llmPipelineV3Spec),
+      "re-run `runMain graft.tools.SpecExport` after editing llmPipelineV3Spec")
+  }
 }
