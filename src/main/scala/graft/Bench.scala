@@ -23,9 +23,39 @@ object Bench {
     "q_n_quality_model", "q_n_llm_pipeline", "q_n_llm_pipeline_v2",
     "q_n_llm_pipeline_v3")
 
+  /** 1-minute loadavg — co-tenant pressure snapshot (includes this JVM
+    * once it starts working, hence the start/end pair in the output).
+    */
+  private def load1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Total busy jiffies across all cpus from /proc/stat (USER_HZ = 10 ms). */
+  private def busyJiffies(): Long =
+    try {
+      val f = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+        .get(0).trim.split("\\s+").drop(1).map(_.toLong)
+      f.sum - f(3) - f(4) // minus idle, iowait
+    } catch { case _: Throwable => -1L }
+
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // host-load accounting (VERDICT r12 §next #6): loaded-vs-idle
+    // adjudication of round-over-round drift should be automatic, not a
+    // SCALING.md narrative. other_cores = co-tenant busy-core average over
+    // the bench (total busy CPU minus THIS process's, per wall second).
+    val loadStart = load1m()
+    val busy0 = busyJiffies()
+    val selfCpu0 = processCpuNs()
+    val wall0 = System.nanoTime()
     val spark = GraftSession.builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,7 +130,16 @@ object Bench {
     val total = results.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
     val spread = obj(ts => ts.filter(_ >= 0).maxOption.getOrElse(-1.0)
       - ts.filter(_ >= 0).minOption.getOrElse(0.0))
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"queries_spread":$spread,"sf":"$sfDir"}"""
+    val loadEnd = load1m()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val otherCores = {
+      val busy = busyJiffies(); val selfCpu = processCpuNs()
+      if (busy < 0 || busy0 < 0 || selfCpu < 0 || selfCpu0 < 0 || wallSec <= 0) -1.0
+      else math.max(0.0,
+        ((busy - busy0) * 0.010 - (selfCpu - selfCpu0) / 1e9) / wallSec)
+    }
+    val loadObj = f""""load":{"start_1m":$loadStart%.2f,"end_1m":$loadEnd%.2f,"other_cores":$otherCores%.2f}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"queries_spread":$spread,$loadObj,"sf":"$sfDir"}"""
     // sbt runMain wraps System.out/err with "[info] "/"[error] " prefixes,
     // defeating a ^{-anchored parse (VERDICT r1 §wrong #2). Write the line
     // to the RAW process file descriptors (sbt substitutes the JVM stream

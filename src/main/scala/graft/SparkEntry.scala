@@ -1203,7 +1203,15 @@ object SparkEntry {
     * inner).
     */
   private def qNDsir(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    import s.implicits._
+    // planted GRAM-LESS documents (empty / whitespace-only → zero tokens →
+    // zero grams): the DSIR policy is that such docs get NO score row —
+    // "weight −∞, never selected" — implemented by the occurrence join.
+    // Their absence from the output is hash-pinned (both rows below must
+    // not appear; an engine emitting a zero-gram row breaks the gate).
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      .unionByName(Seq((999998L, "", "en"), (999999L, "   ", "en"))
+        .toDF("doc_id", "text", "lang"))
     // single-scan model build: target (en) and background counts from ONE
     // conditional aggregation over the same gram pass — the gate's whole
     // plan touches `documents` exactly twice (model + per-doc scoring
@@ -1776,7 +1784,15 @@ object SparkEntry {
     val twinB = joined.filter(col("doc_id") < 16)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"), col("lang"),
         transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
-    val rows = joined.unionByName(twinA).unionByName(twinB)
+    // planted sub-gram-width document: empty text → zero tokens → zero
+    // grams. Policy pinned by the gate: it falls at the QUALITY tier
+    // (bias-only score < 0 under the pinned weights) and must appear in no
+    // store and no corpus row — and had it passed quality, the DSIR tier's
+    // occurrence join gives gram-less docs no verdict row at all ("weight
+    // −∞, never selected"; the explicit form of the r12 implicit drop)
+    val planted = Seq((999999L, "", "und", Seq.fill(64)(0f).toSeq))
+      .toDF("doc_id", "text", "lang", "embedding")
+    val rows = joined.unionByName(twinA).unionByName(twinB).unionByName(planted)
       .as[(Long, String, String, Seq[Float])].collect().sortBy(_._1)
     // pinned run-once models: the DSIR gram weights (target = the corpus's
     // en slice, one conditional-aggregation scan) and the firstK centroids
@@ -2568,8 +2584,14 @@ object SparkEntry {
           SELECT doc_id, quality_score_1e6,
                  CAST(quality_score_1e6 > 0 AS BIGINT) AS quality_accept
           FROM qsc ORDER BY doc_id""",
+    // the planted gram-less docs (999998/999999) contribute zero grams to
+    // the model and, by the occurrence-join policy, zero output rows —
+    // the oracle replays the same drop through its g CTE (unnest of an
+    // empty gram list emits nothing)
     "q_n_dsir" ->
-      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents
+                     UNION ALL VALUES (999998, '', 'en'), (999999, '   ', 'en')),
+          t AS (SELECT doc_id, lang, $toksSql AS toks FROM d),
           g AS (SELECT doc_id, lang, unnest(list_concat(
                   list_transform(toks, x -> substr(md5(x), 1, 4)),
                   list_transform(range(1, len(toks)),
@@ -2790,7 +2812,8 @@ object SparkEntry {
           ptA AS (SELECT doc_id + 100001 AS doc_id, text, lang FROM pj WHERE doc_id < 32),
           ptB AS (SELECT doc_id + 200000 AS doc_id, text, lang FROM pj WHERE doc_id < 16),
           pall AS MATERIALIZED (SELECT * FROM pj UNION ALL SELECT * FROM ptA
-                                UNION ALL SELECT * FROM ptB),
+                                UNION ALL SELECT * FROM ptB
+                                UNION ALL VALUES (999999, '', 'und')),
           ${qualityCtesSql("pall")},
           qp AS MATERIALIZED (SELECT p.* FROM pall p JOIN qsc USING (doc_id)
                 WHERE quality_score_1e6 > 0),

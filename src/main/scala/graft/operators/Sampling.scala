@@ -166,6 +166,15 @@ object Sampling {
     * persist scores for reuse across selection runs. Same plan shape as
     * the resample's scoring phase: narrow gram pass, broadcast weights
     * join, map-side-combined `(id, double)` agg.
+    *
+    * POLICY — gram-less documents (empty/whitespace text: zero tokens,
+    * hence zero grams) get NO row, deliberately: a document with no
+    * evidence has importance weight −∞ in spirit, so both top-k selection
+    * and every threshold gate built on this (including the streaming
+    * ingest's inner join) never select it. Callers that instead want a
+    * neutral pure-smoothing score must left-join and coalesce themselves.
+    * Pinned by the planted empty-text fixtures in `q_n_dsir` and
+    * `q_s_pretrain_ingest`.
     */
   def importanceScores(df: DataFrame, idCol: String, textCol: String,
                        weights: DataFrame, hexLen: Int = 4): DataFrame =
