@@ -31,8 +31,18 @@ object Stress {
 
   private final class ShuffleMeter extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+    // spill accounting for the memory-pressure rows: memoryBytesSpilled is
+    // the in-memory size of data that overflowed execution memory,
+    // diskBytesSpilled its serialized on-disk size — nonzero spill with a
+    // completed run IS the spill-not-OOM claim
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      memSpill.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+      diskSpill.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+      ()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -83,11 +93,14 @@ object Stress {
       val only = sys.env.get("SPARK_GRAFT_STRESS_STAGES").map(_.split(",").map(_.trim).toSet)
       def time(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
         val b0 = meter.bytes.get(); val t0 = System.nanoTime()
+        val (m0, d0) = (meter.memSpill.get(), meter.diskSpill.get())
         val rows = f
         val secs = (System.nanoTime() - t0) / 1e9
         val mb = (meter.bytes.get() - b0) / 1e6
+        val spillMemMB = (meter.memSpill.get() - m0) / 1e6
+        val spillDiskMB = (meter.diskSpill.get() - d0) / 1e6
         val perMin = if (secs > 0) rows / (secs / 60.0) else 0.0
-        println(f"STRESS $name%-18s n=$actual%9d $secs%8.2f s rows=$rows%9d shuffleMB=$mb%9.1f rowsPerMin=$perMin%12.0f")
+        println(f"STRESS $name%-18s n=$actual%9d $secs%8.2f s rows=$rows%9d shuffleMB=$mb%9.1f spillMemMB=$spillMemMB%9.1f spillDiskMB=$spillDiskMB%8.1f rowsPerMin=$perMin%12.0f")
       }
       time("exact_dedup")(Dedup.exact(big, "text", "doc_id").count())
       // NOT count(): the drop relation is unique per id, so Catalyst

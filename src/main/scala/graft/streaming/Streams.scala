@@ -406,6 +406,15 @@ object Streams {
                            // pinned hashed-gram model parquet
                            dsirWeightsDir: Option[String] = None,
                            minLogw: Double = Double.NegativeInfinity,
+                           // every N batches, rewrite the three sinks
+                           // keyed-distinct ([[graft.operators.Dedup.compactStore]])
+                           // AFTER that batch's appends: bounds file counts
+                           // and purges crash-replay twins instead of
+                           // growing without maintenance; 0 = off. Runs at
+                           // the fully-applied point, so a crash
+                           // mid-compaction heals via recoverStore and the
+                           // batch replay is the window-3 no-op.
+                           compactEvery: Int = 0,
                            // test seams for the crash windows between the
                            // three sink appends (no-ops in production)
                            afterCorpusAppend: () => Unit = () => (),
@@ -415,7 +424,7 @@ object Streams {
     import graft.operators.{Dedup, QualityModel}
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         // a replayed-to-empty or source-empty micro-batch runs ZERO store
@@ -485,6 +494,21 @@ object Streams {
               beforeCommit()
             } finally novel.unpersist(blocking = false)
           } finally assigned.unpersist(blocking = false)
+        }
+        // scheduled maintenance at the fully-applied point: all three
+        // sinks hold this batch's rows, so compaction only ever removes
+        // crash-replay twins / rewrites small files — and a crash here
+        // replays the batch into the window-3 no-op (semantic store
+        // already holds its ids) before recoverStore-healed stores
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val spark2 = stream.sparkSession
+          Seq(corpusDir -> Seq(idCol), spanStoreDir -> Seq("fp"),
+              semStoreDir -> Seq("id")).foreach { case (dir, keys) =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(spark2.sparkContext.hadoopConfiguration)
+            if (fs.exists(p) || Dedup.recoverStore(spark2, dir))
+              Dedup.compactStore(spark2, dir, keys)
+          }
         }
         ()
       }

@@ -59,10 +59,17 @@ object IngestLadder {
     val qw = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     val cents = (0 until 64).map(c => (c, mkVec())) // pinned coarse cells
     val in = MemoryStream[(Long, String, Seq[Float])]
+    // every-N-batches store compaction (VERDICT r12 next #8): bounds the
+    // sinks' file counts as the ingest runs; 0 disables
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_INGEST_COMPACT_EVERY", "4").toInt
     val q = graft.streaming.Streams.ingestPretrainCorpus(
       in.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
       qw, cents, semThreshold = 0.95, spanK = 16,
-      s"$work/corpus", s"$work/sem", s"$work/span", s"$work/ckpt")
+      s"$work/corpus", s"$work/sem", s"$work/span", s"$work/ckpt",
+      compactEvery = compactEvery)
+    def files(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+        .getOrElse(0)
     try {
       for (b <- 0 until nBatches) {
         val rows = mkBatch(b)
@@ -73,7 +80,8 @@ object IngestLadder {
         val sem = spark.read.parquet(s"$work/sem").count()
         val span = spark.read.parquet(s"$work/span").count()
         println(f"LADDER ingest batch=$b%2d rows=$batchRows $secs%6.2f s " +
-          f"semStore=$sem%8d spanFps=$span%9d")
+          f"semStore=$sem%8d spanFps=$span%9d " +
+          f"files(corpus/sem/span)=${files(s"$work/corpus")}%3d/${files(s"$work/sem")}%3d/${files(s"$work/span")}%3d")
       }
     } finally q.stop()
     spark.stop(); sys.exit(0)

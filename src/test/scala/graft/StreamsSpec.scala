@@ -377,6 +377,54 @@ class StreamsSpec extends SparkSpec {
     assert(fps.length == 8 && fps.distinct.length == 8, s"got ${fps.length} fps")
   }
 
+  test("ingestPretrainCorpus scheduled compaction purges crash-replay twins and bounds the stores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_compact").toString
+    val (corpus, semStore, spanStore, ckpt) =
+      (s"$dir/corpus", s"$dir/sem", s"$dir/span", s"$dir/ckpt")
+    val cents: Seq[(Int, Seq[Float])] = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val w = SparkEntry.qualityGateWeights
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    def start(afterCorpusAppend: () => Unit = () => ()) =
+      graft.streaming.Streams.ingestPretrainCorpus(
+        in.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
+        w, cents, semThreshold = 0.95, spanK = 4, corpus, semStore, spanStore, ckpt,
+        compactEvery = 1, afterCorpusAppend = afterCorpusAppend)
+    // window-1 crash: the corpus append lands, the batch dies before the
+    // span append — the compaction hook must NOT run on the failed attempt
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q1 = start(afterCorpusAppend =
+      () => if (crash.get) throw new RuntimeException("crash before span append"))
+    try {
+      in.addData((1L, "the cat sat on the mat and the dog slept in the warm sun for hours today", Seq(10f, 0f)))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    crash.set(false)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the replay appended a byte-identical corpus twin; the end-of-batch
+      // compaction (keyed distinct) purged it without any manual
+      // compactStore call — the r12 "store maintenance is manual" gap
+      val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSeq
+      assert(ids == Seq(1L), s"compaction should leave exactly the true row, got $ids")
+      in.addData((2L, "a second novel document with entirely fresh words in it today for sure", Seq(0f, 7f)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val fps = spark.read.parquet(spanStore).as[String].collect()
+    assert(fps.length == fps.distinct.length, "span store must be keyed-distinct after compaction")
+    assert(spark.read.parquet(semStore).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // bounded file counts: each compaction rewrites the sink in one
+    // generation instead of accumulating per-batch part files
+    def files(d: String) =
+      Option(new java.io.File(d).listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    assert(files(corpus) <= 64 && files(spanStore) <= 64 && files(semStore) <= 64)
+  }
+
   test("ingestPretrainCorpus crash-replay: all three sink windows recover as documented") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
