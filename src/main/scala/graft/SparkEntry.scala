@@ -1220,7 +1220,7 @@ object SparkEntry {
       docs, "text", col("lang") === "en")
       .select(col("bucket"), col("cnt_target").as("__ct"),
         col("cnt_background").as("__cr"))
-    docs.select(col("doc_id"),
+    Dedup.spread(docs).select(col("doc_id"),
         explode(graft.functions.TextOps.hashedGrams(col("text"), 4)).as("bucket"))
       .join(broadcast(counts), Seq("bucket"))
       .groupBy("doc_id")
@@ -1511,7 +1511,7 @@ object SparkEntry {
     // points here would re-run the split(lower(text)) regex ~5×/row —
     // VERDICT r1 §wrong #4). CollapseProject keeps the stages separate
     // because the shared expressions are non-cheap and multiply referenced.
-    t(s, dir, "documents")
+    Dedup.spread(t(s, dir, "documents"))
       .withColumn("__lt", lower(col("text")))
       .withColumn("__toks", TextOps.tokensOfLower(col("__lt")))
       .withColumn("__dtoks", array_distinct(col("__toks")))
@@ -1964,7 +1964,10 @@ object SparkEntry {
         .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
       .toDF("bucket", "cnt_target", "cnt_background")
     val w = CorpusStats.importanceWeightsJoint(joint)
-    Sampling.importanceResample(docs, "doc_id", "text", w, k = 1000)
+    // spread at the CALL SITE (raw single-file input), not inside the
+    // operator: importanceScores' one-scalar-shuffle plan shape is
+    // PlanQualitySpec-locked and at scale needs no input exchange
+    Sampling.importanceResample(Dedup.spread(docs), "doc_id", "text", w, k = 1000)
   }
 
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

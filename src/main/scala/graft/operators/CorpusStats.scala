@@ -155,7 +155,11 @@ object CorpusStats {
     */
   def hashedGramCounts(df: DataFrame, textCol: String, hexLen: Int = 4): DataFrame = {
     require(hexLen >= 1 && hexLen <= 5, s"hexLen=$hexLen: bucket domain 16^hexLen must stay broadcastable")
-    df.select(explode(TextOps.hashedGrams(col(textCol), hexLen)).as("bucket"))
+    // gram construction (md5 per gram) is the heavy narrow phase — spread a
+    // single-row-group source so the map-side combine runs on every core
+    // (no-op at scale; see Dedup.spread)
+    Dedup.spread(df)
+      .select(explode(TextOps.hashedGrams(col(textCol), hexLen)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -174,7 +178,8 @@ object CorpusStats {
                             targetPred: org.apache.spark.sql.Column,
                             hexLen: Int = 4): DataFrame = {
     require(hexLen >= 1 && hexLen <= 5, s"hexLen=$hexLen: bucket domain 16^hexLen must stay broadcastable")
-    df.select(targetPred.as("__is_t"),
+    Dedup.spread(df)
+      .select(targetPred.as("__is_t"),
         explode(TextOps.hashedGrams(col(textCol), hexLen)).as("bucket"))
       .groupBy("bucket")
       .agg(count(when(col("__is_t"), lit(1))).as("cnt_target"),
