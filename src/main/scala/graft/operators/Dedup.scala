@@ -604,10 +604,22 @@ object Dedup {
   def incrementalDedupPairs(delta: DataFrame, storeSigs: DataFrame, idCol: String,
                             textCol: String, threshold: Double, shingleLen: Int = 5,
                             numHashes: Int = 128, bands: Int = 16,
-                            maxBucketSize: Int = 1000): DataFrame = {
+                            maxBucketSize: Int = 1000): DataFrame =
+    incrementalDedupPairsSigs(signatures(delta, idCol, textCol, shingleLen, numHashes),
+      storeSigs, threshold, numHashes, bands, maxBucketSize)
+
+  /** [[incrementalDedupPairs]] over PRE-COMPUTED delta signatures `(id,
+    * sig)` — for callers that need the delta's signature relation
+    * themselves (the streaming ingest computes it once and reuses it for
+    * the store append instead of re-shingling the survivors).
+    */
+  def incrementalDedupPairsSigs(deltaSigs: DataFrame, storeSigs: DataFrame,
+                                threshold: Double, numHashes: Int = 128,
+                                bands: Int = 16,
+                                maxBucketSize: Int = 1000): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     val result = withScopedCaches { localCached =>
-      val newSigs = localCached(signatures(delta, idCol, textCol, shingleLen, numHashes))
+      val newSigs = localCached(deltaSigs.select(col("id"), col("sig")))
       val all = localCached(newSigs.unionByName(storeSigs.select(col("id"), col("sig"))))
       val pairs = bandedPairs(all, numHashes, bands, maxBucketSize, Some(obs))
       val flags = newSigs.select(col("id"), lit(true).as("is_new"))
@@ -642,15 +654,28 @@ object Dedup {
   def incrementalDedup(delta: DataFrame, storeSigs: DataFrame, idCol: String,
                        textCol: String, threshold: Double, shingleLen: Int = 5,
                        numHashes: Int = 128, bands: Int = 16,
-                       maxBucketSize: Int = 1000): DataFrame = {
+                       maxBucketSize: Int = 1000): DataFrame =
+    incrementalDedupSigs(delta,
+      signatures(delta, idCol, textCol, shingleLen, numHashes),
+      storeSigs, idCol, threshold, numHashes, bands, maxBucketSize)
+
+  /** [[incrementalDedup]] over PRE-COMPUTED delta signatures — see
+    * [[incrementalDedupPairsSigs]] for when to prefer it. `deltaSigs` must
+    * be the `(id, sig)` signatures of exactly `delta`'s rows under the
+    * store's shingleLen/numHashes.
+    */
+  def incrementalDedupSigs(delta: DataFrame, deltaSigs: DataFrame,
+                           storeSigs: DataFrame, idCol: String,
+                           threshold: Double, numHashes: Int = 128,
+                           bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
     // scope every relation this call persists (the pair result and the
     // clusters() membership) so batch ingest loops accumulate nothing in the
     // session registry; the small loser id set is eagerly checkpointed so
     // the returned frame survives the scope exit (ContextCleaner reclaims
     // the checkpoint once the result is unreferenced)
     val losers = withCacheScope {
-      val pairs = cached(incrementalDedupPairs(delta, storeSigs, idCol, textCol, threshold,
-        shingleLen, numHashes, bands, maxBucketSize))
+      val pairs = cached(incrementalDedupPairsSigs(deltaSigs, storeSigs, threshold,
+        numHashes, bands, maxBucketSize))
       val vsStore = pairs.filter(col("a_new") && !col("b_new")).select(col("id_a").as("id"))
         .union(pairs.filter(col("b_new") && !col("a_new")).select(col("id_b").as("id")))
         .distinct()

@@ -104,6 +104,21 @@ object Streams {
       }
   }
 
+  /** Every-N-batches keyed-distinct rewrite of the given sink dirs at the
+    * fully-applied point (see [[ingestPretrainCorpus]]'s `compactEvery`);
+    * the shared maintenance hook of every store-backed ingest.
+    */
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+                           batchId: Long, compactEvery: Int,
+                           sinks: Seq[(String, Seq[String])]): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      sinks.foreach { case (dir, keys) =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p) || graft.operators.Dedup.recoverStore(spark, dir))
+          graft.operators.Dedup.compactStore(spark, dir, keys)
+      }
+
   /** Streaming corpus ingest with cross-batch near-dedup: every micro-batch
     * is deduped against the PERSISTED minhash signature store
     * ([[graft.operators.Dedup.incrementalDedup]]); survivors append to
@@ -121,27 +136,37 @@ object Streams {
     */
   def ingestDedup(stream: DataFrame, idCol: String, textCol: String,
                   threshold: Double, corpusDir: String, storeDir: String,
-                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                  checkpointDir: String,
+                  compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // scope the dedup operators' internal caches to THIS micro-batch:
         // incrementalDedup registers its pair/membership relations in the
         // session registry, which would otherwise grow by ~2 persisted
         // relations per batch for the life of the stream
-        Dedup.withCacheScope {
+        if (!batch.isEmpty) Dedup.withCacheScope {
           val store = Dedup.readStore(spark, storeDir)(
             Dedup.minhashSignatures(batch.limit(0), idCol, textCol))
-          val kept = Dedup.incrementalDedup(batch, store, idCol, textCol, threshold)
-            .persist()
+          // the batch's signatures computed ONCE: the pair kernel and the
+          // store append both consume this relation (the survivors'
+          // signatures are a semi-join slice — no re-shingle of kept rows)
+          val sigs = Dedup.minhashSignatures(batch, idCol, textCol).persist()
           try {
-            kept.write.mode("append").parquet(corpusDir)
-            Dedup.minhashSignatures(kept, idCol, textCol)
-              .write.mode("append").parquet(storeDir)
-          } finally kept.unpersist(blocking = false)
+            val kept = Dedup.incrementalDedupSigs(batch, sigs, store, idCol,
+              threshold).localCheckpoint(true)
+            try {
+              kept.write.mode("append").parquet(corpusDir)
+              sigs.join(kept.select(col(idCol).as("__kid")),
+                  sigs("id") === col("__kid"), "left_semi")
+                .write.mode("append").parquet(storeDir)
+            } finally kept.unpersist(blocking = false)
+          } finally sigs.unpersist(blocking = false)
         }
+        maybeCompact(spark, batchId, compactEvery,
+          Seq(corpusDir -> Seq(idCol), storeDir -> Seq("id")))
         ()
       }
       .start()
@@ -177,6 +202,7 @@ object Streams {
   def ingestSpanDedup(stream: DataFrame, idCol: String, textCol: String,
                       k: Int, corpusDir: String, storeDir: String,
                       checkpointDir: String,
+                      compactEvery: Int = 0,
                       // test seams for the two documented crash windows
                       // (StreamsSpec injects throws here to drive the
                       // checkpoint-replay recovery tests; no-ops in
@@ -194,18 +220,26 @@ object Streams {
     import graft.operators.Dedup
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val store = Dedup.readStore(spark, storeDir)(Seq.empty[String].toDF("fp"))
-        val (rebuilt, newFps) = Dedup.incrementalSpanDedup(batch, store, idCol, textCol, k)
-        val kept = rebuilt.persist()
-        try {
-          kept.write.mode("append").parquet(corpusDir)
-          afterCorpusAppend()
-          newFps.write.mode("append").parquet(storeDir)
-          beforeCommit()
-        } finally kept.unpersist(blocking = false)
+        if (!batch.isEmpty) {
+          val store = Dedup.readStore(spark, storeDir)(Seq.empty[String].toDF("fp"))
+          val (rebuilt, newFps) = Dedup.incrementalSpanDedup(batch, store, idCol, textCol, k)
+          val kept = rebuilt.persist()
+          try {
+            kept.write.mode("append").parquet(corpusDir)
+            afterCorpusAppend()
+            newFps.write.mode("append").parquet(storeDir)
+            beforeCommit()
+          } finally kept.unpersist(blocking = false)
+        }
+        // fp store only: this ingest's corpus recovery rule is
+        // max-n_kept-per-id (window-2 twins are NOT byte-identical — the
+        // replay row is an emptied rebuild), so a keep-ANY keyed distinct
+        // on the corpus could keep the wrong twin; compactStore is exact
+        // only where duplicate keys carry identical payloads
+        maybeCompact(spark, batchId, compactEvery, Seq(storeDir -> Seq("fp")))
         ()
       }
       .start()
@@ -253,6 +287,7 @@ object Streams {
   def ingestSemanticDedup(stream: DataFrame, idCol: String, vecCol: String,
                           centroids: Seq[(Int, Seq[Float])], threshold: Double,
                           corpusDir: String, storeDir: String, checkpointDir: String,
+                          compactEvery: Int = 0,
                           // test seams for the two crash windows (no-ops in
                           // production): between the sink appends, and after
                           // both appends but before the checkpoint commit
@@ -262,25 +297,36 @@ object Streams {
     import graft.operators.Dedup
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        Dedup.withCacheScope {
+        if (!batch.isEmpty) Dedup.withCacheScope {
           val store = Dedup.readStore(spark, storeDir)(
             Dedup.assignSemanticClusters(batch.limit(0), idCol, vecCol, centroids))
           // replay idempotency: ids already in the store were fully
           // ingested by a committed (or sink-complete) earlier attempt
           val fresh = batch.join(store.select(col("id").as(idCol)),
             Seq(idCol), "left_anti")
-          val kept = Dedup.incrementalSemanticDrop(fresh, store, idCol, vecCol,
-            centroids, threshold).persist()
+          // assignment computed ONCE for the pair kernel AND the store
+          // append (the ingestPretrainCorpus pattern); kept is eagerly
+          // checkpointed so no append's refreshByPath can evict a
+          // store-reading plan mid-batch
+          val assigned = Dedup.assignSemanticClusters(fresh, idCol, vecCol,
+            centroids).persist()
           try {
-            kept.write.mode("append").parquet(corpusDir)
-            afterCorpusAppend()
-            Dedup.assignSemanticClusters(kept, idCol, vecCol, centroids)
-              .write.mode("append").parquet(storeDir)
-            beforeCommit()
-          } finally kept.unpersist(blocking = false)
+            val kept = Dedup.incrementalSemanticDropAssigned(fresh, assigned,
+              store, idCol, threshold).localCheckpoint(true)
+            try {
+              kept.write.mode("append").parquet(corpusDir)
+              afterCorpusAppend()
+              assigned.join(kept.select(col(idCol).as("__kid")),
+                  assigned("id") === col("__kid"), "left_semi")
+                .write.mode("append").parquet(storeDir)
+              beforeCommit()
+            } finally kept.unpersist(blocking = false)
+          } finally assigned.unpersist(blocking = false)
         }
+        maybeCompact(spark, batchId, compactEvery,
+          Seq(corpusDir -> Seq(idCol), storeDir -> Seq("id")))
         ()
       }
       .start()
@@ -314,13 +360,15 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val weights = spark.read.parquet(weightsDir)
-        batch.join(
-            graft.operators.Sampling.importanceScores(batch, idCol, textCol, weights, hexLen)
-              .filter(col("dsir_logw") >= minLogw),
-            Seq(idCol))
-          .write.mode("append").parquet(corpusDir)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val weights = spark.read.parquet(weightsDir)
+          batch.join(
+              graft.operators.Sampling.importanceScores(batch, idCol, textCol, weights, hexLen)
+                .filter(col("dsir_logw") >= minLogw),
+              Seq(idCol))
+            .write.mode("append").parquet(corpusDir)
+        }
         ()
       }
       .start()
@@ -348,9 +396,10 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.QualityModel.score(batch, textCol, weights)
-          .filter(col("quality_accept") === 1)
-          .write.mode("append").parquet(corpusDir)
+        if (!batch.isEmpty)
+          graft.operators.QualityModel.score(batch, textCol, weights)
+            .filter(col("quality_accept") === 1)
+            .write.mode("append").parquet(corpusDir)
         ()
       }
       .start()
