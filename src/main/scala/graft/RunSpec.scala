@@ -6,13 +6,15 @@ package graft
   * compiler already does:
   *
   * {{{
-  * runMain graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n]
+  * runMain graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] [--explain]
   * }}}
   *
   * `--param` values substitute `{%k%}` placeholders at compile time, the
   * same resolution the programmatic API uses (environment variables cover
   * the `$VAR` form, as in the reference's config loading). With `--out`
-  * the result is written as parquet; otherwise the first `--show` rows
+  * the result is written as parquet; with `--explain` the compiled
+  * physical plan prints instead of executing (the plan-audit twin of
+  * `SpecJson.dag`'s logical export); otherwise the first `--show` rows
   * (default 20) print to stdout. Exits nonzero on a broken spec.
   */
 object RunSpec {
@@ -26,6 +28,7 @@ object RunSpec {
     var params = Map.empty[String, String]
     var out: Option[String] = None
     var show = 20
+    var explain = false
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -33,8 +36,9 @@ object RunSpec {
           val kv = args(i + 1).split("=", 2)
           require(kv.length == 2, s"--param expects k=v, got '${args(i + 1)}'")
           params += kv(0) -> kv(1); i += 2
-        case "--out"  => out = Some(args(i + 1)); i += 2
-        case "--show" => show = args(i + 1).toInt; i += 2
+        case "--out"     => out = Some(args(i + 1)); i += 2
+        case "--show"    => show = args(i + 1).toInt; i += 2
+        case "--explain" => explain = true; i += 1
         case other =>
           System.err.println(s"unknown argument '$other'"); sys.exit(2)
       }
@@ -48,7 +52,8 @@ object RunSpec {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val df = plans.PipelineCompiler.compile(spec, spark, params)
-      out match {
+      if (explain) df.explain("formatted")
+      else out match {
         case Some(dir) =>
           df.write.mode("overwrite").parquet(dir)
           println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
