@@ -89,8 +89,25 @@ object Dedup {
     * pushdown behaves normally.
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par)
+    // Only a pure-narrow plan over file/local sources can be stuck at a
+    // single partition; anything containing a shuffle-inducing operator
+    // (or an already-materialized relation) inherits shuffle-partition /
+    // cached parallelism. The check runs on the ALREADY-ANALYZED logical
+    // plan — probing the physical plan costs a full optimizer pass per
+    // call, and `.rdd` on a plan WITH exchanges even EXECUTES its map
+    // stages during planning (both measured as real regressions). Narrow
+    // plans are cheap to probe and the only ones that need spreading.
+    val inheritsParallelism = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+           _: Deduplicate | _: RepartitionOperation => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    if (inheritsParallelism) df
+    else if (df.rdd.getNumPartitions < par)
       df.repartition(par)
         .where(pmod(monotonically_increasing_id(), lit(1L)) >= 0)
     else df
@@ -156,7 +173,9 @@ object Dedup {
     * cf. SURVEY §7.4.2).
     */
   def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    val keyed = df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    // the fingerprint (tokenize + sort + md5 per row) is the narrow CPU
+    // phase feeding the one hash-agg shuffle — spread small sources first
+    val keyed = spread(df).withColumn("__fp", TextOps.fingerprint(col(textCol)))
     val all = struct(df.columns.map(col) :+ col("__fp"): _*)
     keyed.groupBy(col("__fp"))
       .agg(min_by(all, col(orderCol)).as("__keep"), count(lit(1)).as("dup_count"))
@@ -1056,7 +1075,9 @@ object Dedup {
   def contaminationHits(train: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 3,
                         hashKeys: Boolean = false): DataFrame = {
-    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+    // the shingle explode is the narrow CPU phase feeding the gram join —
+    // spread small sources (exchange-aware no-op on derived inputs)
+    def grams(df: DataFrame) = spread(df).select(col(idCol).as("id"),
       explode(TextOps.wordShingles(col(textCol), n)).as("g"))
     def key(c: Column) = if (hashKeys) xxhash64(c) else c
     val benchGrams = grams(bench).select(key(col("g")).as("k")).distinct()
