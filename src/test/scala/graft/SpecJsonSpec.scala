@@ -276,4 +276,34 @@ class SpecJsonSpec extends SparkSpec {
       SpecJson.toJson(graft.SparkEntry.llmPipelineV3Spec),
       "re-run `runMain graft.tools.SpecExport` after editing llmPipelineV3Spec")
   }
+
+  test("CacheSpec returns a cache-leaf-rooted relation and registers an unpersist handle") {
+    import graft.plans._
+    val spec = PipelineSpec(nodes = Seq(
+      "docs" -> SourceSpec("parquet", s"$sf/documents.parquet"),
+      "big"  -> CacheSpec(FilterSpec(RefSpec("docs"), "doc_id % 2 = 0"))),
+      out = "big")
+    val df = PipelineCompiler.compile(spec, spark, Map.empty)
+    // downstream analysis must see the InMemoryRelation LEAF, not the full
+    // upstream tree (persist truncates execution, this truncates ANALYSIS;
+    // a DAG's shared nodes are otherwise re-walked once per reference)
+    assert(df.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryRelation],
+      df.queryExecution.analyzed.getClass.toString)
+    // semantics unchanged through the leaf
+    val n = df.count()
+    assert(n == spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 2 = 0").count())
+    // the compiler-scoped registry releases the persist deterministically
+    // (the r12 leak: every compile left session-lifetime cached relations).
+    // The cache entry is keyed by the ORIGINAL child plan, so probe with a
+    // structurally equivalent query, not the leaf-rooted result
+    def probe = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 2 = 0").asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    assert(spark.sharedState.cacheManager.lookupCachedData(probe).isDefined,
+      "CacheSpec must register its persist with the cache manager")
+    PipelineCompiler.unpersistCompiledCaches()
+    assert(spark.sharedState.cacheManager.lookupCachedData(probe).isEmpty,
+      "unpersistCompiledCaches must release CacheSpec persists")
+  }
 }
