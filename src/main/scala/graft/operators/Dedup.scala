@@ -173,9 +173,7 @@ object Dedup {
     * cf. SURVEY §7.4.2).
     */
   def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    // the fingerprint (tokenize + sort + md5 per row) is the narrow CPU
-    // phase feeding the one hash-agg shuffle — spread small sources first
-    val keyed = spread(df).withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val keyed = df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
     val all = struct(df.columns.map(col) :+ col("__fp"): _*)
     keyed.groupBy(col("__fp"))
       .agg(min_by(all, col(orderCol)).as("__keep"), count(lit(1)).as("dup_count"))
@@ -1075,9 +1073,7 @@ object Dedup {
   def contaminationHits(train: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 3,
                         hashKeys: Boolean = false): DataFrame = {
-    // the shingle explode is the narrow CPU phase feeding the gram join —
-    // spread small sources (exchange-aware no-op on derived inputs)
-    def grams(df: DataFrame) = spread(df).select(col(idCol).as("id"),
+    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
       explode(TextOps.wordShingles(col(textCol), n)).as("g"))
     def key(c: Column) = if (hashKeys) xxhash64(c) else c
     val benchGrams = grams(bench).select(key(col("g")).as("k")).distinct()
