@@ -36,7 +36,10 @@ object Bench {
     try {
       val f = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
         .get(0).trim.split("\\s+").drop(1).map(_.toLong)
-      f.sum - f(3) - f(4) // minus idle, iowait
+      // fields 0-7 only (user..steal): guest/guest_nice (8-9) are already
+      // folded into user/nice by the kernel — summing them double-counts
+      // VM time and overstates co-tenant load
+      f.take(8).sum - f(3) - f(4) // minus idle, iowait
     } catch { case _: Throwable => -1L }
 
   private def processCpuNs(): Long =

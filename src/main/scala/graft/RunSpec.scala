@@ -24,44 +24,66 @@ object RunSpec {
         "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n]")
       sys.exit(2)
     }
+    def usage(): Nothing = {
+      System.err.println(
+        "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] [--explain]")
+      sys.exit(2)
+    }
     val specPath = args.head
     var params = Map.empty[String, String]
     var out: Option[String] = None
     var show = 20
     var explain = false
     var i = 1
+    def operand(flag: String): String = {
+      if (i + 1 >= args.length) { System.err.println(s"$flag needs a value"); usage() }
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
         case "--param" =>
-          val kv = args(i + 1).split("=", 2)
-          require(kv.length == 2, s"--param expects k=v, got '${args(i + 1)}'")
+          val kv = operand("--param").split("=", 2)
+          if (kv.length != 2) { System.err.println(s"--param expects k=v"); usage() }
           params += kv(0) -> kv(1); i += 2
-        case "--out"     => out = Some(args(i + 1)); i += 2
-        case "--show"    => show = args(i + 1).toInt; i += 2
+        case "--out"     => out = Some(operand("--out")); i += 2
+        case "--show" =>
+          show = operand("--show").toIntOption.getOrElse {
+            System.err.println("--show expects an integer"); usage() }
+          i += 2
         case "--explain" => explain = true; i += 1
         case other =>
-          System.err.println(s"unknown argument '$other'"); sys.exit(2)
+          System.err.println(s"unknown argument '$other'"); usage()
       }
     }
-    val json = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specPath)), "UTF-8")
-    val spec = plans.SpecJson.fromJson(json)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(master = s"local[$cpus]",
-      shufflePartitions = cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // errors must reach an EXPLICIT nonzero exit: a spec can start per-JVM
+    // services (paged-HTTP sources spawn a non-daemon dispatcher), and an
+    // exception propagating out of main would leave the JVM hanging on
+    // that thread instead of failing — same rationale as the success-path
+    // sys.exit below (the Verify/Bench convention)
     try {
-      val df = plans.PipelineCompiler.compile(spec, spark, params)
-      if (explain) df.explain("formatted")
-      else out match {
-        case Some(dir) =>
-          df.write.mode("overwrite").parquet(dir)
-          println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
-        case None => df.show(show, truncate = false)
-      }
-    } finally plans.PipelineCompiler.unpersistCompiledCaches()
-    // per the Verify/Bench convention: specs can open per-JVM services
-    // (paged-HTTP sources); a non-daemon dispatcher would hang the exit
+      val json = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specPath)), "UTF-8")
+      val spec = plans.SpecJson.fromJson(json)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = GraftSession.builder(master = s"local[$cpus]",
+        shufflePartitions = cpus.toInt).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val df = plans.PipelineCompiler.compile(spec, spark, params)
+        if (explain) df.explain("formatted")
+        else out match {
+          case Some(dir) =>
+            df.write.mode("overwrite").parquet(dir)
+            println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
+          case None => df.show(show, truncate = false)
+        }
+      } finally plans.PipelineCompiler.unpersistCompiledCaches()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"RunSpec failed: ${e.getMessage}")
+        e.printStackTrace()
+        sys.exit(1)
+    }
     sys.exit(0)
   }
 }

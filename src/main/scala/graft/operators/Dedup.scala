@@ -101,7 +101,8 @@ object Dedup {
     // plans are cheap to probe and the only ones that need spreading.
     val inheritsParallelism = df.queryExecution.analyzed.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
-           _: Deduplicate | _: RepartitionOperation => true
+           _: Deduplicate | _: RepartitionOperation | _: SetOperation |
+           _: GlobalLimit | _: LocalLimit => true
       case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _ => false
@@ -636,7 +637,14 @@ object Dedup {
                                 maxBucketSize: Int = 1000): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     val result = withScopedCaches { localCached =>
-      val newSigs = localCached(deltaSigs.select(col("id"), col("sig")))
+      // don't re-persist a relation the caller already persists (the
+      // streaming ingests hand in their cached per-batch signatures) —
+      // the projection's scan goes through the caller's cache; a second
+      // persist would hold every batch's signature data twice
+      val projected = deltaSigs.select(col("id"), col("sig"))
+      val newSigs =
+        if (deltaSigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE) projected
+        else localCached(projected)
       val all = localCached(newSigs.unionByName(storeSigs.select(col("id"), col("sig"))))
       val pairs = bandedPairs(all, numHashes, bands, maxBucketSize, Some(obs))
       val flags = newSigs.select(col("id"), lit(true).as("is_new"))
@@ -1303,7 +1311,12 @@ object Dedup {
       threshold: Double, maxClusterSize: Int = 10000): DataFrame =
     withScopedCaches { localCached =>
       import graft.functions.VectorMath
-      val d = localCached(assignedDelta.select("id", "vec", "cluster"))
+      // same no-double-persist rule as incrementalDedupPairsSigs: the
+      // ingests hand in an already-persisted assignment (vectors included)
+      val projected = assignedDelta.select("id", "vec", "cluster")
+      val d =
+        if (assignedDelta.storageLevel != org.apache.spark.storage.StorageLevel.NONE) projected
+        else localCached(projected)
       val deltaClusters = d.select("cluster").distinct()
       val pruned = store.select("id", "vec", "cluster")
         .join(broadcast(deltaClusters), Seq("cluster"), "left_semi")

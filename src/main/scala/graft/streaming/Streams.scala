@@ -548,17 +548,12 @@ object Streams {
         // sinks hold this batch's rows, so compaction only ever removes
         // crash-replay twins / rewrites small files — and a crash here
         // replays the batch into the window-3 no-op (semantic store
-        // already holds its ids) before recoverStore-healed stores
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          val spark2 = stream.sparkSession
+        // already holds its ids) before recoverStore-healed stores.
+        // Corpus keep-any is exact HERE (unlike ingestSpanDedup's): the
+        // n_kept > 0 filter makes every replay twin byte-identical.
+        maybeCompact(spark, batchId, compactEvery,
           Seq(corpusDir -> Seq(idCol), spanStoreDir -> Seq("fp"),
-              semStoreDir -> Seq("id")).foreach { case (dir, keys) =>
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val fs = p.getFileSystem(spark2.sparkContext.hadoopConfiguration)
-            if (fs.exists(p) || Dedup.recoverStore(spark2, dir))
-              Dedup.compactStore(spark2, dir, keys)
-          }
-        }
+              semStoreDir -> Seq("id")))
         ()
       }
       .start()
