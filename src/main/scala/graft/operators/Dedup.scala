@@ -99,12 +99,17 @@ object Dedup {
     // call, and `.rdd` on a plan WITH exchanges even EXECUTES its map
     // stages during planning (both measured as real regressions). Narrow
     // plans are cheap to probe and the only ones that need spreading.
+    // NOT in the list: LogicalRDD — foreachBatch hands micro-batches in as
+    // LogicalRDD-rooted frames, and those are exactly the few-partition
+    // inputs the streaming quality gate needs spread (matching it here
+    // silently re-serialized every micro-batch's scoring: IngestLadder
+    // 8-10 s/batch -> 16-18 s). A LogicalRDD plan has no exchanges, so
+    // the .rdd partition probe below is free on it.
     val inheritsParallelism = df.queryExecution.analyzed.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
            _: Deduplicate | _: RepartitionOperation | _: SetOperation |
            _: GlobalLimit | _: LocalLimit => true
       case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _ => false
     }
     if (inheritsParallelism) df
