@@ -19,16 +19,12 @@ package graft
   */
 object RunSpec {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
-      System.err.println(
-        "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n]")
-      sys.exit(2)
-    }
     def usage(): Nothing = {
       System.err.println(
         "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] [--explain]")
       sys.exit(2)
     }
+    if (args.isEmpty) usage()
     val specPath = args.head
     var params = Map.empty[String, String]
     var out: Option[String] = None
@@ -47,8 +43,8 @@ object RunSpec {
           params += kv(0) -> kv(1); i += 2
         case "--out"     => out = Some(operand("--out")); i += 2
         case "--show" =>
-          show = operand("--show").toIntOption.getOrElse {
-            System.err.println("--show expects an integer"); usage() }
+          show = operand("--show").toIntOption.filter(_ >= 0).getOrElse {
+            System.err.println("--show expects a non-negative integer"); usage() }
           i += 2
         case "--explain" => explain = true; i += 1
         case other =>

@@ -744,12 +744,16 @@ object Dedup {
     * round (on a real cluster with retry requirements, configure a
     * checkpoint dir and swap in `checkpoint()`).
     *
-    * Cache hygiene: the returned membership relation is persisted and
-    * registered in the session cache registry. DIRECT callers that loop
-    * this per corpus must release it ([[withCacheScope]] around use +
-    * materialization, or [[unpersistCaches]] between corpora); the packaged
-    * entry points ([[dropNearDupsByPairs]], [[dropNearDups]],
-    * [[incrementalDedup]], the streaming ingest) already scope it.
+    * Cache hygiene: on the STAR path the returned membership relation is
+    * persisted and registered in the session cache registry. DIRECT callers
+    * that loop this per corpus must release it ([[withCacheScope]] around
+    * use + materialization, or [[unpersistCaches]] between corpora); the
+    * packaged entry points ([[dropNearDupsByPairs]], [[dropNearDups]],
+    * [[incrementalDedup]], the streaming ingest) already scope it. The
+    * driver union-find path below the size gate returns a plain local
+    * relation instead — nothing is persisted or registered, so a scoped
+    * release is a no-op there (cheap either way: the relation is ≤
+    * `driverCcMaxEdges` rows of scalar ids).
     *
     * Size gate: a pair graph of at most `driverCcMaxEdges` distinct edges
     * (a few MB of scalar ids) is solved with a driver union-find instead of

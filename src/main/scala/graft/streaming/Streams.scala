@@ -430,10 +430,13 @@ object Streams {
     *    NOTHING and the corpus is already exact (same keyed-distinct
     *    recovery class as window 1, with nothing to even distinct);
     *  - crash AFTER all three appends but before the offset commits: the
-    *    semantic store already holds the batch's ids, the id anti-join
-    *    empties the replay (and the empty-batch guard then skips all
-    *    work) — fully self-healing, which is why the semantic append goes
-    *    LAST.
+    *    replay re-delivers the same (non-empty) source rows and re-runs
+    *    the model passes and store reads, but the semantic store already
+    *    holds the batch's ids, so the id anti-join empties `fresh` and
+    *    every append is a no-op — fully self-healing, which is why the
+    *    semantic append goes LAST. (Recovery costs one batch of compute;
+    *    only a batch that was empty AT THE SOURCE skips work entirely via
+    *    the isEmpty guard below.)
     *
     * Sink ORDER is a recovery-quality choice, not a correctness
     * dependency: `novel` is eagerly `localCheckpoint`ed before any append,
@@ -476,9 +479,10 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        // a replayed-to-empty or source-empty micro-batch runs ZERO store
-        // reads and zero model passes — the one-task probe is pennies
-        // against the ~8 serialized actions it skips
+        // a source-empty micro-batch runs ZERO store reads and zero model
+        // passes — the one-task probe is pennies against the ~8 serialized
+        // actions it skips. (A crash REPLAY is not empty: it re-delivers
+        // the same rows and heals through the store-level anti-joins.)
         if (!batch.isEmpty) Dedup.withCacheScope {
           val qualified = QualityModel.score(batch, textCol, qualityWeights)
             .filter(col("quality_accept") === 1)
