@@ -35,10 +35,18 @@ object VectorOps {
 
   /** Pre-normalize embeddings once (`vec / ||vec||`) so that cosine becomes a
     * plain dot product — at 100 TB you normalize at ingest, not per-pair.
+    *
+    * Zero-norm vectors (a failed embedding upstream — guaranteed to exist
+    * somewhere in a 100 TB corpus) normalize to NULL rather than throwing
+    * ANSI DIVIDE_BY_ZERO and killing the ingest job; null matches the
+    * native [[cosine]] kernel's convention for the same input, so
+    * `dot(normalized(a), normalized(b))` and `cosine(a, b)` stay
+    * null-equivalent row-for-row.
     */
   def normalized(a: Column): Column = {
     val n = l2Norm(a)
-    transform(d(a), x => x / n)
+    when(n === lit(0.0), lit(null).cast("array<double>"))
+      .otherwise(transform(d(a), x => x / n))
   }
 
   /** Brute-force cosine top-k: for each row of `queries`, the k most similar
@@ -136,7 +144,12 @@ object VectorOps {
       trainSampleCap: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val toVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+    // null/empty embeddings (failed upstream encode) can't be indexed: they
+    // would NPE inside array_to_vector / break k-means on mixed dimensions.
+    // Drop them from BOTH sides — same "flows through without pairing"
+    // policy as the LSH and brute tiers (EdgeCaseSpec).
+    val wellFormed = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val toVec = wellFormed.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
     // Coarse-quantizer training only needs a representative sample: cap it
     // with the deterministic md5 Bernoulli filter (engine-portable, seedless)
@@ -144,11 +157,20 @@ object VectorOps {
     // of iterating the full relation 10×. Below the cap the filter is a
     // no-op and results are bit-identical to training on everything.
     val n = toVec.count()
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .filter(col("q_vec").isNotNull && size(col("q_vec")) > 0)
+    // an empty (or all-degenerate) corpus has nothing to index — return the
+    // empty frames with the contract schema instead of crashing k-means fit
+    if (n == 0) return (
+      toVec.select(col("neighbor_id"), col("c_vec"), lit(0).as("cell")).limit(0),
+      q0.withColumn("cell", lit(0)).limit(0))
     val trainSet =
       if (n <= trainSampleCap) toVec
       else graft.operators.Sampling.hashSample(toVec, "neighbor_id",
         trainSampleCap.toDouble / n)
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(trainSet)
+    // k must not exceed the (well-formed) corpus size or fit() refuses
+    val k = math.min(nlist.toLong, n).toInt
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(trainSet)
     val cells = model.clusterCenters.zipWithIndex // driver-side: nlist × dim doubles
     // corpus side: one cell per vector (the model's transform)
     val assigned = model.transform(toVec).withColumnRenamed("prediction", "cell")
@@ -156,8 +178,7 @@ object VectorOps {
     // query side: nprobe nearest cells, computed against the broadcast centroids
     val centroidDf = queries.sparkSession.createDataFrame(
       cells.map { case (c, i) => (i, c.toArray) }.toIndexedSeq).toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val probed = q.crossJoin(broadcast(centroidDf))
+    val probed = q0.crossJoin(broadcast(centroidDf))
       .withColumn("dist", aggregate(
         zip_with(transform(col("q_vec"), x => x.cast("double")), col("centroid"),
           (x, y) => (x - y) * (x - y)),

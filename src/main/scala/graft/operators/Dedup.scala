@@ -178,6 +178,15 @@ object Dedup {
     * the smallest `orderCol` per duplicate group (deterministic keep-first,
     * cf. SURVEY §7.4.2).
     */
+  /** Null-text policy: a null text tokenizes to null, and the fingerprint's
+    * `concat_ws` folds a null token array and an empty one to the same
+    * canonical "" — so null-text documents (failed upstream extraction) land
+    * in the SAME group as empty/whitespace-only documents and dedup away
+    * against them, keeping one min-by-`orderCol` representative of the whole
+    * contentless class. Deliberate: at corpus scale the alternative (each
+    * null doc its own group) would pass every extraction failure through the
+    * dedup gate untouched. Pinned in EdgeCaseSpec.
+    */
   def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
     val keyed = df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
     val all = struct(df.columns.map(col) :+ col("__fp"): _*)
