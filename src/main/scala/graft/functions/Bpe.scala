@@ -46,6 +46,22 @@ object Bpe {
       when(i === size(chars) - 1, concat(c, lit(EndOfWord))).otherwise(c))
   }
 
+  /** Per-word length cap for merge application — the WordPiece
+    * `max_input_chars_per_word` idea. [[applyMerge]] is O(len²) per word
+    * (the fold copies its accumulator array per symbol), which is the
+    * POINT of the vocab formulation for natural words (≤ tens of chars)
+    * but a straggler factory for pathological ones: a single 2M-char
+    * unbroken token stalled its task indefinitely in
+    * `tools.PathologyProbe`. A word longer than `maxWordChars` is almost
+    * surely binary garbage / minified junk, not language — it segments as
+    * ONE opaque `word</w>` symbol (merge-exempt, O(1)) instead of a
+    * character sequence, bounding both the fold cost and the subword
+    * count it contributes to packing budgets.
+    */
+  private[graft] def cappedSymbols(word: Column, maxWordChars: Int): Column =
+    when(length(word) > maxWordChars, array(concat(word, lit(EndOfWord))))
+      .otherwise(initialSymbols(word))
+
   /** Rewrite a symbol sequence with ONE merge `(a, b) → ab` applied
     * left-to-right (the BPE application order): a fold over the sequence
     * that fuses an element onto the accumulator's tail when the pair
@@ -124,9 +140,12 @@ object Bpe {
     */
   def trainMergesBatched(vocab: DataFrame, numMerges: Int,
                          batchSize: Int = 64,
-                         checkpointEvery: Int = 8): Seq[(String, String)] = {
+                         checkpointEvery: Int = 8,
+                         maxWordChars: Int = 1000): Seq[(String, String)] = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    var v = vocab.select(col("cnt"), initialSymbols(col("word")).as("syms"))
+    // the cap keeps a pathological vocab word (megabyte tokens) from
+    // dominating every round's pair counts with garbage pairs
+    var v = vocab.select(col("cnt"), cappedSymbols(col("word"), maxWordChars).as("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -168,9 +187,10 @@ object Bpe {
     * corpus is a narrow join, with no per-row merge loop.
     */
   def vocabSegmentation(vocab: DataFrame,
-                        merges: Seq[(String, String)]): DataFrame =
+                        merges: Seq[(String, String)],
+                        maxWordChars: Int = 1000): DataFrame =
     applyMergesChunked(merges, col("word"), "subwords")(
-      vocab.select(col("word"), initialSymbols(col("word")).as("subwords")))
+      vocab.select(col("word"), cappedSymbols(col("word"), maxWordChars).as("subwords")))
 
   /** Encode a corpus with a trained segmentation table: whitespace words
     * join the (broadcast-size-gated) table; out-of-vocabulary words fall
@@ -178,13 +198,13 @@ object Bpe {
     * subwords)` — the real token count a packing budget should use.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
-             segmentation: DataFrame): DataFrame = {
+             segmentation: DataFrame, maxWordChars: Int = 1000): DataFrame = {
     val words = df.select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "word")))
     val enc = words
       .join(graft.operators.Joins.maybeBroadcast(segmentation), Seq("word"), "left")
       .withColumn("subwords",
-        coalesce(col("subwords"), initialSymbols(col("word"))))
+        coalesce(col("subwords"), cappedSymbols(col("word"), maxWordChars)))
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("subwords"))).cast("long").as("n_subwords"),

@@ -23,6 +23,24 @@ object TextOps {
   // projecting `lower`/`tokens` once in a prior step IS honored) — measured
   // >2× on the text-stats pass.
 
+  /** Ingest-time document length cap — THE defense against pathological doc
+    * shapes (one multi-megabyte token, 100k-line boilerplate dumps). Several
+    * per-doc kernels are super-linear in doc length ([[dropRepeatedLines]]
+    * is O(lines²); BPE encode is O(chars × merges) on an un-splittable
+    * token), so at corpus scale one unclamped hostile doc becomes a
+    * straggler task that stalls its stage. Clamp ONCE at ingest, before any
+    * text kernel — `tools.PathologyProbe` measures the before/after and
+    * SCALING.md's pathological-shape section carries the numbers. A hard
+    * character cut (possibly mid-token) is deliberate: it bounds EVERY
+    * downstream dimension (tokens, lines, shingles) with one knob, matching
+    * common pretraining-corpus practice of capping document length at
+    * extraction.
+    */
+  def clampChars(text: Column, maxChars: Int): Column = {
+    require(maxChars > 0, "maxChars must be positive")
+    substring(text, 1, maxChars)
+  }
+
   /** Lower-cased whitespace tokens, empties removed. */
   def tokens(text: Column): Column = tokensOfLower(lower(text))
 
@@ -258,14 +276,20 @@ object TextOps {
     * preserving order (the RefinedWeb/Gopher boilerplate rule — repeated
     * nav/footer lines inside one page collapse to their first copy; the
     * CROSS-document form is [[graft.operators.Dedup.dropRepeatedSpans]]).
-    * Pure Column expression — order-preserving dedup via first-index
-    * equality, O(lines²) per row on data that is lines-per-doc bounded, no
-    * shuffle, no UDF. Engine-portable: DuckDB replays it as
-    * `list_filter(l, (x, i) -> list_position(l, x) = i)` (both index
-    * conventions resolve to 1-based first-occurrence).
+    *
+    * `array_distinct` IS this operation: Spark's ArrayDistinct keeps the
+    * first occurrence in array order via an append-if-unseen hash set —
+    * O(lines) per row, codegen'd, no shuffle, no UDF. (The earlier
+    * first-index-equality HOF — `filter(l, (x, i) ⇒ array_position(l, x) =
+    * i+1)` — computes the same set but is O(lines²): a single 120k-line
+    * boilerplate dump stalled its task for ~10 minutes in
+    * `tools.PathologyProbe`; same output, hash-set cost now.)
+    * Engine-portable: DuckDB replays it as the quadratic
+    * `list_filter(l, (x, i) -> list_position(l, x) = i)` form, which is
+    * fine at ORACLE scale (both index conventions resolve to 1-based
+    * first-occurrence, and list_distinct does not preserve order).
     */
-  def dropRepeatedLinesArr(lines: Column): Column =
-    filter(lines, (x, i) => array_position(lines, x) === (i + 1).cast("long"))
+  def dropRepeatedLinesArr(lines: Column): Column = array_distinct(lines)
 
   /** [[dropRepeatedLinesArr]] over a newline-delimited text column,
     * re-joined with newlines. The REMOVAL counterpart of

@@ -145,7 +145,8 @@ object Packing {
   def packSequencesEncoded(df: DataFrame, idCol: String, textCol: String,
                            segmentation: DataFrame, budgetTokens: Long,
                            shards: Int = 256,
-                           eosToken: String = "<eos>"): DataFrame = {
+                           eosToken: String = "<eos>",
+                           maxWordChars: Int = 1000): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val toks = graft.functions.TextOps.tokens(col(textCol))
     val words = df.select(
@@ -162,7 +163,7 @@ object Packing {
       .withColumn("__sub",
         when(col("word").isNull, array().cast("array<string>"))          // sentinel
           .otherwise(coalesce(col("subwords"),                           // OOV fallback
-            graft.functions.Bpe.initialSymbols(col("word")))))
+            graft.functions.Bpe.cappedSymbols(col("word"), maxWordChars))))
     val docs = words.repartition(col("shard"))
       .groupBy(col("shard"), col("__b"), col(idCol))
       .agg(flatten(array_sort(collect_list(struct(col("__pos").as("pos"),

@@ -163,4 +163,31 @@ class BpeSpec extends SparkSpec {
       .select("fill").as[Long].collect()
     assert(bins.sorted.toSeq == Seq(4L, 12L), s"got ${bins.sorted.toSeq}")
   }
+
+  test("over-long words segment as ONE opaque symbol (maxWordChars cap, straggler defense)") {
+    import graft.functions.Bpe
+    val giant = "z" * 5000
+    val docs = Seq((1L, s"newest $giant")).toDF("doc_id", "text")
+    val vocab = Bpe.wordCounts(docs, "text")
+    val merges = Seq("e" -> "s", "es" -> "t</w>")
+    // vocab segmentation: the giant word is merge-exempt, one symbol
+    val seg = Bpe.vocabSegmentation(vocab, merges)
+    val giantSeg = seg.filter(length(col("word")) > 1000)
+      .select("subwords").as[Seq[String]].head()
+    assert(giantSeg == Seq(giant + Bpe.EndOfWord), "capped word must be one opaque symbol")
+    // encode: n_subwords counts it as ONE token, and the OOV fallback path
+    // (encoding against a segmentation that lacks the word) caps identically
+    val enc = Bpe.encode(docs, "doc_id", "text", seg)
+      .select("n_words", "n_subwords").as[(Long, Long)].head()
+    assert(enc._1 == 2L)
+    val encOov = Bpe.encode(docs, "doc_id", "text", seg.filter(length(col("word")) <= 1000))
+      .select("n_subwords").as[Long].head()
+    assert(enc._2 == encOov, s"table path ${enc._2} vs OOV path $encOov must agree")
+    // with a raised cap (both table build AND encode), the giant word
+    // segments to its full character sequence again
+    val seg10k = Bpe.vocabSegmentation(vocab, merges, maxWordChars = 10000)
+    val small = Bpe.encode(docs, "doc_id", "text", seg10k, maxWordChars = 10000)
+      .select("n_subwords").as[Long].head()
+    assert(small == enc._2 - 1 + 5000, s"uncapped giant contributes its char count, got $small")
+  }
 }

@@ -170,4 +170,13 @@ class TextOpsSpec extends SparkSpec {
     assert(idxs.toSeq == Seq(0, 2, 4, 6, 8))
     assert(frames.select(length(col("frame"))).as[Int].collect().forall(_ == 10))
   }
+
+  test("clampChars caps doc length, identity below the cap") {
+    assert(one("hello world", TextOps.clampChars(_, 5)).getString(0) == "hello")
+    assert(one("hi", TextOps.clampChars(_, 5)).getString(0) == "hi")
+    // one knob bounds every downstream dimension: lines, tokens, shingles
+    val many = (1 to 100).map(i => s"line $i").mkString("\n")
+    val clamped = one(many, t => TextOps.dropRepeatedLines(TextOps.clampChars(t, 20))).getString(0)
+    assert(clamped.count(_ == '\n') <= 3)
+  }
 }
