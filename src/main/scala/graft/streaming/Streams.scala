@@ -467,6 +467,16 @@ object Streams {
                            // mid-compaction heals via recoverStore and the
                            // batch replay is the window-3 no-op.
                            compactEvery: Int = 0,
+                           // ingest-time doc-length cap
+                           // ([[graft.functions.TextOps.clampChars]]): a wild
+                           // stream WILL deliver dimensionally hostile docs
+                           // (megabyte single tokens, 100k-line dumps), and
+                           // one super-linear per-doc kernel straggler can
+                           // stall a micro-batch indefinitely — see
+                           // SCALING.md's pathological-shape table. 0 = off
+                           // (the gate fixtures are clean); production
+                           // ingests should set it.
+                           maxDocChars: Int = 0,
                            // test seams for the crash windows between the
                            // three sink appends (no-ops in production)
                            afterCorpusAppend: () => Unit = () => (),
@@ -476,7 +486,11 @@ object Streams {
     import graft.operators.{Dedup, QualityModel}
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val batch =
+          if (maxDocChars <= 0) rawBatch
+          else rawBatch.withColumn(textCol,
+            graft.functions.TextOps.clampChars(col(textCol), maxDocChars))
         val spark = batch.sparkSession
         import spark.implicits._
         // a source-empty micro-batch runs ZERO store reads and zero model

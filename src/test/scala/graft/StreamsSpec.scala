@@ -572,4 +572,41 @@ class StreamsSpec extends SparkSpec {
     val storeIds2 = spark.read.parquet(store).select("id").as[Long].collect().toSeq
     assert(storeIds2.sorted == Seq(1L, 2L, 11L, 20L), s"got $storeIds2")
   }
+
+  test("ingestPretrainCorpus maxDocChars clamps hostile docs before any text kernel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_clamp").toString
+    val cents: Seq[(Int, Seq[Float])] = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val passText = "the cat sat on the mat and the dog slept in the warm sun for hours today"
+    val prose2 = "a quiet brown fox walked over the wooden bridge while morning light " +
+      "touched the river and small birds sang from the tall trees near the old stone " +
+      "mill as children carried baskets of ripe apples toward the busy market square " +
+      "where friendly vendors traded fresh bread warm cheese and sweet honey"
+    // hostile tail: without the clamp this doc's span/shingle kernels chew
+    // on 200k chars; the cap cuts the ENTIRE tail, leaving clean prose
+    val hostile = prose2 + " " + ("z" * 200000)
+    val cap = prose2.length
+    // fixture guard: the CLAMPED text must pass the quality gate, so corpus
+    // membership proves the pipeline scored the clamped form, not the raw one
+    val clampedVerdict = graft.operators.QualityModel
+      .score(Seq((2L, hostile.take(cap))).toDF("doc_id", "text"), "text",
+        SparkEntry.qualityGateWeights)
+      .select("quality_accept").as[Long].head()
+    assert(clampedVerdict == 1L, "fixture: clamped hostile text must pass quality")
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = graft.streaming.Streams.ingestPretrainCorpus(
+      in.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text", "embedding",
+      SparkEntry.qualityGateWeights, cents, semThreshold = 0.95, spanK = 4,
+      s"$dir/corpus", s"$dir/sem", s"$dir/span", s"$dir/ckpt",
+      maxDocChars = cap)
+    try {
+      in.addData((1L, passText, Seq(10f, 0f)), (2L, hostile, Seq(0f, 5f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.keySet.contains(2L), s"clamped doc must flow through: ${rows.keySet}")
+    assert(rows.values.forall(_.length <= cap), "every stored text is capped")
+  }
 }
