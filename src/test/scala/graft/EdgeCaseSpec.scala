@@ -145,4 +145,32 @@ class EdgeCaseSpec extends SparkSpec {
     val emptyCorpus = odd.limit(0)
     assert(full(graft.functions.VectorOps.ivfTopK(odd, emptyCorpus, 1)).isEmpty)
   }
+
+  test("astral-plane unicode survives the char-level kernels (UTF8String split is code-point-aware)") {
+    // plain java.lang.String.split("") cuts a surrogate pair (emoji, rare
+    // CJK) into two lone halves that UTF-8-encode as replacement bytes;
+    // Spark's UTF8String split does NOT -- this pin protects the guarantee
+    // every char-level kernel (BPE symbols, char shingles) relies on
+    import graft.functions.{Bpe, TextOps}
+    val texts = Seq((1L, "hello \ud83d\udc4d\ud83d\ude00 world"),
+                    (2L, "\u6f22\u5b57 caf\u00e9 stra\u00dfe"),
+                    (4L, "\ud83c\udf55\ud83c\udf55\ud83c\udf55")).toDF("id", "text")
+    // split-by-char rejoin is the identity on every code point
+    val broken = texts
+      .select(col("text"), concat_ws("",
+        filter(split(col("text"), ""), c => length(c) > 0)).as("rejoined"))
+      .filter(col("rejoined") =!= col("text"))
+    assert(broken.count() == 0, s"split corrupted: ${broken.collect().toSeq}")
+    // BPE segmentation is lossless: subword concat reconstructs word</w>,
+    // through a parquet round trip (lone surrogates would not survive one)
+    val seg = Bpe.vocabSegmentation(Bpe.wordCounts(texts, "text"), Seq("h" -> "e"))
+    val dir = java.nio.file.Files.createTempDirectory("uni").toString + "/p"
+    seg.write.parquet(dir)
+    val lossy = spark.read.parquet(dir).filter(
+      concat_ws("", col("subwords")) =!= concat(col("word"), lit(Bpe.EndOfWord)))
+    assert(lossy.count() == 0, s"lossy: ${lossy.collect().toSeq}")
+    // fingerprints are defined and distinct for distinct unicode docs
+    val fps = texts.select(TextOps.fingerprint(col("text"))).as[String].collect()
+    assert(fps.distinct.length == 3 && fps.forall(_.length == 32))
+  }
 }
