@@ -551,7 +551,19 @@ object Dedup {
     * Returns (rowsBefore, rowsAfter).
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-                   keys: Seq[String]): (Long, Long) = {
+                   keys: Seq[String]): (Long, Long) =
+    rewriteStore(spark, storeDir)((df, out) => df.dropDuplicates(keys).write.parquet(out))
+
+  /** The crash-safe store-rewrite skeleton [[compactStore]] runs on: heal a
+    * prior interrupted swap, write the rewritten generation to
+    * `.compact.tmp` via `rewrite`, then atomically swap it in (two renames)
+    * and drop the old generation. Generic so stores with a non-flat layout
+    * (e.g. the cell-PARTITIONED vector index, [[VectorIndex]]) can reuse
+    * the exact same swap/recovery protocol with their own writer. Returns
+    * (rowsBefore, rowsAfter).
+    */
+  def rewriteStore(spark: org.apache.spark.sql.SparkSession, storeDir: String)(
+      rewrite: (DataFrame, String) => Unit): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     recoverStore(spark, storeDir) // heal a previously interrupted swap first
     val dir = new Path(storeDir)
@@ -562,7 +574,7 @@ object Dedup {
     val old = new Path(storeDir.stripSuffix("/") + ".compact.old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
-    before.dropDuplicates(keys).write.parquet(tmp.toString)
+    rewrite(before, tmp.toString)
     val rows1 = spark.read.parquet(tmp.toString).count()
     // swap: two renames, then drop the old generation. A crash BETWEEN the
     // renames leaves the canonical path empty (data at .compact.old /
@@ -570,7 +582,7 @@ object Dedup {
     // [[recoverStore]] to complete or roll back the swap before concluding
     // the store is absent.
     if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
-      throw new java.io.IOException(s"compactStore: rename swap failed for $storeDir")
+      throw new java.io.IOException(s"rewriteStore: rename swap failed for $storeDir")
     fs.delete(old, true)
     (rows0, rows1)
   }

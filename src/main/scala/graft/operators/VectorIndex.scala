@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the "cells are precomputed at ingest" path that
+  * [[graft.functions.VectorOps.ivfTopK]]'s scaladoc promises. The ad-hoc
+  * tier re-trains and re-assigns the whole corpus per query batch; this
+  * tier pays assignment ONCE and makes every later query batch a
+  * partition-PRUNED scan:
+  *
+  * {{{
+  *   $dir/centroids/   (cell int, centroid array<double>)   — the model, tiny
+  *   $dir/cells/       (id, vec) partitioned BY cell        — the corpus
+  * }}}
+  *
+  * Scale shape. Build: one k-means fit on a capped sample, then ONE
+  * cell-keyed exchange of the corpus into the partitioned layout — the
+  * same one-shuffle cost the ad-hoc tier pays per query batch, paid once.
+  * Query: centroids load on the driver (nlist × dim doubles), each query
+  * ranks its `nprobe` nearest cells in a single narrow codegen'd
+  * expression (no crossJoin+window — `slice(array_sort(...))` over the
+  * literal centroid array), and the cells store is read with
+  * `cell IN (probed)` — STATIC partition pruning, visible as
+  * PartitionFilters in the scan (plan-asserted in VectorIndexSpec). At
+  * 100 TB with nlist=4096 / nprobe=64, a query batch touches ~1.6% of the
+  * index bytes instead of all of them.
+  *
+  * Append (streaming ingest): deltas assign cells through the SAME
+  * literal-centroid expression the build used (bit-identical routing — no
+  * dependency on the ML model object after build), anti-join the store's
+  * ids (column-pruned scan) so an id is indexed at most once organically,
+  * and append into the partitioned layout. A crash between the append and
+  * the checkpoint commit replays byte-identical rows; [[compactIvfIndex]]
+  * (the every-N-batches policy of the other stores) purges them
+  * keyed-distinct under [[Dedup.rewriteStore]]'s tmp/old rename-swap
+  * protocol, preserving the partitioned layout.
+  *
+  * Degenerate vectors follow the ANN-tier policy (EdgeCaseSpec): null and
+  * empty embeddings are excluded from the index and from query routing;
+  * zero-NORM vectors are indexed (dimensionally well-formed) and surface
+  * with null cos_sim.
+  */
+object VectorIndex {
+
+  private def wellFormed(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+
+  /** Squared-L2 distance between a (float) vector column and a literal
+    * double centroid — matches the k-means assignment metric, pure codegen.
+    */
+  private def sqDist(vec: org.apache.spark.sql.Column, centroid: Seq[Double]) =
+    aggregate(
+      zip_with(transform(vec, x => x.cast("double")), typedLit(centroid),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `(cell, sqdist)` of the nearest centroid, as one narrow expression
+    * (ties break to the lower cell id, the k-means `transform` convention).
+    */
+  private def nearestCell(vec: org.apache.spark.sql.Column,
+                          centroids: Seq[(Int, Seq[Double])]) =
+    array_min(array(centroids.map { case (cid, cv) =>
+      struct(sqDist(vec, cv).as("d"), lit(cid).as("cell")) }: _*))
+
+  /** Train the coarse quantizer and materialize the index. The corpus
+    * crosses exactly one exchange (repartition by cell → one file per
+    * cell); at real scale add `maxRecordsPerFile` / salt wide cells.
+    */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    trainSampleCap: Long = 1000000L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val base = wellFormed(corpus, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val toVec = base.withColumn("features",
+      array_to_vector(transform(col("vec"), x => x.cast("double"))))
+    val n = toVec.count()
+    require(n > 0, "buildIvfIndex: no well-formed vectors to index")
+    val trainSet =
+      if (n <= trainSampleCap) toVec
+      else Sampling.hashSample(toVec, "id", trainSampleCap.toDouble / n)
+    val k = math.min(nlist.toLong, n).toInt
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(trainSet)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    import spark.implicits._
+    centroids.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // assignment through the LITERAL expression (not model.transform) so
+    // build and append share one routing code path
+    base.withColumn("cell", nearestCell(col("vec"), centroids).getField("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** The pinned coarse quantizer, driver-side (nlist × dim doubles). */
+  def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"$dir/centroids")
+      .select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+
+  /** Index a delta: route through the pinned centroids, drop ids the index
+    * already holds (ids-only column-pruned scan — the delta-bound cost
+    * pattern of the other stores), append into the partitioned layout.
+    * Returns the number of newly indexed vectors.
+    */
+  def appendToIvfIndex(delta: DataFrame, dir: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val spark = delta.sparkSession
+    Dedup.recoverStore(spark, s"$dir/cells")
+    val centroids = readCentroids(spark, dir)
+    val known = spark.read.parquet(s"$dir/cells").select("id")
+    val fresh = wellFormed(delta, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(known, Seq("id"), "left_anti")
+      .withColumn("cell", nearestCell(col("vec"), centroids).getField("cell"))
+      .localCheckpoint(true) // sever from the store scan before writing to it
+    val n = fresh.count()
+    if (n > 0)
+      fresh.repartition(col("cell"))
+        .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    n
+  }
+
+  /** Keyed-distinct rewrite of the cells store (crash-replay twins carry
+    * identical payloads, so keep-any is exact), preserving the partitioned
+    * layout under the tmp/old rename-swap protocol.
+    */
+  def compactIvfIndex(spark: SparkSession, dir: String): (Long, Long) =
+    Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
+      df.dropDuplicates("id").repartition(col("cell"))
+        .write.partitionBy("cell").parquet(out)
+    }
+
+  /** Top-k cosine neighbors against the persisted index. Same output
+    * contract as [[graft.functions.VectorOps.ivfTopK]]:
+    * `(query_id, neighbor_id, cos_sim, rank)`, self-matches excluded.
+    */
+  def ivfTopKIndexed(queries: DataFrame, dir: String, k: Int, nprobe: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    Dedup.recoverStore(spark, s"$dir/cells")
+    val centroids = readCentroids(spark, dir)
+    val probeN = math.min(nprobe, centroids.size)
+    // per-query probe set as ONE narrow expression: sort the literal
+    // centroid array by (sqdist, cell) and slice the head — no crossJoin,
+    // no window exchange on the query side
+    val scoredCells = array(centroids.map { case (cid, cv) =>
+      struct(sqDist(col("q_vec"), cv).as("d"), lit(cid).as("cell")) }: _*)
+    val probed = wellFormed(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(scoredCells), 1, probeN),
+          c => c.getField("cell"))))
+    // static partition pruning: the union of probed cells is at most nlist
+    // ints — collect it and push `cell IN (...)` into the partitioned scan
+    val wanted = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(wanted.toIndexedSeq: _*))
+      .select(col("id").as("neighbor_id"), col("vec").as("c_vec"), col("cell"))
+    val scored = cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(graft.functions.VectorOps.cosine(col("q_vec"), col("c_vec")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+}

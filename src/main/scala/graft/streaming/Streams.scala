@@ -389,6 +389,35 @@ object Streams {
     * `dropDuplicates(idCol)` readers or
     * [[graft.operators.Dedup.compactStore]].
     */
+  /** Streaming maintenance of a persisted IVF index
+    * ([[graft.operators.VectorIndex]]): every micro-batch routes its
+    * vectors through the index's PINNED centroids (trained once at
+    * [[graft.operators.VectorIndex.buildIvfIndex]] — the run-once-model
+    * discipline of the other ingests) and appends only ids the index does
+    * not already hold, so queries against the index see each vector at
+    * most once organically. Crash replay re-appends byte-identical rows
+    * (the append ran, the commit didn't); `compactEvery` purges them
+    * keyed-distinct while preserving the cell-partitioned layout.
+    */
+  def ingestVectorIndex(stream: DataFrame, indexDir: String, checkpointDir: String,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        compactEvery: Int = 0,
+                        beforeCommit: () => Unit = () => ()
+                       ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          graft.operators.VectorIndex.appendToIvfIndex(batch, indexDir, idCol, vecCol)
+          beforeCommit()
+        }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.operators.VectorIndex.compactIvfIndex(spark, indexDir)
+        ()
+      }
+      .start()
+
   def ingestQualityFiltered(stream: DataFrame, textCol: String,
                             weights: Seq[Double], corpusDir: String,
                             checkpointDir: String

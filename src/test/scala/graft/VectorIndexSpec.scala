@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorIndex
+import graft.functions.VectorOps
+
+/** The persisted IVF index: build → query parity with the ad-hoc tier,
+  * static partition pruning in the physical plan, delta appends through the
+  * pinned centroids, crash-replay healing via layout-preserving compaction,
+  * and the streaming maintenance wrapper.
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("indexed top-k returns well-formed neighbors contained in the exact top-20") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb, dir, nlist = 16)
+    val queries = emb.filter(col("vec_id") < 20)
+    val got = VectorIndex.ivfTopKIndexed(queries, dir, k = 5, nprobe = 8)
+    val exact20 = VectorOps.bruteForceTopK(queries, emb, k = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rows = got.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.length == queries.count() * 5, "k rows per query")
+    val misses = rows.filterNot(exact20.contains)
+    assert(misses.isEmpty, s"neighbors outside exact top-20: ${misses.take(5).toSeq}")
+  }
+
+  private def cellScansOf(df: org.apache.spark.sql.DataFrame) = {
+    // AQE hides the scan inside an un-executed AdaptiveSparkPlanExec; the
+    // property under test (static partition pruning) is fixed before AQE
+    // re-plans, so assert on the non-adaptive plan (PlanQualitySpec idiom)
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    try {
+      spark.conf.set(aqe, "false")
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("/cells")) => s
+      }
+    } finally spark.conf.set(aqe, prev)
+  }
+
+  test("the cells scan is partition-pruned to the probed cells (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_plan").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb, dir, nlist = 16)
+    val scans = cellScansOf(VectorIndex.ivfTopKIndexed(
+      emb.filter(col("vec_id") < 3), dir, k = 3, nprobe = 2))
+    assert(scans.nonEmpty, "expected a cells scan in the plan")
+    val pruned = scans.head.partitionFilters
+    assert(pruned.exists(_.toString.contains("cell")),
+      s"cells scan must carry a partition filter on cell, got $pruned")
+    // and the pruning is REAL: selected partitions < total cells
+    val selected = scans.head.selectedPartitions.partitionCount
+    val total = spark.read.parquet(s"$dir/cells").select("cell").distinct().count()
+    assert(selected < total, s"pruning selected $selected of $total cells")
+  }
+
+  test("append routes through the pinned centroids and is id-idempotent; compaction heals replay twins") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_app").toString + "/idx"
+    val base = emb.filter(col("vec_id") < 400)
+    VectorIndex.buildIvfIndex(base, dir, nlist = 8)
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    assert(VectorIndex.appendToIvfIndex(delta, dir) == delta.count())
+    // organic re-append of the same delta indexes nothing (anti-join)
+    assert(VectorIndex.appendToIvfIndex(delta, dir) == 0L)
+    // a delta vector's cell matches what a fresh query-side routing gives:
+    // the indexed neighbors of a delta vector include its exact twin base
+    // vector if one exists — weaker but sufficient: top-1 self-consistency
+    val got = VectorIndex.ivfTopKIndexed(delta.limit(5), dir, k = 3, nprobe = 8)
+    assert(got.count() == 15, "appended vectors are queryable")
+    // crash replay: blind duplicate append (bypassing the anti-join) through
+    // the SAME partitioned layout a replayed appendToIvfIndex would use,
+    // then layout-preserving compaction purges twins and keeps partitioning
+    val twins = spark.read.parquet(s"$dir/cells")
+      .select("id", "vec", "cell").limit(50).collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(twins, 2),
+        spark.read.parquet(s"$dir/cells").select("id", "vec", "cell").schema)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    val dupes = spark.read.parquet(s"$dir/cells").groupBy("id")
+      .count().filter(col("count") > 1).count()
+    assert(dupes == 50, "fixture: store must carry replay twins")
+    val (before, after) = VectorIndex.compactIvfIndex(spark, dir)
+    assert(before - after == 50, s"compaction must drop exactly the twins ($before -> $after)")
+    val rereadCols = spark.read.parquet(s"$dir/cells").columns.toSet
+    assert(rereadCols.contains("cell"), "partitioned layout must survive compaction")
+    val prunedStill = cellScansOf(
+      VectorIndex.ivfTopKIndexed(delta.limit(2), dir, k = 2, nprobe = 2))
+    assert(prunedStill.head.partitionFilters.exists(_.toString.contains("cell")),
+      "pruning must survive compaction")
+  }
+
+  test("streaming maintenance: batches index once each, crash window heals via compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ivfidx_stream").toString
+    val dir = s"$root/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 300), dir, nlist = 8)
+    val n0 = spark.read.parquet(s"$dir/cells").count()
+    val rows = emb.filter(col("vec_id") >= 300 && col("vec_id") < 360)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    // window: crash AFTER the append, BEFORE the commit — batch 1 replays
+    var crashed = false
+    val in = MemoryStream[(Long, Seq[Float])]
+    def start() = graft.streaming.Streams.ingestVectorIndex(
+      in.toDF().toDF("vec_id", "embedding"), dir, s"$root/ckpt",
+      compactEvery = 2,
+      beforeCommit = () => if (!crashed) { crashed = true; sys.error("injected crash") })
+    val q1 = start()
+    in.addData(rows.take(30).toIndexedSeq: _*)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // the append landed; the commit didn't — the REPLAY's anti-join sees
+    // the ids and appends nothing, so no twins even before compaction
+    val q2 = start()
+    in.addData(rows.drop(30).toIndexedSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == n0 + 60, s"got ${cells.count()}")
+    assert(cells.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    // everything streamed in is queryable through the pruned path
+    val got = VectorIndex.ivfTopKIndexed(
+      Seq(rows.head, rows.last).toDF("vec_id", "embedding"), dir, k = 3, nprobe = 8)
+    assert(got.count() == 6)
+  }
+}
