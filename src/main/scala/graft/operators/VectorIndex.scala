@@ -68,9 +68,32 @@ object VectorIndex {
     * crosses exactly one exchange (repartition by cell → one file per
     * cell); at real scale add `maxRecordsPerFile` / salt wide cells.
     */
+  /** Payload columns per codec. `float` stores the raw vector; `int8`
+    * stores ONLY the quantized codes + precomputed norm
+    * ([[graft.functions.VectorOps.quantizeInt8]]) — the 4×-smaller
+    * billion-vector layout. The codec is self-describing: readers infer it
+    * from the cells schema (`vec` vs `q`), so append and query need no
+    * manifest.
+    */
+  private def payloadOf(routed: DataFrame, codec: String): DataFrame = codec match {
+    case "float" => routed.select(col("id"), col("vec"), col("cell"))
+    case "int8" =>
+      routed.withColumn("__z", graft.functions.VectorOps.quantizeInt8(col("vec")))
+        .select(col("id"), col("__z.q").as("q"), col("__z.norm2").as("norm2"), col("cell"))
+    case other => throw new IllegalArgumentException(
+      s"VectorIndex codec must be float or int8, got '$other'")
+  }
+
+  private def codecOf(cells: DataFrame): String =
+    if (cells.columns.contains("vec")) "float"
+    else if (cells.columns.contains("q")) "int8"
+    else throw new IllegalArgumentException(
+      s"not a VectorIndex cells store (columns: ${cells.columns.mkString(",")})")
+
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    trainSampleCap: Long = 1000000L): Unit = {
+                    trainSampleCap: Long = 1000000L,
+                    codec: String = "float"): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -92,7 +115,8 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     // assignment through the LITERAL expression (not model.transform) so
     // build and append share one routing code path
-    base.withColumn("cell", nearestCell(col("vec"), centroids).getField("cell"))
+    payloadOf(base.withColumn("cell",
+        nearestCell(col("vec"), centroids).getField("cell")), codec)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
   }
@@ -113,11 +137,15 @@ object VectorIndex {
     val spark = delta.sparkSession
     Dedup.recoverStore(spark, s"$dir/cells")
     val centroids = readCentroids(spark, dir)
-    val known = spark.read.parquet(s"$dir/cells").select("id")
-    val fresh = wellFormed(delta, vecCol)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(known, Seq("id"), "left_anti")
-      .withColumn("cell", nearestCell(col("vec"), centroids).getField("cell"))
+    val cells = spark.read.parquet(s"$dir/cells")
+    val codec = codecOf(cells) // self-describing store — append matches it
+    val known = cells.select("id")
+    val fresh = payloadOf(
+        wellFormed(delta, vecCol)
+          .select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .join(known, Seq("id"), "left_anti")
+          .withColumn("cell", nearestCell(col("vec"), centroids).getField("cell")),
+        codec)
       .localCheckpoint(true) // sever from the store scan before writing to it
     val n = fresh.count()
     if (n > 0)
@@ -159,13 +187,31 @@ object VectorIndex {
     // static partition pruning: the union of probed cells is at most nlist
     // ints — collect it and push `cell IN (...)` into the partitioned scan
     val wanted = probed.select("cell").distinct().collect().map(_.getInt(0))
-    val cells = spark.read.parquet(s"$dir/cells")
-      .filter(col("cell").isin(wanted.toIndexedSeq: _*))
-      .select(col("id").as("neighbor_id"), col("vec").as("c_vec"), col("cell"))
-    val scored = cells.join(broadcast(probed), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim",
-        round(graft.functions.VectorOps.cosine(col("q_vec"), col("c_vec")), 4))
+    val raw = spark.read.parquet(s"$dir/cells")
+    val store = raw.filter(col("cell").isin(wanted.toIndexedSeq: _*))
+    import graft.functions.VectorOps
+    // codec-matched scoring: float stores score exact cosine (round 4, the
+    // ad-hoc ivfTopK convention); int8 stores score the integer cross-dot
+    // (round 6, the ivfTopKInt8 convention) against the quantized query
+    val scored = codecOf(raw) match {
+      case "float" =>
+        store.select(col("id").as("neighbor_id"), col("vec").as("c_vec"), col("cell"))
+          .join(broadcast(probed), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos_sim",
+            round(VectorOps.cosine(col("q_vec"), col("c_vec")), 4))
+      case _ =>
+        val p = probed.withColumn("__z", VectorOps.quantizeInt8(col("q_vec")))
+          .select(col("query_id"), col("cell"),
+            col("__z.q").as("q_q"), col("__z.norm2").as("q_n2"))
+        store.select(col("id").as("neighbor_id"), col("q").as("c_q"),
+            col("norm2").as("c_n2"), col("cell"))
+          .join(broadcast(p), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos_sim", round(
+            VectorOps.dotInt8(col("q_q"), col("c_q")).cast("double") /
+              sqrt(col("q_n2").cast("double") * col("c_n2").cast("double")), 6))
+    }
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

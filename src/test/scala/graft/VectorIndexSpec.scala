@@ -126,4 +126,26 @@ class VectorIndexSpec extends SparkSpec {
       Seq(rows.head, rows.last).toDF("vec_id", "embedding"), dir, k = 3, nprobe = 8)
     assert(got.count() == 6)
   }
+
+  test("int8 codec: 4x-smaller store, codec-inferred append, same containment contract") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_i8").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 400), dir, nlist = 16,
+      codec = "int8")
+    val cols = spark.read.parquet(s"$dir/cells").columns.toSet
+    assert(cols == Set("id", "q", "norm2", "cell"), s"int8 layout, got $cols")
+    // append infers the codec from the store schema -- no manifest
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    assert(VectorIndex.appendToIvfIndex(delta, dir) == delta.count())
+    assert(spark.read.parquet(s"$dir/cells").columns.toSet == cols)
+    // same containment contract as the ad-hoc int8 tier: every returned
+    // neighbor sits in the exact FLOAT top-20
+    val queries = emb.filter(col("vec_id") < 20)
+    val got = VectorIndex.ivfTopKIndexed(queries, dir, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val exact20 = VectorOps.bruteForceTopK(queries, emb.filter(col("vec_id") < 450), k = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.length == queries.count() * 5)
+    val misses = got.filterNot(exact20.contains)
+    assert(misses.isEmpty, s"outside exact top-20: ${misses.take(5).toSeq}")
+  }
 }
