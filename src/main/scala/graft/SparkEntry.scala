@@ -1752,6 +1752,46 @@ object SparkEntry {
     * cannot move it (the invariance the CI test pins on a hand fixture,
     * here hash-gated on the organic corpus).
     */
+  /** Driver gate for the streaming vector-index maintenance
+    * ([[graft.streaming.Streams.ingestVectorIndex]]): seed the index from
+    * PINNED centroids (the first 8 embedding rows, data-derived so the
+    * oracle recomputes them from the table — k-means training is not
+    * bit-deterministic, argmin routing is), stream two deterministic
+    * micro-batches (even ids, then odd), and return the final cells store
+    * as `(vec_id, cell)`. The oracle replays the whole evolution as one
+    * argmin-of-squared-L2 over the union — Spark's `aggregate(zip_with)`
+    * fold and DuckDB's `list_sum(list_transform)` both sum strictly
+    * left-to-right in doubles, so the distances are bit-identical. The
+    * driver-side row staging is the bounded gate HARNESS (MemoryStream
+    * needs local rows), not an operator pattern.
+    */
+  private def qSVectorIndexIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 8)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }.toSeq
+    val work = java.nio.file.Files.createTempDirectory("vector_index_ingest").toString
+    graft.operators.VectorIndex.buildIvfIndexPinned(
+      emb.filter(col("vec_id") < 20), s"$work/idx", cents)
+    val rows = emb.filter(col("vec_id") >= 20 && col("vec_id") < 100)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.ingestVectorIndex(
+      in.toDF().toDF("vec_id", "embedding"), s"$work/idx", s"$work/ckpt")
+    try {
+      in.addData(rows.filter(_._1 % 2 == 0).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 % 2 == 1).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(s"$work/idx/cells")
+      .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"))
+      .orderBy("vec_id")
+  }
+
   private def qSQualityIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1908,6 +1948,7 @@ object SparkEntry {
     "q_s_stream_dedup"   -> (qSStreamDedup _),
     "q_s_pretrain_ingest" -> (qSPretrainIngest _),
     "q_s_quality_ingest"  -> (qSQualityIngest _),
+    "q_s_vector_index_ingest" -> (qSVectorIndexIngest _),
     "q_s_stream_enrich"  -> (qSStreamEnrich _),
     "q_s_stream_join"    -> (qSStreamJoin _),
     "q_x_running"        -> (qXRunning _),
@@ -2821,6 +2862,22 @@ object SparkEntry {
     "q_s_stream_dedup" ->
       """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
          ORDER BY user_id""",
+    // streaming vector-index maintenance: the final cells store equals the
+    // argmin-of-squared-L2 routing of every indexed vector against the
+    // pinned (data-derived, first-8) centroids — distances are summed
+    // strictly left-to-right in doubles on both engines, so bit-identical
+    "q_s_vector_index_ingest" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, embedding AS ev FROM embeddings WHERE vec_id < 100),
+         s AS (SELECT vec_id, cid,
+                 list_sum(list_transform(range(1, len(ev)+1),
+                   i -> (CAST(ev[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                      * (CAST(ev[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+               FROM v, c),
+         r AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM s)
+         SELECT vec_id, cid AS cell FROM r WHERE rn = 1 ORDER BY vec_id""",
     // streaming quality ingest == the batch accept set (stateless verdict)
     "q_s_quality_ingest" ->
       s"""WITH ${qualityCtesSql("documents")}

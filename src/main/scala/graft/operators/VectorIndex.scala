@@ -110,9 +110,27 @@ object VectorIndex {
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(trainSet)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    buildIvfIndexPinned(corpus, dir, centroids, idCol, vecCol, codec)
+  }
+
+  /** Build from a PINNED centroid set — the run-once-model discipline
+    * (train offline or derive deterministically, pin, route anywhere).
+    * With pinned centroids the whole index content is pure arithmetic
+    * over the corpus, which is what makes the streaming ingest gate
+    * (`q_s_vector_index_ingest`) DuckDB-replayable: k-means training is
+    * not bit-deterministic across runs, argmin routing is.
+    */
+  def buildIvfIndexPinned(corpus: DataFrame, dir: String,
+                          centroids: Seq[(Int, Seq[Double])],
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          codec: String = "float"): Unit = {
+    require(centroids.nonEmpty, "buildIvfIndexPinned: empty centroid set")
+    val spark = corpus.sparkSession
     import spark.implicits._
     centroids.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    val base = wellFormed(corpus, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
     // assignment through the LITERAL expression (not model.transform) so
     // build and append share one routing code path
     payloadOf(base.withColumn("cell",
