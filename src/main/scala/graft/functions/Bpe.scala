@@ -57,9 +57,16 @@ object Bpe {
     * ONE opaque `word</w>` symbol (merge-exempt, O(1)) instead of a
     * character sequence, bounding both the fold cost and the subword
     * count it contributes to packing budgets.
+    *
+    * OPT-IN (`maxWordChars <= 0` = off, the default everywhere): the cap
+    * changes segmentation results for over-long words, and the DuckDB
+    * gate oracles replay exact uncapped per-char segmentation — defaults
+    * preserve exact semantics, protection is a documented knob (the
+    * `maxDocChars` convention). Wild-corpus ingests should set it.
     */
   private[graft] def cappedSymbols(word: Column, maxWordChars: Int): Column =
-    when(length(word) > maxWordChars, array(concat(word, lit(EndOfWord))))
+    if (maxWordChars <= 0) initialSymbols(word)
+    else when(length(word) > maxWordChars, array(concat(word, lit(EndOfWord))))
       .otherwise(initialSymbols(word))
 
   /** Rewrite a symbol sequence with ONE merge `(a, b) → ab` applied
@@ -141,7 +148,7 @@ object Bpe {
   def trainMergesBatched(vocab: DataFrame, numMerges: Int,
                          batchSize: Int = 64,
                          checkpointEvery: Int = 8,
-                         maxWordChars: Int = 1000): Seq[(String, String)] = {
+                         maxWordChars: Int = 0): Seq[(String, String)] = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     // the cap keeps a pathological vocab word (megabyte tokens) from
     // dominating every round's pair counts with garbage pairs
@@ -188,7 +195,7 @@ object Bpe {
     */
   def vocabSegmentation(vocab: DataFrame,
                         merges: Seq[(String, String)],
-                        maxWordChars: Int = 1000): DataFrame =
+                        maxWordChars: Int = 0): DataFrame =
     applyMergesChunked(merges, col("word"), "subwords")(
       vocab.select(col("word"), cappedSymbols(col("word"), maxWordChars).as("subwords")))
 
@@ -198,7 +205,7 @@ object Bpe {
     * subwords)` — the real token count a packing budget should use.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
-             segmentation: DataFrame, maxWordChars: Int = 1000): DataFrame = {
+             segmentation: DataFrame, maxWordChars: Int = 0): DataFrame = {
     val words = df.select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "word")))
     val enc = words

@@ -15,6 +15,16 @@ object VectorOps {
 
   private def d(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** The well-formed-embedding policy every vector tier shares (ad-hoc IVF,
+    * the persisted index, LSH): null and EMPTY embeddings can't be indexed
+    * or routed — they'd NPE in `array_to_vector` or break k-means on mixed
+    * dimensions — and are dropped; zero-NORM vectors are dimensionally fine
+    * and stay (surfacing with null cos_sim). One definition so the tiers
+    * can't drift (EdgeCaseSpec pins the behavior).
+    */
+  private[graft] def wellFormedVectors(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -124,9 +134,8 @@ object VectorOps {
         col("__z.q").as("q_q"), col("__z.norm2").as("q_n2"))
     val scored = a.join(p, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(
-        dotInt8(col("q_q"), col("c_q")).cast("double") /
-          sqrt(col("q_n2").cast("double") * col("c_n2").cast("double")), 6))
+      .withColumn("cos_sim", round(cosineInt8OfNorms(
+        dotInt8(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -148,17 +157,17 @@ object VectorOps {
     // would NPE inside array_to_vector / break k-means on mixed dimensions.
     // Drop them from BOTH sides — same "flows through without pairing"
     // policy as the LSH and brute tiers (EdgeCaseSpec).
-    val wellFormed = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-    val toVec = wellFormed.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val toVec = wellFormedVectors(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
     // Coarse-quantizer training only needs a representative sample: cap it
     // with the deterministic md5 Bernoulli filter (engine-portable, seedless)
     // so a 100 TB corpus trains k-means on ~trainSampleCap vectors instead
     // of iterating the full relation 10×. Below the cap the filter is a
     // no-op and results are bit-identical to training on everything.
     val n = toVec.count()
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .filter(col("q_vec").isNotNull && size(col("q_vec")) > 0)
+    val q0 = wellFormedVectors(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     // an empty (or all-degenerate) corpus has nothing to index — return the
     // empty frames with the contract schema instead of crashing k-means fit
     if (n == 0) return (
@@ -223,14 +232,25 @@ object VectorOps {
   def dotInt8(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
 
+  /** Int8 cosine from a precomputed cross dot and the two precomputed
+    * self-norms: NULL when either norm is zero — the native float
+    * [[cosine]] kernel's convention, and under ANSI mode the difference
+    * between "zero-norm vectors surface with null cos_sim" (the documented
+    * vector-tier policy, EdgeCaseSpec) and a DIVIDE_BY_ZERO killing the
+    * whole query job. Every int8 scoring site goes through this.
+    */
+  private[graft] def cosineInt8OfNorms(dotC: Column, qN2: Column, cN2: Column): Column =
+    when(qN2 === 0L || cN2 === 0L, lit(null).cast("double"))
+      .otherwise(dotC.cast("double") / sqrt(qN2.cast("double") * cN2.cast("double")))
+
   /** Cosine over int8 codes: the three dot products are exact integer sums,
     * and the final divide/sqrt are single correctly-rounded IEEE ops — so
     * unlike float cosine (which needs matched summation order), the
-    * quantized score is bit-identical on any engine.
+    * quantized score is bit-identical on any engine. Null on a zero-norm
+    * side, like the float kernel.
     */
   def cosineInt8(qa: Column, qb: Column): Column =
-    dotInt8(qa, qb).cast("double") /
-      sqrt(dotInt8(qa, qa).cast("double") * dotInt8(qb, qb).cast("double"))
+    cosineInt8OfNorms(dotInt8(qa, qb), dotInt8(qa, qa), dotInt8(qb, qb))
 
   /** Brute-force top-k over int8-quantized vectors: same plan shape as
     * [[bruteForceTopK]] (broadcast queries, one corpus scan), but the
@@ -248,9 +268,8 @@ object VectorOps {
     val c = corpus.select(col(idCol).as("neighbor_id"), quantizeInt8(col(vecCol)).as("__z"))
       .select(col("neighbor_id"), col("__z.q").as("c_q"), col("__z.norm2").as("c_n2"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(
-        dotInt8(col("q_q"), col("c_q")).cast("double") /
-          sqrt(col("q_n2").cast("double") * col("c_n2").cast("double")), 6))
+      .withColumn("cos_sim", round(cosineInt8OfNorms(
+        dotInt8(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")), 6))
       .drop("q_n2", "c_n2")
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored

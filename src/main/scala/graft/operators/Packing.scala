@@ -146,7 +146,7 @@ object Packing {
                            segmentation: DataFrame, budgetTokens: Long,
                            shards: Int = 256,
                            eosToken: String = "<eos>",
-                           maxWordChars: Int = 1000): DataFrame = {
+                           maxWordChars: Int = 0): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val toks = graft.functions.TextOps.tokens(col(textCol))
     val words = df.select(

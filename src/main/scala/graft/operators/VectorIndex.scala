@@ -45,7 +45,7 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   private def wellFormed(df: DataFrame, vecCol: String): DataFrame =
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    graft.functions.VectorOps.wellFormedVectors(df, vecCol)
 
   /** Squared-L2 distance between a (float) vector column and a literal
     * double centroid — matches the k-means assignment metric, pure codegen.
@@ -161,6 +161,11 @@ object VectorIndex {
     val fresh = payloadOf(
         wellFormed(delta, vecCol)
           .select(col(idCol).as("id"), col(vecCol).as("vec"))
+          // WITHIN-batch dedup too: an at-least-once source can re-deliver
+          // an id inside one micro-batch, and the store anti-join below
+          // only sees ids already COMMITTED — without this, both copies
+          // index and top-k returns the same neighbor at two ranks
+          .dropDuplicates("id")
           .join(known, Seq("id"), "left_anti")
           .withColumn("cell", nearestCell(col("vec"), centroids).getField("cell")),
         codec)
@@ -192,43 +197,59 @@ object VectorIndex {
     Dedup.recoverStore(spark, s"$dir/cells")
     val centroids = readCentroids(spark, dir)
     val probeN = math.min(nprobe, centroids.size)
+    val raw = spark.read.parquet(s"$dir/cells")
+    val codec = codecOf(raw)
+    import graft.functions.VectorOps
     // per-query probe set as ONE narrow expression: sort the literal
     // centroid array by (sqdist, cell) and slice the head — no crossJoin,
     // no window exchange on the query side
     val scoredCells = array(centroids.map { case (cid, cv) =>
       struct(sqDist(col("q_vec"), cv).as("d"), lit(cid).as("cell")) }: _*)
-    val probed = wellFormed(queries, vecCol)
+    val qBase = wellFormed(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // int8: quantize ONCE per query, BEFORE the per-cell explode — after it
+    // the O(d) quantization would re-run nprobe times per query
+    val qPayload = codec match {
+      case "float" => qBase
+      case _ => qBase
+        .withColumn("__z", VectorOps.quantizeInt8(col("q_vec")))
+        .select(col("query_id"), col("q_vec"),
+          col("__z.q").as("q_q"), col("__z.norm2").as("q_n2"))
+    }
+    // probed feeds TWO consumers (the wanted-cells collect and the scored
+    // join) — checkpoint the small queries×nprobe relation so the
+    // nlist×dim centroid scoring evaluates once, not per consumer
+    val probed = qPayload
       .withColumn("cell",
         explode(transform(slice(array_sort(scoredCells), 1, probeN),
           c => c.getField("cell"))))
+      .drop(if (codec == "float") "__keep_q_vec" else "q_vec")
+      .localCheckpoint(true)
     // static partition pruning: the union of probed cells is at most nlist
     // ints — collect it and push `cell IN (...)` into the partitioned scan
     val wanted = probed.select("cell").distinct().collect().map(_.getInt(0))
-    val raw = spark.read.parquet(s"$dir/cells")
     val store = raw.filter(col("cell").isin(wanted.toIndexedSeq: _*))
-    import graft.functions.VectorOps
+    // size-GATED broadcast (not a forced hint): a mis-sized query batch
+    // falls back to a shuffle join instead of OOMing the executors
+    val probeSide = Joins.maybeBroadcast(probed)
     // codec-matched scoring: float stores score exact cosine (round 4, the
     // ad-hoc ivfTopK convention); int8 stores score the integer cross-dot
-    // (round 6, the ivfTopKInt8 convention) against the quantized query
-    val scored = codecOf(raw) match {
+    // (round 6, the ivfTopKInt8 convention) against the quantized query;
+    // zero-norm sides surface as NULL cos_sim on both paths
+    val scored = codec match {
       case "float" =>
         store.select(col("id").as("neighbor_id"), col("vec").as("c_vec"), col("cell"))
-          .join(broadcast(probed), Seq("cell"))
+          .join(probeSide, Seq("cell"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .withColumn("cos_sim",
             round(VectorOps.cosine(col("q_vec"), col("c_vec")), 4))
       case _ =>
-        val p = probed.withColumn("__z", VectorOps.quantizeInt8(col("q_vec")))
-          .select(col("query_id"), col("cell"),
-            col("__z.q").as("q_q"), col("__z.norm2").as("q_n2"))
         store.select(col("id").as("neighbor_id"), col("q").as("c_q"),
             col("norm2").as("c_n2"), col("cell"))
-          .join(broadcast(p), Seq("cell"))
+          .join(probeSide, Seq("cell"))
           .filter(col("query_id") =!= col("neighbor_id"))
-          .withColumn("cos_sim", round(
-            VectorOps.dotInt8(col("q_q"), col("c_q")).cast("double") /
-              sqrt(col("q_n2").cast("double") * col("c_n2").cast("double")), 6))
+          .withColumn("cos_sim", round(VectorOps.cosineInt8OfNorms(
+            VectorOps.dotInt8(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")), 6))
     }
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -66,10 +66,14 @@ object PathologyProbe {
       t(s"$tag/char_shingle_minhash", df) { d =>
         Dedup.minhashSignatures(d, "id", "text", shingleLen = 5, numHashes = 32) }
       t(s"$tag/span_fps", df) { d => Dedup.spanFingerprints(d, "id", "text") }
+      // maxWordChars=1000 is the recommended wild-corpus config (opt-in;
+      // the uncapped default stalled >8 min on the 2M-char token — measured
+      // once, see SCALING.md's pathological-shape table)
       t(s"$tag/bpe_encode", df) { d =>
         graft.functions.Bpe.encode(d, "id", "text",
           graft.functions.Bpe.vocabSegmentation(
-            graft.functions.Bpe.wordCounts(d, "text"), merges)) }
+            graft.functions.Bpe.wordCounts(d, "text"), merges,
+            maxWordChars = 1000), maxWordChars = 1000) }
       t(s"$tag/lm_score", df) { d => CorpusStats.lmScore(d, "id", "text") }
       t(s"$tag/pack_seq", df) { d => Packing.packSequences(d, "id", "text", 4096) }
     }

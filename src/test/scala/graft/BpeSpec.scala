@@ -164,30 +164,31 @@ class BpeSpec extends SparkSpec {
     assert(bins.sorted.toSeq == Seq(4L, 12L), s"got ${bins.sorted.toSeq}")
   }
 
-  test("over-long words segment as ONE opaque symbol (maxWordChars cap, straggler defense)") {
+  test("over-long words segment as ONE opaque symbol (opt-in maxWordChars cap, straggler defense)") {
     import graft.functions.Bpe
     val giant = "z" * 5000
     val docs = Seq((1L, s"newest $giant")).toDF("doc_id", "text")
     val vocab = Bpe.wordCounts(docs, "text")
     val merges = Seq("e" -> "s", "es" -> "t</w>")
-    // vocab segmentation: the giant word is merge-exempt, one symbol
-    val seg = Bpe.vocabSegmentation(vocab, merges)
+    // with the cap set, the giant word is merge-exempt, one symbol
+    val seg = Bpe.vocabSegmentation(vocab, merges, maxWordChars = 1000)
     val giantSeg = seg.filter(length(col("word")) > 1000)
       .select("subwords").as[Seq[String]].head()
     assert(giantSeg == Seq(giant + Bpe.EndOfWord), "capped word must be one opaque symbol")
     // encode: n_subwords counts it as ONE token, and the OOV fallback path
     // (encoding against a segmentation that lacks the word) caps identically
-    val enc = Bpe.encode(docs, "doc_id", "text", seg)
+    val enc = Bpe.encode(docs, "doc_id", "text", seg, maxWordChars = 1000)
       .select("n_words", "n_subwords").as[(Long, Long)].head()
     assert(enc._1 == 2L)
-    val encOov = Bpe.encode(docs, "doc_id", "text", seg.filter(length(col("word")) <= 1000))
+    val encOov = Bpe.encode(docs, "doc_id", "text",
+        seg.filter(length(col("word")) <= 1000), maxWordChars = 1000)
       .select("n_subwords").as[Long].head()
     assert(enc._2 == encOov, s"table path ${enc._2} vs OOV path $encOov must agree")
-    // with a raised cap (both table build AND encode), the giant word
-    // segments to its full character sequence again
-    val seg10k = Bpe.vocabSegmentation(vocab, merges, maxWordChars = 10000)
-    val small = Bpe.encode(docs, "doc_id", "text", seg10k, maxWordChars = 10000)
+    // the DEFAULT is off (exact oracle-replayable segmentation): the giant
+    // word contributes its full character sequence
+    val segDef = Bpe.vocabSegmentation(vocab, merges)
+    val small = Bpe.encode(docs, "doc_id", "text", segDef)
       .select("n_subwords").as[Long].head()
-    assert(small == enc._2 - 1 + 5000, s"uncapped giant contributes its char count, got $small")
+    assert(small == enc._2 - 1 + 5000, s"default must stay uncapped, got $small")
   }
 }
