@@ -16,6 +16,15 @@ package graft
   * physical plan prints instead of executing (the plan-audit twin of
   * `SpecJson.dag`'s logical export); otherwise the first `--show` rows
   * (default 20) print to stdout. Exits nonzero on a broken spec.
+  *
+  * A spec whose root carries an `ingest` field is a STREAMING-ingest spec
+  * ([[graft.plans.IngestSpec]]): the runner performs ONE incremental
+  * ingest round — `readStream` over the spec's file-drop source,
+  * `Trigger.AvailableNow`, block until drained — then prints the primary
+  * sink's row count and exits. Re-running the same spec resumes from its
+  * checkpoint and processes only newly-arrived files, so a scheduler
+  * invoking this CLI periodically IS the production ingest loop.
+  * `--out`/`--show`/`--explain` don't apply (sinks live in the spec).
   */
 object RunSpec {
   def main(args: Array[String]): Unit = {
@@ -59,13 +68,19 @@ object RunSpec {
     try {
       val json = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specPath)), "UTF-8")
-      val spec = plans.SpecJson.fromJson(json)
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = GraftSession.builder(master = s"local[$cpus]",
         shufflePartitions = cpus.toInt).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      try {
-        val df = plans.PipelineCompiler.compile(spec, spark, params)
+      if (plans.SpecJson.isIngestJson(json)) {
+        val ingest = plans.SpecJson.ingestFromJson(json)
+        plans.IngestCompiler.runAvailable(spark, ingest, params)
+        val sink = plans.PipelineCompiler.substitute(
+          plans.IngestCompiler.primarySink(ingest), params)
+        println(s"ingest round drained; $sink now holds " +
+          s"${spark.read.parquet(sink).count()} rows")
+      } else try {
+        val df = plans.PipelineCompiler.compile(plans.SpecJson.fromJson(json), spark, params)
         if (explain) df.explain("formatted")
         else out match {
           case Some(dir) =>

@@ -1024,6 +1024,35 @@ object SparkEntry {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** The composed streaming ingest as a persisted, parameterized spec
+    * asset — the STREAMING sibling of [[llmPipelineV3Spec]], carrying the
+    * same pinned models inline (trained quality weights + trained k-means
+    * centroids): checked in at `src/main/resources/specs/pretrain_ingest
+    * .json` (exported by `tools.SpecExport`, equality-pinned in
+    * StreamSpecSpec). A user runs it with
+    * `runMain graft.RunSpec <asset> --param root=/data/run1` after
+    * dropping parquet files under `$root/drop`; each invocation drains
+    * the new files and exits (`Trigger.AvailableNow` + checkpoint), so a
+    * cron loop over this one file IS the production ingest.
+    * `compactEvery`/`maxDocChars` are set to the recommended wild-corpus
+    * operating point (store maintenance every 8 batches; hostile-doc
+    * clamp, SCALING.md pathological-shape table).
+    */
+  private[graft] def pretrainIngestSpec: IngestSpec = PretrainIngestSpec(
+    StreamSourceSpec("parquet", "{%root%}/drop"),
+    "doc_id", "text", "embedding", qualityGateWeights, semanticCentroidsKmeans,
+    semThreshold = 0.9, spanK = 16,
+    corpusDir = "{%root%}/corpus", semStoreDir = "{%root%}/sem",
+    spanStoreDir = "{%root%}/span", checkpointDir = "{%root%}/ckpt",
+    compactEvery = 8, maxDocChars = 50000)
+
+  /** The checked-in JSON form of [[pretrainIngestSpec]]. */
+  private[graft] def pretrainIngestJson: String = {
+    val in = getClass.getResourceAsStream("/specs/pretrain_ingest.json")
+    require(in != null, "missing resource /specs/pretrain_ingest.json")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   private def qNLlmPipelineV3(s: SparkSession, dir: String): DataFrame = {
     // compiled FROM the checked-in spec asset — the persisted-job UX runs
     // on the gate path itself (SpecJsonSpec pins file == toJson(inline))
@@ -1883,6 +1912,70 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The SPEC-FILE twin of [[qSPretrainIngest]] — the same composed
+    * ingest over the same fixture (even ids then odd ids, twin cliques
+    * straddling the boundary both ways, the planted gram-less doc), but
+    * driven end-to-end through the persisted-job surface:
+    * the ingest is serialized to JSON ([[graft.plans.SpecJson.ingestToJson]],
+    * pinned models inline), parsed back from the FILE, and run as TWO
+    * separate `Trigger.AvailableNow` rounds over a file-drop source
+    * directory — each round is a fresh `start()` resuming the previous
+    * round's checkpoint, i.e. a REAL restart (strictly stronger than the
+    * MemoryStream twin's single long-lived query), exactly what
+    * `graft.RunSpec <ingest.json>` does per CLI invocation. The oracle is
+    * the identical two-batch DuckDB replay: batch membership is id parity
+    * on both paths, so the stores must evolve identically whether the
+    * batches arrive over one query or two.
+    */
+  private def qSSpecIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val joined = base.join(emb, base("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("embedding"))
+    val twinA = joined.filter(col("doc_id") < 32)
+      .select((col("doc_id") + 100001L).as("doc_id"), col("text"), col("lang"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val twinB = joined.filter(col("doc_id") < 16)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"), col("lang"),
+        transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+    import s.implicits._
+    val planted = Seq((999999L, "", "und", Seq.fill(64)(0f).toSeq))
+      .toDF("doc_id", "text", "lang", "embedding")
+    val all = joined.unionByName(twinA).unionByName(twinB).unionByName(planted)
+    val work = java.nio.file.Files.createTempDirectory("spec_ingest").toString
+    // pinned run-once models, identical to the MemoryStream gate's
+    val joint = CorpusStats.hashedGramCountsSplit(base, "text", col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    CorpusStats.importanceWeightsJoint(
+        s.createDataFrame(joint).toDF("bucket", "cnt_target", "cnt_background"))
+      .write.mode("overwrite").parquet(s"$work/weights")
+    val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
+    // every location rides a {%work%} placeholder — the parameterized-spec
+    // form a user persists once and points at any environment
+    val spec = PretrainIngestSpec(
+      StreamSourceSpec("parquet", "{%work%}/drop"),
+      "doc_id", "text", "embedding", qualityGateWeights, cents,
+      semThreshold = 0.9, spanK = 16,
+      corpusDir = "{%work%}/corpus", semStoreDir = "{%work%}/sem",
+      spanStoreDir = "{%work%}/span", checkpointDir = "{%work%}/ckpt",
+      dsirWeightsDir = Some("{%work%}/weights"), minLogw = -30.0)
+    val specFile = java.nio.file.Paths.get(s"$work/ingest.json")
+    java.nio.file.Files.write(specFile,
+      SpecJson.ingestToJson(spec).getBytes("UTF-8"))
+    val loaded = SpecJson.ingestFromJson(
+      new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8"))
+    val params = Map("work" -> work)
+    // round 1: drop the even-id batch, drain; round 2: drop the odd-id
+    // batch, drain again from the SAME checkpoint (a real restart)
+    all.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(s"$work/drop")
+    IngestCompiler.runAvailable(s, loaded, params)
+    all.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$work/drop")
+    IngestCompiler.runAvailable(s, loaded, params)
+    s.read.parquet(s"$work/corpus")
+      .select(col("doc_id"), col("n_kept"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Exact distributed percentiles (Catalyst `percentile`, one hash-agg
     * pass). Gate-output rule: prices are scaled to integer cents BEFORE the
     * percentile so interpolation happens on integers at binary-exact
@@ -1947,6 +2040,7 @@ object SparkEntry {
     "q_s_stream_session" -> (qSStreamSession _),
     "q_s_stream_dedup"   -> (qSStreamDedup _),
     "q_s_pretrain_ingest" -> (qSPretrainIngest _),
+    "q_s_spec_ingest"    -> (qSSpecIngest _),
     "q_s_quality_ingest"  -> (qSQualityIngest _),
     "q_s_vector_index_ingest" -> (qSVectorIndexIngest _),
     "q_s_stream_enrich"  -> (qSStreamEnrich _),
@@ -2244,7 +2338,8 @@ object SparkEntry {
       s"($cid, CAST([${v.mkString(", ")}] AS FLOAT[]))"
     }.mkString(",\n                ")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = Map(
     "q_c1_filter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
@@ -3440,4 +3535,11 @@ object SparkEntry {
                  fp
           FROM base ORDER BY doc_id"""
     })
+    // the spec-file ingest is the SAME two-batch store evolution driven
+    // through the persisted-job surface (file-drop source + two
+    // AvailableNow restarts instead of one MemoryStream query); batch
+    // membership is id parity on both paths, so one replay oracle serves
+    // both gates
+    m + ("q_s_spec_ingest" -> m("q_s_pretrain_ingest"))
+  }
 }

@@ -205,6 +205,148 @@ object SpecJson {
     PipelineSpec(nodes, str(root, "out"))
   }
 
+  // --- streaming-ingest specs ----------------------------------------------
+
+  private def srcNode(s: StreamSourceSpec): ObjectNode = {
+    val n = M.createObjectNode()
+    n.put("format", s.format); n.put("path", s.path)
+    val o = n.putObject("options"); s.options.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    n
+  }
+
+  private def parseSrc(n: JsonNode): StreamSourceSpec = {
+    val opts = Option(n.get("options")).map(o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+    StreamSourceSpec(str(n, "format"), str(n, "path"), opts)
+  }
+
+  private def putDoubles(n: ObjectNode, f: String, vs: Seq[Double]): Unit = {
+    val a = n.putArray(f); vs.foreach(a.add)
+  }
+  private def doubles(n: JsonNode, f: String): Seq[Double] =
+    Option(n.get(f)).map(_.elements().asScala.map(_.asDouble).toSeq).getOrElse(Nil)
+
+  // centroid floats serialize via Float.toString (shortest round-trip
+  // form), so text → float parse recovers the exact pinned bits
+  private def putCentroids(n: ObjectNode, cents: Seq[(Int, Seq[Float])]): Unit = {
+    val a = n.putArray("centroids")
+    cents.foreach { case (cell, vec) =>
+      val o = a.addObject(); o.put("cell", cell)
+      val v = o.putArray("vec"); vec.foreach(v.add)
+    }
+  }
+  private def parseCentroids(n: JsonNode): Seq[(Int, Seq[Float])] =
+    Option(n.get("centroids")).map(_.elements().asScala.map { c =>
+      c.get("cell").asInt ->
+        c.get("vec").elements().asScala.map(_.floatValue).toSeq
+    }.toSeq).getOrElse(Nil)
+
+  private def ingestNode(spec: IngestSpec): ObjectNode = {
+    val n = M.createObjectNode()
+    def common(kind: String): Unit = {
+      n.put("kind", kind)
+      n.set[JsonNode]("source", srcNode(spec.source))
+      n.put("checkpointDir", spec.checkpointDir)
+    }
+    spec match {
+      case s: QualityIngestSpec =>
+        common("quality"); pairs(n, "textCol" -> s.textCol, "corpusDir" -> s.corpusDir)
+        putDoubles(n, "weights", s.weights)
+      case s: ImportanceIngestSpec =>
+        common("importance")
+        pairs(n, "idCol" -> s.idCol, "textCol" -> s.textCol,
+          "weightsDir" -> s.weightsDir, "corpusDir" -> s.corpusDir)
+        n.put("minLogw", s.minLogw); n.put("hexLen", s.hexLen)
+      case s: MinhashIngestSpec =>
+        common("minhashDedup")
+        pairs(n, "idCol" -> s.idCol, "textCol" -> s.textCol,
+          "corpusDir" -> s.corpusDir, "storeDir" -> s.storeDir)
+        n.put("threshold", s.threshold); n.put("compactEvery", s.compactEvery)
+      case s: SpanIngestSpec =>
+        common("spanDedup")
+        pairs(n, "idCol" -> s.idCol, "textCol" -> s.textCol,
+          "corpusDir" -> s.corpusDir, "storeDir" -> s.storeDir)
+        n.put("k", s.k); n.put("compactEvery", s.compactEvery)
+      case s: SemanticIngestSpec =>
+        common("semanticDedup")
+        pairs(n, "idCol" -> s.idCol, "vecCol" -> s.vecCol,
+          "corpusDir" -> s.corpusDir, "storeDir" -> s.storeDir)
+        n.put("threshold", s.threshold); n.put("compactEvery", s.compactEvery)
+        putCentroids(n, s.centroids)
+      case s: VectorIndexIngestSpec =>
+        common("vectorIndex")
+        pairs(n, "idCol" -> s.idCol, "vecCol" -> s.vecCol, "indexDir" -> s.indexDir)
+        n.put("compactEvery", s.compactEvery)
+      case s: PretrainIngestSpec =>
+        common("pretrain")
+        pairs(n, "idCol" -> s.idCol, "textCol" -> s.textCol, "vecCol" -> s.vecCol,
+          "corpusDir" -> s.corpusDir, "semStoreDir" -> s.semStoreDir,
+          "spanStoreDir" -> s.spanStoreDir)
+        putDoubles(n, "qualityWeights", s.qualityWeights)
+        putCentroids(n, s.centroids)
+        n.put("semThreshold", s.semThreshold); n.put("spanK", s.spanK)
+        s.dsirWeightsDir.foreach(n.put("dsirWeightsDir", _))
+        // -Infinity (no DSIR gate) is not valid JSON: encode by omission
+        if (!s.minLogw.isNegInfinity) n.put("minLogw", s.minLogw)
+        n.put("compactEvery", s.compactEvery); n.put("maxDocChars", s.maxDocChars)
+    }
+    n
+  }
+
+  /** Serialize a streaming-ingest spec; the root `ingest` field is the
+    * batch-vs-stream discriminator [[isIngestJson]]/`graft.RunSpec` key on.
+    */
+  def ingestToJson(spec: IngestSpec): String = {
+    val root = M.createObjectNode()
+    root.set[JsonNode]("ingest", ingestNode(spec))
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def isIngestJson(json: String): Boolean =
+    Option(M.readTree(json).get("ingest")).isDefined
+
+  def ingestFromJson(json: String): IngestSpec = {
+    val n = Option(M.readTree(json).get("ingest"))
+      .getOrElse(throw new IllegalArgumentException("not an ingest spec: no 'ingest' field"))
+    val source = parseSrc(n.get("source"))
+    val ckpt = str(n, "checkpointDir")
+    def int(f: String, default: Int): Int = Option(n.get(f)).map(_.asInt).getOrElse(default)
+    def dbl(f: String, default: Double): Double = Option(n.get(f)).map(_.asDouble).getOrElse(default)
+    str(n, "kind") match {
+      case "quality" =>
+        QualityIngestSpec(source, str(n, "textCol"), doubles(n, "weights"),
+          str(n, "corpusDir"), ckpt)
+      case "importance" =>
+        ImportanceIngestSpec(source, str(n, "idCol"), str(n, "textCol"),
+          str(n, "weightsDir"), dbl("minLogw", Double.NegativeInfinity),
+          str(n, "corpusDir"), ckpt, int("hexLen", 4))
+      case "minhashDedup" =>
+        MinhashIngestSpec(source, str(n, "idCol"), str(n, "textCol"),
+          dbl("threshold", 0.8), str(n, "corpusDir"), str(n, "storeDir"), ckpt,
+          int("compactEvery", 0))
+      case "spanDedup" =>
+        SpanIngestSpec(source, str(n, "idCol"), str(n, "textCol"),
+          int("k", 16), str(n, "corpusDir"), str(n, "storeDir"), ckpt,
+          int("compactEvery", 0))
+      case "semanticDedup" =>
+        SemanticIngestSpec(source, str(n, "idCol"), str(n, "vecCol"),
+          parseCentroids(n), dbl("threshold", 0.95),
+          str(n, "corpusDir"), str(n, "storeDir"), ckpt, int("compactEvery", 0))
+      case "vectorIndex" =>
+        VectorIndexIngestSpec(source, str(n, "idCol"), str(n, "vecCol"),
+          str(n, "indexDir"), ckpt, int("compactEvery", 0))
+      case "pretrain" =>
+        PretrainIngestSpec(source, str(n, "idCol"), str(n, "textCol"),
+          str(n, "vecCol"), doubles(n, "qualityWeights"), parseCentroids(n),
+          dbl("semThreshold", 0.95), int("spanK", 16),
+          str(n, "corpusDir"), str(n, "semStoreDir"), str(n, "spanStoreDir"), ckpt,
+          Option(n.get("dsirWeightsDir")).map(_.asText),
+          dbl("minLogw", Double.NegativeInfinity),
+          int("compactEvery", 0), int("maxDocChars", 0))
+      case other => throw new IllegalArgumentException(s"unknown ingest kind: '$other'")
+    }
+  }
+
   // --- DAG export -----------------------------------------------------------
 
   /** `{nodes: [{id, type}], links: [{source, target}]}` — same consumer

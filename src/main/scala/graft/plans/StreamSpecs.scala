@@ -1,0 +1,220 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Persisted STREAMING-ingest specs — the streaming half of the
+  * reference's persisted-job model (`/root/reference/jobs/job.js:21-39`:
+  * a Job document is operator config saved once and instantiated later;
+  * `jobs/hi-order/job-pipeline.js:86-106` is the run-it-later UX). The
+  * batch half is [[PipelineSpec]]; these nodes describe the engine's
+  * stateful `foreachBatch` ingests ([[graft.streaming.Streams]]) so a
+  * long-running ingest is a JSON artifact too: source + pinned models +
+  * store locations, no Scala required.
+  *
+  * Each spec mirrors one `Streams.ingest*` entry point parameter for
+  * parameter; pinned model assets (quality weights, semantic centroids)
+  * are INLINE — the spec file carries the model exactly as the reference
+  * persisted `processor` config inside the job document — while large
+  * trained models (the DSIR gram table) stay parquet paths.
+  *
+  * Execution model ([[IngestCompiler]]): the source is a file-drop
+  * directory read with `readStream` (schema inferred from a static read
+  * of the same path), the query runs with `Trigger.AvailableNow` and
+  * terminates when the directory is drained. Re-running the same spec
+  * later resumes from its checkpoint and processes only newly-arrived
+  * files — each CLI invocation is one incremental ingest round, and a
+  * crash mid-round heals exactly like any other restart of the
+  * underlying ingest (the per-tier crash-window contracts in
+  * [[graft.streaming.Streams]] scaladoc).
+  */
+case class StreamSourceSpec(format: String, path: String,
+                            options: Map[String, String] = Map.empty)
+
+sealed trait IngestSpec {
+  def source: StreamSourceSpec
+  def checkpointDir: String
+}
+
+/** [[graft.streaming.Streams.ingestQualityFiltered]] as a spec. */
+case class QualityIngestSpec(source: StreamSourceSpec, textCol: String,
+                             weights: Seq[Double], corpusDir: String,
+                             checkpointDir: String) extends IngestSpec
+
+/** [[graft.streaming.Streams.ingestImportanceFiltered]] as a spec. */
+case class ImportanceIngestSpec(source: StreamSourceSpec, idCol: String,
+                                textCol: String, weightsDir: String,
+                                minLogw: Double, corpusDir: String,
+                                checkpointDir: String,
+                                hexLen: Int = 4) extends IngestSpec
+
+/** [[graft.streaming.Streams.ingestDedup]] (cross-batch MinHash/LSH) as a spec. */
+case class MinhashIngestSpec(source: StreamSourceSpec, idCol: String,
+                             textCol: String, threshold: Double,
+                             corpusDir: String, storeDir: String,
+                             checkpointDir: String,
+                             compactEvery: Int = 0) extends IngestSpec
+
+/** [[graft.streaming.Streams.ingestSpanDedup]] as a spec. */
+case class SpanIngestSpec(source: StreamSourceSpec, idCol: String,
+                          textCol: String, k: Int,
+                          corpusDir: String, storeDir: String,
+                          checkpointDir: String,
+                          compactEvery: Int = 0) extends IngestSpec
+
+/** [[graft.streaming.Streams.ingestSemanticDedup]] as a spec; `centroids`
+  * is the pinned model, inline.
+  */
+case class SemanticIngestSpec(source: StreamSourceSpec, idCol: String,
+                              vecCol: String,
+                              centroids: Seq[(Int, Seq[Float])],
+                              threshold: Double,
+                              corpusDir: String, storeDir: String,
+                              checkpointDir: String,
+                              compactEvery: Int = 0) extends IngestSpec
+
+/** [[graft.streaming.Streams.ingestVectorIndex]] as a spec (the index's
+  * own centroids are already persisted inside `indexDir`).
+  */
+case class VectorIndexIngestSpec(source: StreamSourceSpec, idCol: String,
+                                 vecCol: String, indexDir: String,
+                                 checkpointDir: String,
+                                 compactEvery: Int = 0) extends IngestSpec
+
+/** [[graft.streaming.Streams.ingestPretrainCorpus]] — the composed
+  * flagship ingest — as a spec. `minLogw = -Infinity` (the no-DSIR-gate
+  * default) is encoded by OMITTING the field in JSON.
+  */
+case class PretrainIngestSpec(source: StreamSourceSpec, idCol: String,
+                              textCol: String, vecCol: String,
+                              qualityWeights: Seq[Double],
+                              centroids: Seq[(Int, Seq[Float])],
+                              semThreshold: Double, spanK: Int,
+                              corpusDir: String, semStoreDir: String,
+                              spanStoreDir: String, checkpointDir: String,
+                              dsirWeightsDir: Option[String] = None,
+                              minLogw: Double = Double.NegativeInfinity,
+                              compactEvery: Int = 0,
+                              maxDocChars: Int = 0) extends IngestSpec
+
+/** Compiles an [[IngestSpec]] to a running [[StreamingQuery]] over the
+  * matching [[graft.streaming.Streams]] entry point, and runs the
+  * drain-and-exit form the CLI uses. `{%var%}` placeholders resolve with
+  * the SAME substitution as the batch compiler
+  * ([[PipelineCompiler.substitute]]), so one parameterized spec serves
+  * every environment.
+  */
+object IngestCompiler {
+
+  private def sub(s: String, params: Map[String, String]): String =
+    PipelineCompiler.substitute(s, params)
+
+  /** The spec with `{%var%}`/`$VAR` placeholders resolved in every string
+    * field (paths, column names, source options).
+    */
+  def substituted(spec: IngestSpec, params: Map[String, String]): IngestSpec = {
+    def src(s: StreamSourceSpec) = StreamSourceSpec(sub(s.format, params),
+      sub(s.path, params), s.options.map { case (k, v) => k -> sub(v, params) })
+    spec match {
+      case s: QualityIngestSpec => s.copy(source = src(s.source),
+        textCol = sub(s.textCol, params), corpusDir = sub(s.corpusDir, params),
+        checkpointDir = sub(s.checkpointDir, params))
+      case s: ImportanceIngestSpec => s.copy(source = src(s.source),
+        idCol = sub(s.idCol, params), textCol = sub(s.textCol, params),
+        weightsDir = sub(s.weightsDir, params), corpusDir = sub(s.corpusDir, params),
+        checkpointDir = sub(s.checkpointDir, params))
+      case s: MinhashIngestSpec => s.copy(source = src(s.source),
+        idCol = sub(s.idCol, params), textCol = sub(s.textCol, params),
+        corpusDir = sub(s.corpusDir, params), storeDir = sub(s.storeDir, params),
+        checkpointDir = sub(s.checkpointDir, params))
+      case s: SpanIngestSpec => s.copy(source = src(s.source),
+        idCol = sub(s.idCol, params), textCol = sub(s.textCol, params),
+        corpusDir = sub(s.corpusDir, params), storeDir = sub(s.storeDir, params),
+        checkpointDir = sub(s.checkpointDir, params))
+      case s: SemanticIngestSpec => s.copy(source = src(s.source),
+        idCol = sub(s.idCol, params), vecCol = sub(s.vecCol, params),
+        corpusDir = sub(s.corpusDir, params), storeDir = sub(s.storeDir, params),
+        checkpointDir = sub(s.checkpointDir, params))
+      case s: VectorIndexIngestSpec => s.copy(source = src(s.source),
+        idCol = sub(s.idCol, params), vecCol = sub(s.vecCol, params),
+        indexDir = sub(s.indexDir, params), checkpointDir = sub(s.checkpointDir, params))
+      case s: PretrainIngestSpec => s.copy(source = src(s.source),
+        idCol = sub(s.idCol, params), textCol = sub(s.textCol, params),
+        vecCol = sub(s.vecCol, params), corpusDir = sub(s.corpusDir, params),
+        semStoreDir = sub(s.semStoreDir, params),
+        spanStoreDir = sub(s.spanStoreDir, params),
+        checkpointDir = sub(s.checkpointDir, params),
+        dsirWeightsDir = s.dsirWeightsDir.map(sub(_, params)))
+    }
+  }
+
+  /** The spec's primary output location — what a caller reads after the
+    * ingest drains (stores are secondary state).
+    */
+  def primarySink(spec: IngestSpec): String = spec match {
+    case s: QualityIngestSpec     => s.corpusDir
+    case s: ImportanceIngestSpec  => s.corpusDir
+    case s: MinhashIngestSpec     => s.corpusDir
+    case s: SpanIngestSpec        => s.corpusDir
+    case s: SemanticIngestSpec    => s.corpusDir
+    case s: VectorIndexIngestSpec => s"${s.indexDir}/cells"
+    case s: PretrainIngestSpec    => s.corpusDir
+  }
+
+  /** `readStream` over the spec's source directory. File sources need an
+    * explicit schema; it is inferred from a STATIC read of the same path —
+    * which requires at least one file present before the first run (drop
+    * the first batch, then start; subsequent runs see the stable schema).
+    */
+  private[graft] def sourceStream(spark: SparkSession, src: StreamSourceSpec): DataFrame = {
+    val static = spark.read.format(src.format).options(src.options).load(src.path)
+    spark.readStream.format(src.format).options(src.options)
+      .schema(static.schema).load(src.path)
+  }
+
+  /** Start the ingest described by `spec` (placeholders must already be
+    * resolved — see [[substituted]]).
+    */
+  def start(spark: SparkSession, spec: IngestSpec,
+            trigger: Option[Trigger] = None): StreamingQuery = {
+    import graft.streaming.Streams
+    val in = sourceStream(spark, spec.source)
+    spec match {
+      case s: QualityIngestSpec =>
+        Streams.ingestQualityFiltered(in, s.textCol, s.weights, s.corpusDir,
+          s.checkpointDir, trigger)
+      case s: ImportanceIngestSpec =>
+        Streams.ingestImportanceFiltered(in, s.idCol, s.textCol, s.weightsDir,
+          s.minLogw, s.corpusDir, s.checkpointDir, s.hexLen, trigger)
+      case s: MinhashIngestSpec =>
+        Streams.ingestDedup(in, s.idCol, s.textCol, s.threshold, s.corpusDir,
+          s.storeDir, s.checkpointDir, s.compactEvery, trigger)
+      case s: SpanIngestSpec =>
+        Streams.ingestSpanDedup(in, s.idCol, s.textCol, s.k, s.corpusDir,
+          s.storeDir, s.checkpointDir, s.compactEvery, trigger = trigger)
+      case s: SemanticIngestSpec =>
+        Streams.ingestSemanticDedup(in, s.idCol, s.vecCol, s.centroids,
+          s.threshold, s.corpusDir, s.storeDir, s.checkpointDir, s.compactEvery,
+          trigger = trigger)
+      case s: VectorIndexIngestSpec =>
+        Streams.ingestVectorIndex(in, s.indexDir, s.checkpointDir, s.idCol,
+          s.vecCol, s.compactEvery, trigger = trigger)
+      case s: PretrainIngestSpec =>
+        Streams.ingestPretrainCorpus(in, s.idCol, s.textCol, s.vecCol,
+          s.qualityWeights, s.centroids, s.semThreshold, s.spanK, s.corpusDir,
+          s.semStoreDir, s.spanStoreDir, s.checkpointDir, s.dsirWeightsDir,
+          s.minLogw, s.compactEvery, s.maxDocChars, trigger = trigger)
+    }
+  }
+
+  /** One incremental ingest round: resolve placeholders, start with
+    * `Trigger.AvailableNow`, block until the source is drained. The
+    * checkpoint makes successive calls process only newly-arrived files —
+    * the restartable-CLI form of the ingest.
+    */
+  def runAvailable(spark: SparkSession, spec: IngestSpec,
+                   params: Map[String, String] = Map.empty): Unit = {
+    val q = start(spark, substituted(spec, params), Some(Trigger.AvailableNow()))
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+}

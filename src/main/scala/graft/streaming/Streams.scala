@@ -104,6 +104,16 @@ object Streams {
       }
   }
 
+  /** Apply an optional trigger to a sink builder — every `ingest*` entry
+    * point takes `trigger = Some(Trigger.AvailableNow())` to run as ONE
+    * drain-the-source round that self-terminates (the restartable-CLI
+    * form [[graft.plans.IngestCompiler]] uses), `None` (the default) for
+    * a continuously-running stream.
+    */
+  private def withTrigger[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T],
+                             trigger: Option[org.apache.spark.sql.streaming.Trigger]) =
+    trigger.fold(w)(w.trigger)
+
   /** Every-N-batches keyed-distinct rewrite of the given sink dirs at the
     * fully-applied point (see [[ingestPretrainCorpus]]'s `compactEvery`);
     * the shared maintenance hook of every store-backed ingest.
@@ -137,9 +147,11 @@ object Streams {
   def ingestDedup(stream: DataFrame, idCol: String, textCol: String,
                   threshold: Double, corpusDir: String, storeDir: String,
                   checkpointDir: String,
-                  compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+                  compactEvery: Int = 0,
+                  trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
+                 ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    stream.writeStream
+    withTrigger(stream.writeStream, trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -215,10 +227,11 @@ object Streams {
                       // duplicated on replay — the state compactStore
                       // repairs)
                       afterCorpusAppend: () => Unit = () => (),
-                      beforeCommit: () => Unit = () => ()
+                      beforeCommit: () => Unit = () => (),
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
                      ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    stream.writeStream
+    withTrigger(stream.writeStream, trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -292,10 +305,11 @@ object Streams {
                           // production): between the sink appends, and after
                           // both appends but before the checkpoint commit
                           afterCorpusAppend: () => Unit = () => (),
-                          beforeCommit: () => Unit = () => ()
+                          beforeCommit: () => Unit = () => (),
+                          trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
                          ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    stream.writeStream
+    withTrigger(stream.writeStream, trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -355,9 +369,10 @@ object Streams {
   def ingestImportanceFiltered(stream: DataFrame, idCol: String, textCol: String,
                                weightsDir: String, minLogw: Double,
                                corpusDir: String, checkpointDir: String,
-                               hexLen: Int = 4
+                               hexLen: Int = 4,
+                               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
                               ): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    withTrigger(stream.writeStream, trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
@@ -402,9 +417,10 @@ object Streams {
   def ingestVectorIndex(stream: DataFrame, indexDir: String, checkpointDir: String,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         compactEvery: Int = 0,
-                        beforeCommit: () => Unit = () => ()
+                        beforeCommit: () => Unit = () => (),
+                        trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
                        ): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    withTrigger(stream.writeStream, trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -420,9 +436,10 @@ object Streams {
 
   def ingestQualityFiltered(stream: DataFrame, textCol: String,
                             weights: Seq[Double], corpusDir: String,
-                            checkpointDir: String
+                            checkpointDir: String,
+                            trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
                            ): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    withTrigger(stream.writeStream, trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
@@ -510,10 +527,11 @@ object Streams {
                            // three sink appends (no-ops in production)
                            afterCorpusAppend: () => Unit = () => (),
                            afterSpanAppend: () => Unit = () => (),
-                           beforeCommit: () => Unit = () => ()
+                           beforeCommit: () => Unit = () => (),
+                           trigger: Option[org.apache.spark.sql.streaming.Trigger] = None
                           ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, QualityModel}
-    stream.writeStream
+    withTrigger(stream.writeStream, trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         val batch =

@@ -1,0 +1,145 @@
+package graft
+
+import graft.plans._
+import org.apache.spark.sql.functions._
+
+/** The persisted STREAMING-ingest spec surface: JSON round-trip for every
+  * [[IngestSpec]] kind, placeholder substitution, the checked-in
+  * pretrain-ingest asset (no-drift + an actual drain round), and the
+  * spec-vs-programmatic equivalence of a dispatch arm. The composed
+  * pretrain kind is driver-gated end-to-end (`q_s_spec_ingest`, full
+  * DuckDB replay across two AvailableNow restarts) — these tests cover
+  * the surface the gate can't: per-kind serialization totality and the
+  * asset file.
+  */
+class StreamSpecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val src = StreamSourceSpec("parquet", "{%root%}/drop", Map("opt" -> "{%root%}/v"))
+  private val cents = Seq(0 -> Seq(0.25f, -0.5f, 7.014891e-4f), 3 -> Seq(1.0f, 2.0f, -3.0f))
+
+  test("EVERY IngestSpec kind round-trips: serialize -> parse -> identical spec") {
+    // one exemplar per subclass, every field non-default so a dropped or
+    // renamed JSON field can't hide behind a default; no wildcard arm —
+    // adding an IngestSpec subclass without extending this is a compile
+    // error (match-analysis warnings escalate), same guarantee as
+    // SpecJsonSpec's OpSpec totality test
+    def exemplar(shape: IngestSpec): IngestSpec = shape match {
+      case _: QualityIngestSpec =>
+        QualityIngestSpec(src, "body", Seq(-1.5, 2.25, 0.125), "/c", "/k")
+      case _: ImportanceIngestSpec =>
+        ImportanceIngestSpec(src, "id", "body", "/w", -12.5, "/c", "/k", hexLen = 3)
+      case _: MinhashIngestSpec =>
+        MinhashIngestSpec(src, "id", "body", 0.65, "/c", "/s", "/k", compactEvery = 4)
+      case _: SpanIngestSpec =>
+        SpanIngestSpec(src, "id", "body", k = 24, "/c", "/s", "/k", compactEvery = 2)
+      case _: SemanticIngestSpec =>
+        SemanticIngestSpec(src, "id", "vec", cents, 0.85, "/c", "/s", "/k", compactEvery = 5)
+      case _: VectorIndexIngestSpec =>
+        VectorIndexIngestSpec(src, "id", "vec", "/idx", "/k", compactEvery = 6)
+      case _: PretrainIngestSpec =>
+        PretrainIngestSpec(src, "id", "body", "vec", Seq(0.5, -0.25), cents,
+          semThreshold = 0.8, spanK = 32, "/c", "/sem", "/span", "/k",
+          dsirWeightsDir = Some("/w"), minLogw = -7.75, compactEvery = 3,
+          maxDocChars = 1234)
+    }
+    val shapes: Seq[IngestSpec] = Seq(
+      exemplar(QualityIngestSpec(src, "", Nil, "", "")),
+      exemplar(ImportanceIngestSpec(src, "", "", "", 0, "", "")),
+      exemplar(MinhashIngestSpec(src, "", "", 0, "", "", "")),
+      exemplar(SpanIngestSpec(src, "", "", 0, "", "", "")),
+      exemplar(SemanticIngestSpec(src, "", "", Nil, 0, "", "", "")),
+      exemplar(VectorIndexIngestSpec(src, "", "", "", "")),
+      exemplar(PretrainIngestSpec(src, "", "", "", Nil, Nil, 0, 0, "", "", "", "")))
+    shapes.foreach { s =>
+      val json = SpecJson.ingestToJson(s)
+      assert(SpecJson.isIngestJson(json), s"$s must be detected as ingest JSON")
+      assert(SpecJson.ingestFromJson(json) == s, s"round-trip mismatch for $s:\n$json")
+    }
+    // the float centroids round-trip BIT-exactly (Float.toString is the
+    // shortest decimal that parses back to the same float32) — the pinned
+    // model in the asset survives serialization untouched
+    val sem = exemplar(SemanticIngestSpec(src, "", "", Nil, 0, "", "", ""))
+      .asInstanceOf[SemanticIngestSpec]
+    val back = SpecJson.ingestFromJson(SpecJson.ingestToJson(sem))
+      .asInstanceOf[SemanticIngestSpec]
+    sem.centroids.zip(back.centroids).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Float.floatToIntBits(x) == java.lang.Float.floatToIntBits(y)) }
+    }
+  }
+
+  test("minLogw = -Infinity (no DSIR gate) encodes by omission and parses back") {
+    val s = PretrainIngestSpec(src, "id", "t", "v", Nil, Nil, 0.9, 16,
+      "/c", "/sem", "/span", "/k")
+    val json = SpecJson.ingestToJson(s)
+    assert(!json.contains("minLogw"), json)
+    assert(!json.contains("dsirWeightsDir"), json)
+    assert(SpecJson.ingestFromJson(json) == s)
+  }
+
+  test("batch pipeline JSON is NOT ingest JSON (RunSpec's dispatch key)") {
+    val batch = SpecJson.toJson(PipelineSpec(
+      Seq("a" -> SourceSpec("parquet", "/x")), out = "a"))
+    assert(!SpecJson.isIngestJson(batch))
+    intercept[IllegalArgumentException] { SpecJson.ingestFromJson(batch) }
+  }
+
+  test("substituted() resolves {%var%} in every string field, params reach the sinks") {
+    val s = PretrainIngestSpec(src, "id", "t", "{%vc%}", Nil, Nil, 0.9, 16,
+      "{%root%}/c", "{%root%}/sem", "{%root%}/span", "{%root%}/k",
+      dsirWeightsDir = Some("{%root%}/w"))
+    val r = IngestCompiler.substituted(s, Map("root" -> "/data/run7", "vc" -> "emb"))
+      .asInstanceOf[PretrainIngestSpec]
+    assert(r.source.path == "/data/run7/drop")
+    assert(r.source.options("opt") == "/data/run7/v")
+    assert(r.vecCol == "emb")
+    assert(r.corpusDir == "/data/run7/c" && r.semStoreDir == "/data/run7/sem")
+    assert(r.spanStoreDir == "/data/run7/span" && r.checkpointDir == "/data/run7/k")
+    assert(r.dsirWeightsDir.contains("/data/run7/w"))
+    assert(IngestCompiler.primarySink(r) == "/data/run7/c")
+  }
+
+  test("checked-in pretrain-ingest asset equals the inline definition (no drift)") {
+    assert(SparkEntry.pretrainIngestJson ==
+      SpecJson.ingestToJson(SparkEntry.pretrainIngestSpec),
+      "re-run `runMain graft.tools.SpecExport` after editing pretrainIngestSpec")
+  }
+
+  test("the ASSET runs: one AvailableNow round drains a drop; an empty round is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("asset_ingest").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(s"$root/drop")
+    val spec = SpecJson.ingestFromJson(SparkEntry.pretrainIngestJson)
+    IngestCompiler.runAvailable(spark, spec, Map("root" -> root))
+    val n1 = spark.read.parquet(s"$root/corpus").count()
+    assert(n1 > 0, "asset round must ingest accepted documents")
+    // a second invocation with NO new files resumes the checkpoint,
+    // processes zero batches, terminates — the cron-loop steady state
+    IngestCompiler.runAvailable(spark, spec, Map("root" -> root))
+    assert(spark.read.parquet(s"$root/corpus").count() == n1,
+      "empty round must append nothing")
+  }
+
+  test("spec-driven quality ingest == programmatic batch accept set (dispatch arm)") {
+    val root = java.nio.file.Files.createTempDirectory("q_ingest").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(s"$root/drop")
+    val spec = QualityIngestSpec(StreamSourceSpec("parquet", s"$root/drop"),
+      "text", SparkEntry.qualityGateWeights, s"$root/corpus", s"$root/ckpt")
+    IngestCompiler.runAvailable(spark, spec)
+    // restart round over the odd half
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$root/drop")
+    IngestCompiler.runAvailable(spark, spec)
+    val got = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val want = graft.operators.QualityModel
+      .score(docs, "text", SparkEntry.qualityGateWeights)
+      .filter(col("quality_accept") === 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+  }
+}
