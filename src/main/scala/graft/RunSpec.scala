@@ -6,7 +6,7 @@ package graft
   * compiler already does:
   *
   * {{{
-  * runMain graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] [--explain]
+  * runMain graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] [--explain] [--dag]
   * }}}
   *
   * `--param` values substitute `{%k%}` placeholders at compile time, the
@@ -25,12 +25,17 @@ package graft
   * checkpoint and processes only newly-arrived files, so a scheduler
   * invoking this CLI periodically IS the production ingest loop.
   * `--out`/`--show`/`--explain` don't apply (sinks live in the spec).
+  *
+  * `--dag` prints the spec's `{nodes, links}` graph (the reference's
+  * `getLinkedJobs` Sankey export) for EITHER kind and exits without
+  * touching Spark — placeholders print unresolved, so the export
+  * describes the persisted artifact, not one environment's run.
   */
 object RunSpec {
   def main(args: Array[String]): Unit = {
     def usage(): Nothing = {
       System.err.println(
-        "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] [--explain]")
+        "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] [--explain] [--dag]")
       sys.exit(2)
     }
     if (args.isEmpty) usage()
@@ -39,6 +44,7 @@ object RunSpec {
     var out: Option[String] = None
     var show = 20
     var explain = false
+    var dag = false
     var i = 1
     def operand(flag: String): String = {
       if (i + 1 >= args.length) { System.err.println(s"$flag needs a value"); usage() }
@@ -56,6 +62,7 @@ object RunSpec {
             System.err.println("--show expects a non-negative integer"); usage() }
           i += 2
         case "--explain" => explain = true; i += 1
+        case "--dag"     => dag = true; i += 1
         case other =>
           System.err.println(s"unknown argument '$other'"); usage()
       }
@@ -68,6 +75,14 @@ object RunSpec {
     try {
       val json = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specPath)), "UTF-8")
+      if (dag) {
+        // pure spec → graph transformation, no Spark session needed
+        println(
+          if (plans.SpecJson.isIngestJson(json))
+            plans.SpecJson.ingestDag(plans.SpecJson.ingestFromJson(json))
+          else plans.SpecJson.dag(plans.SpecJson.fromJson(json)))
+        sys.exit(0)
+      }
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = GraftSession.builder(master = s"local[$cpus]",
         shufflePartitions = cpus.toInt).getOrCreate()

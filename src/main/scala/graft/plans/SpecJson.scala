@@ -197,6 +197,50 @@ object SpecJson {
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
 
+  /** `{nodes, links}` export for a streaming-ingest spec — the same
+    * consumer shape as [[dag]] (the reference exports its DAG for every
+    * job type, writers included: `jobs/hi-order/job-pipeline.js:108-151`).
+    * Nodes: the file-drop source, the ingest operator, and each sink the
+    * round writes (corpus/stores/index); state (the checkpoint) is not a
+    * data edge and is omitted.
+    */
+  def ingestDag(spec: IngestSpec): String = {
+    val root = M.createObjectNode()
+    val nodes = root.putArray("nodes")
+    val links = root.putArray("links")
+    def node(id: String, tpe: String): Unit = {
+      val n = nodes.addObject(); n.put("id", id); n.put("type", tpe)
+    }
+    def link(from: String, to: String): Unit = {
+      val l = links.addObject(); l.put("source", from); l.put("target", to)
+    }
+    val kind = ingestNode(spec).get("kind").asText
+    node(spec.source.path, s"source:${spec.source.format}")
+    node(kind, s"ingest:$kind")
+    link(spec.source.path, kind)
+    def sink(path: String, tpe: String): Unit = { node(path, tpe); link(kind, path) }
+    spec match {
+      case s: QualityIngestSpec     => sink(s.corpusDir, "sink:corpus")
+      case s: ImportanceIngestSpec  =>
+        node(s.weightsDir, "model:dsirWeights"); link(s.weightsDir, kind)
+        sink(s.corpusDir, "sink:corpus")
+      case s: MinhashIngestSpec     =>
+        sink(s.corpusDir, "sink:corpus"); sink(s.storeDir, "store:minhashSigs")
+      case s: SpanIngestSpec        =>
+        sink(s.corpusDir, "sink:corpus"); sink(s.storeDir, "store:spanFps")
+      case s: SemanticIngestSpec    =>
+        sink(s.corpusDir, "sink:corpus"); sink(s.storeDir, "store:assignedVectors")
+      case s: VectorIndexIngestSpec => sink(s.indexDir, "store:ivfIndex")
+      case s: PretrainIngestSpec    =>
+        s.dsirWeightsDir.foreach { w => node(w, "model:dsirWeights"); link(w, kind) }
+        sink(s.corpusDir, "sink:corpus")
+        sink(s.semStoreDir, "store:assignedVectors")
+        sink(s.spanStoreDir, "store:spanFps")
+    }
+    root.put("out", IngestCompiler.primarySink(spec))
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
   def fromJson(json: String): PipelineSpec = {
     val root = M.readTree(json)
     val nodes = root.get("nodes").elements().asScala.map { n =>

@@ -124,6 +124,23 @@ class StreamSpecSpec extends SparkSpec {
       "empty round must append nothing")
   }
 
+  test("ingestDag exports {nodes, links}: source -> ingest -> every sink, models as inputs") {
+    val dag = SpecJson.ingestDag(SparkEntry.pretrainIngestSpec
+      .asInstanceOf[PretrainIngestSpec].copy(dsirWeightsDir = Some("{%root%}/w")))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(dag)
+    import scala.jdk.CollectionConverters._
+    val types = m.get("nodes").elements().asScala.map(_.get("type").asText).toSet
+    assert(types == Set("source:parquet", "ingest:pretrain", "model:dsirWeights",
+      "sink:corpus", "store:assignedVectors", "store:spanFps"), types.toString)
+    val links = m.get("links").elements().asScala
+      .map(l => l.get("source").asText -> l.get("target").asText).toSet
+    assert(links == Set(
+      "{%root%}/drop" -> "pretrain", "{%root%}/w" -> "pretrain",
+      "pretrain" -> "{%root%}/corpus", "pretrain" -> "{%root%}/sem",
+      "pretrain" -> "{%root%}/span"), links.toString)
+    assert(m.get("out").asText == "{%root%}/corpus")
+  }
+
   test("spec-driven quality ingest == programmatic batch accept set (dispatch arm)") {
     val root = java.nio.file.Files.createTempDirectory("q_ingest").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
