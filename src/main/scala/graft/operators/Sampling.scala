@@ -183,6 +183,31 @@ object Sampling {
       .join(broadcast(weights), "bucket")
       .groupBy(idCol).agg(sum("logw").as("dsir_logw"))
 
+  /** Offline operating-point picker for rate-style DSIR selection: the
+    * `dsir_logw` threshold that keeps ≈ `keepRate` of the gram-bearing
+    * documents — the value to hand
+    * [[graft.streaming.Streams.ingestImportanceFiltered]] /
+    * [[graft.streaming.Streams.ingestPretrainCorpus]] as `minLogw`
+    * ("pick `minLogw` offline from the batch score distribution", made
+    * API). One pass: `approx_percentile` (t-digest sketch, map-side
+    * combined, no global sort of the score column) at `accuracy`; the
+    * threshold is an operating point, not a verdict, so sketch precision
+    * is the right trade at corpus scale. Gram-less documents have no
+    * score row ([[importanceScores]] policy) and are outside the rate:
+    * they are dropped by every downstream gate regardless of threshold.
+    * An empty corpus yields `-Infinity` (keep everything).
+    */
+  def pickMinLogw(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, keepRate: Double,
+                  hexLen: Int = 4, accuracy: Int = 10000): Double = {
+    require(keepRate > 0.0 && keepRate <= 1.0, s"keepRate in (0,1], got $keepRate")
+    val row = importanceScores(df, idCol, textCol, weights, hexLen)
+      .select(percentile_approx(col("dsir_logw"), lit(1.0 - keepRate),
+        lit(accuracy)).as("t"))
+      .head()
+    if (row.isNullAt(0)) Double.NegativeInfinity else row.getDouble(0)
+  }
+
   def importanceResample(df: DataFrame, idCol: String, textCol: String,
                          weights: DataFrame, k: Int, hexLen: Int = 4,
                          salt: String = "dsir"): DataFrame = {

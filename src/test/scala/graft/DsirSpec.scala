@@ -131,6 +131,28 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("pickMinLogw lands a threshold that keeps ~keepRate of gram-bearing docs") {
+    val df = rawDocs.toDF("doc_id", "text")
+    val scores = Sampling.importanceScores(df, "doc_id", "text", weightsDf, HexLen)
+      .as[(Long, Double)].collect().map(_._2).sorted
+    val n = scores.length
+    for (rate <- Seq(0.25, 0.5, 0.9)) {
+      val t = Sampling.pickMinLogw(df, "doc_id", "text", weightsDf, rate, HexLen)
+      val kept = scores.count(_ >= t)
+      // approx_percentile at accuracy 10000 over 40 rows is exact up to
+      // ties: the kept count must bracket the requested rate within one
+      // tied score group
+      val ideal = math.round(n * rate).toInt
+      assert(math.abs(kept - ideal) <= scores.count(_ == t),
+        s"rate $rate: kept $kept of $n at threshold $t")
+    }
+    // rate 1.0 keeps every gram-bearing doc; empty corpus -> -Infinity
+    val tAll = Sampling.pickMinLogw(df, "doc_id", "text", weightsDf, 1.0, HexLen)
+    assert(scores.count(_ >= tAll) == n)
+    assert(Sampling.pickMinLogw(df.limit(0), "doc_id", "text", weightsDf, 0.5, HexLen)
+      .isNegInfinity)
+  }
+
   test("selection is enriched in target-flavored docs and deterministic across runs") {
     val df = rawDocs.toDF("doc_id", "text")
     def run() = Sampling.importanceResample(df, "doc_id", "text", weightsDf, 15, HexLen)

@@ -124,6 +124,34 @@ class StreamSpecSpec extends SparkSpec {
       "empty round must append nothing")
   }
 
+  test("source options pass through: maxFilesPerTrigger bounds per-round micro-batches") {
+    // the 100 TB knob: a backlogged drop directory (millions of files)
+    // must not become ONE giant micro-batch — the spec's source options
+    // reach the readStream, so 'maxFilesPerTrigger' splits an AvailableNow
+    // round into bounded batches, and verdicts are batch-invariant
+    val root = java.nio.file.Files.createTempDirectory("mfpt").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).repartition(1)
+        .write.mode("append").parquet(s"$root/drop")
+    }
+    val spec = QualityIngestSpec(
+      StreamSourceSpec("parquet", s"$root/drop", Map("maxFilesPerTrigger" -> "1")),
+      "text", SparkEntry.qualityGateWeights, s"$root/corpus", s"$root/ckpt")
+    val q = IngestCompiler.start(spark, IngestCompiler.substituted(spec, Map.empty),
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmpty == 3, s"expected 3 one-file batches, saw $nonEmpty")
+    val got = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val want = graft.operators.QualityModel
+      .score(docs, "text", SparkEntry.qualityGateWeights)
+      .filter(col("quality_accept") === 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want, "batch split must not change verdicts")
+  }
+
   test("ingestDag exports {nodes, links}: source -> ingest -> every sink, models as inputs") {
     val dag = SpecJson.ingestDag(SparkEntry.pretrainIngestSpec
       .asInstanceOf[PretrainIngestSpec].copy(dsirWeightsDir = Some("{%root%}/w")))
