@@ -75,35 +75,42 @@ object RunSpec {
     try {
       val json = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specPath)), "UTF-8")
+      // parse BEFORE any Spark startup: a broken spec fails in
+      // milliseconds, not after a ~10 s session build
+      val parsed: Either[plans.PipelineSpec, plans.IngestSpec] =
+        if (plans.SpecJson.isIngestJson(json)) Right(plans.SpecJson.ingestFromJson(json))
+        else Left(plans.SpecJson.fromJson(json))
       if (dag) {
         // pure spec → graph transformation, no Spark session needed
-        println(
-          if (plans.SpecJson.isIngestJson(json))
-            plans.SpecJson.ingestDag(plans.SpecJson.ingestFromJson(json))
-          else plans.SpecJson.dag(plans.SpecJson.fromJson(json)))
+        println(parsed.fold(plans.SpecJson.dag, plans.SpecJson.ingestDag))
         sys.exit(0)
       }
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = GraftSession.builder(master = s"local[$cpus]",
         shufflePartitions = cpus.toInt).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      if (plans.SpecJson.isIngestJson(json)) {
-        val ingest = plans.SpecJson.ingestFromJson(json)
-        plans.IngestCompiler.runAvailable(spark, ingest, params)
-        val sink = plans.PipelineCompiler.substitute(
-          plans.IngestCompiler.primarySink(ingest), params)
-        println(s"ingest round drained; $sink now holds " +
-          s"${spark.read.parquet(sink).count()} rows")
-      } else try {
-        val df = plans.PipelineCompiler.compile(plans.SpecJson.fromJson(json), spark, params)
-        if (explain) df.explain("formatted")
-        else out match {
-          case Some(dir) =>
-            df.write.mode("overwrite").parquet(dir)
-            println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
-          case None => df.show(show, truncate = false)
-        }
-      } finally plans.PipelineCompiler.unpersistCompiledCaches()
+      parsed match {
+        case Right(ingest) =>
+          plans.IngestCompiler.runAvailable(spark, ingest, params)
+          val sink = plans.PipelineCompiler.substitute(
+            plans.IngestCompiler.primarySink(ingest), params)
+          // a round whose every batch was filtered to nothing never
+          // creates the sink — that is a healthy outcome, not an error
+          val p = new org.apache.hadoop.fs.Path(sink)
+          val n = if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+            spark.read.parquet(sink).count() else 0L
+          println(s"ingest round drained; $sink now holds $n rows")
+        case Left(spec) => try {
+          val df = plans.PipelineCompiler.compile(spec, spark, params)
+          if (explain) df.explain("formatted")
+          else out match {
+            case Some(dir) =>
+              df.write.mode("overwrite").parquet(dir)
+              println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
+            case None => df.show(show, truncate = false)
+          }
+        } finally plans.PipelineCompiler.unpersistCompiledCaches()
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"RunSpec failed: ${e.getMessage}")

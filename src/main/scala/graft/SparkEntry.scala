@@ -1015,14 +1015,18 @@ object SparkEntry {
       "train"  -> CacheSpec(FilterSpec(RefSpec("split"), "split = 'train'"))),
       out = "train")
 
-  /** The checked-in JSON form of [[llmPipelineV3Spec]], read from the
-    * classpath so the asset resolves regardless of working directory.
+  /** A checked-in spec asset from the classpath (resolves regardless of
+    * working directory).
     */
-  private[graft] def llmPipelineV3Json: String = {
-    val in = getClass.getResourceAsStream("/specs/llm_pipeline_v3.json")
-    require(in != null, "missing resource /specs/llm_pipeline_v3.json")
+  private def resourceString(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
+
+  /** The checked-in JSON form of [[llmPipelineV3Spec]]. */
+  private[graft] def llmPipelineV3Json: String =
+    resourceString("/specs/llm_pipeline_v3.json")
 
   /** The composed streaming ingest as a persisted, parameterized spec
     * asset — the STREAMING sibling of [[llmPipelineV3Spec]], carrying the
@@ -1047,11 +1051,8 @@ object SparkEntry {
     compactEvery = 8, maxDocChars = 50000)
 
   /** The checked-in JSON form of [[pretrainIngestSpec]]. */
-  private[graft] def pretrainIngestJson: String = {
-    val in = getClass.getResourceAsStream("/specs/pretrain_ingest.json")
-    require(in != null, "missing resource /specs/pretrain_ingest.json")
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-  }
+  private[graft] def pretrainIngestJson: String =
+    resourceString("/specs/pretrain_ingest.json")
 
   private def qNLlmPipelineV3(s: SparkSession, dir: String): DataFrame = {
     // compiled FROM the checked-in spec asset — the persisted-job UX runs

@@ -214,7 +214,7 @@ object SpecJson {
     def link(from: String, to: String): Unit = {
       val l = links.addObject(); l.put("source", from); l.put("target", to)
     }
-    val kind = ingestNode(spec).get("kind").asText
+    val kind = kindOf(spec)
     node(spec.source.path, s"source:${spec.source.format}")
     node(kind, s"ingest:$kind")
     link(spec.source.path, kind)
@@ -237,7 +237,13 @@ object SpecJson {
         sink(s.semStoreDir, "store:assignedVectors")
         sink(s.spanStoreDir, "store:spanFps")
     }
-    root.put("out", IngestCompiler.primarySink(spec))
+    // `out` is a NODE ID (the batch dag() contract): the sink node a
+    // consumer should highlight — the index DIRECTORY for vectorIndex
+    // (primarySink's `<indexDir>/cells` is a read path, not a graph node)
+    root.put("out", spec match {
+      case s: VectorIndexIngestSpec => s.indexDir
+      case _ => IngestCompiler.primarySink(spec)
+    })
     M.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -285,6 +291,19 @@ object SpecJson {
         c.get("vec").elements().asScala.map(_.floatValue).toSeq
     }.toSeq).getOrElse(Nil)
 
+  /** The JSON `kind` discriminator for each ingest shape — the streaming
+    * counterpart of the reference's Job `type` field.
+    */
+  private def kindOf(spec: IngestSpec): String = spec match {
+    case _: QualityIngestSpec     => "quality"
+    case _: ImportanceIngestSpec  => "importance"
+    case _: MinhashIngestSpec     => "minhashDedup"
+    case _: SpanIngestSpec        => "spanDedup"
+    case _: SemanticIngestSpec    => "semanticDedup"
+    case _: VectorIndexIngestSpec => "vectorIndex"
+    case _: PretrainIngestSpec    => "pretrain"
+  }
+
   private def ingestNode(spec: IngestSpec): ObjectNode = {
     val n = M.createObjectNode()
     def common(kind: String): Unit = {
@@ -292,37 +311,35 @@ object SpecJson {
       n.set[JsonNode]("source", srcNode(spec.source))
       n.put("checkpointDir", spec.checkpointDir)
     }
+    common(kindOf(spec))
     spec match {
       case s: QualityIngestSpec =>
-        common("quality"); pairs(n, "textCol" -> s.textCol, "corpusDir" -> s.corpusDir)
+        pairs(n, "textCol" -> s.textCol, "corpusDir" -> s.corpusDir)
         putDoubles(n, "weights", s.weights)
       case s: ImportanceIngestSpec =>
-        common("importance")
         pairs(n, "idCol" -> s.idCol, "textCol" -> s.textCol,
           "weightsDir" -> s.weightsDir, "corpusDir" -> s.corpusDir)
-        n.put("minLogw", s.minLogw); n.put("hexLen", s.hexLen)
+        // -Infinity (keep everything) encodes by omission, the pretrain
+        // convention — Jackson would otherwise emit a non-JSON string
+        if (!s.minLogw.isNegInfinity) n.put("minLogw", s.minLogw)
+        n.put("hexLen", s.hexLen)
       case s: MinhashIngestSpec =>
-        common("minhashDedup")
         pairs(n, "idCol" -> s.idCol, "textCol" -> s.textCol,
           "corpusDir" -> s.corpusDir, "storeDir" -> s.storeDir)
         n.put("threshold", s.threshold); n.put("compactEvery", s.compactEvery)
       case s: SpanIngestSpec =>
-        common("spanDedup")
         pairs(n, "idCol" -> s.idCol, "textCol" -> s.textCol,
           "corpusDir" -> s.corpusDir, "storeDir" -> s.storeDir)
         n.put("k", s.k); n.put("compactEvery", s.compactEvery)
       case s: SemanticIngestSpec =>
-        common("semanticDedup")
         pairs(n, "idCol" -> s.idCol, "vecCol" -> s.vecCol,
           "corpusDir" -> s.corpusDir, "storeDir" -> s.storeDir)
         n.put("threshold", s.threshold); n.put("compactEvery", s.compactEvery)
         putCentroids(n, s.centroids)
       case s: VectorIndexIngestSpec =>
-        common("vectorIndex")
         pairs(n, "idCol" -> s.idCol, "vecCol" -> s.vecCol, "indexDir" -> s.indexDir)
         n.put("compactEvery", s.compactEvery)
       case s: PretrainIngestSpec =>
-        common("pretrain")
         pairs(n, "idCol" -> s.idCol, "textCol" -> s.textCol, "vecCol" -> s.vecCol,
           "corpusDir" -> s.corpusDir, "semStoreDir" -> s.semStoreDir,
           "spanStoreDir" -> s.spanStoreDir)
@@ -352,38 +369,62 @@ object SpecJson {
   def ingestFromJson(json: String): IngestSpec = {
     val n = Option(M.readTree(json).get("ingest"))
       .getOrElse(throw new IllegalArgumentException("not an ingest spec: no 'ingest' field"))
-    val source = parseSrc(n.get("source"))
-    val ckpt = str(n, "checkpointDir")
+    val kind = str(n, "kind")
+    // REQUIRED fields fail the PARSE with the field name — this surface
+    // exists for hand-authored JSON, where a typo'd key silently becoming
+    // "" would send a corpus to the working directory or dedup against an
+    // empty model; only genuinely optional knobs carry defaults
+    def req(f: String): String = {
+      val v = str(n, f)
+      if (v.isEmpty) throw new IllegalArgumentException(
+        s"ingest spec ($kind) missing required field '$f'")
+      v
+    }
+    val source = parseSrc(Option(n.get("source")).getOrElse(
+      throw new IllegalArgumentException(s"ingest spec ($kind) missing required field 'source'")))
+    def reqDoubles(f: String): Seq[Double] = {
+      val v = doubles(n, f)
+      if (v.isEmpty) throw new IllegalArgumentException(
+        s"ingest spec ($kind) missing required field '$f' (non-empty array)")
+      v
+    }
+    def reqCentroids(): Seq[(Int, Seq[Float])] = {
+      val v = parseCentroids(n)
+      if (v.isEmpty) throw new IllegalArgumentException(
+        s"ingest spec ($kind) missing required field 'centroids' (non-empty array)")
+      v
+    }
+    lazy val ckpt = req("checkpointDir")
     def int(f: String, default: Int): Int = Option(n.get(f)).map(_.asInt).getOrElse(default)
     def dbl(f: String, default: Double): Double = Option(n.get(f)).map(_.asDouble).getOrElse(default)
-    str(n, "kind") match {
+    kind match {
       case "quality" =>
-        QualityIngestSpec(source, str(n, "textCol"), doubles(n, "weights"),
-          str(n, "corpusDir"), ckpt)
+        QualityIngestSpec(source, req("textCol"), reqDoubles("weights"),
+          req("corpusDir"), ckpt)
       case "importance" =>
-        ImportanceIngestSpec(source, str(n, "idCol"), str(n, "textCol"),
-          str(n, "weightsDir"), dbl("minLogw", Double.NegativeInfinity),
-          str(n, "corpusDir"), ckpt, int("hexLen", 4))
+        ImportanceIngestSpec(source, req("idCol"), req("textCol"),
+          req("weightsDir"), dbl("minLogw", Double.NegativeInfinity),
+          req("corpusDir"), ckpt, int("hexLen", 4))
       case "minhashDedup" =>
-        MinhashIngestSpec(source, str(n, "idCol"), str(n, "textCol"),
-          dbl("threshold", 0.8), str(n, "corpusDir"), str(n, "storeDir"), ckpt,
+        MinhashIngestSpec(source, req("idCol"), req("textCol"),
+          dbl("threshold", 0.8), req("corpusDir"), req("storeDir"), ckpt,
           int("compactEvery", 0))
       case "spanDedup" =>
-        SpanIngestSpec(source, str(n, "idCol"), str(n, "textCol"),
-          int("k", 16), str(n, "corpusDir"), str(n, "storeDir"), ckpt,
+        SpanIngestSpec(source, req("idCol"), req("textCol"),
+          int("k", 16), req("corpusDir"), req("storeDir"), ckpt,
           int("compactEvery", 0))
       case "semanticDedup" =>
-        SemanticIngestSpec(source, str(n, "idCol"), str(n, "vecCol"),
-          parseCentroids(n), dbl("threshold", 0.95),
-          str(n, "corpusDir"), str(n, "storeDir"), ckpt, int("compactEvery", 0))
+        SemanticIngestSpec(source, req("idCol"), req("vecCol"),
+          reqCentroids(), dbl("threshold", 0.95),
+          req("corpusDir"), req("storeDir"), ckpt, int("compactEvery", 0))
       case "vectorIndex" =>
-        VectorIndexIngestSpec(source, str(n, "idCol"), str(n, "vecCol"),
-          str(n, "indexDir"), ckpt, int("compactEvery", 0))
+        VectorIndexIngestSpec(source, req("idCol"), req("vecCol"),
+          req("indexDir"), ckpt, int("compactEvery", 0))
       case "pretrain" =>
-        PretrainIngestSpec(source, str(n, "idCol"), str(n, "textCol"),
-          str(n, "vecCol"), doubles(n, "qualityWeights"), parseCentroids(n),
+        PretrainIngestSpec(source, req("idCol"), req("textCol"),
+          req("vecCol"), reqDoubles("qualityWeights"), reqCentroids(),
           dbl("semThreshold", 0.95), int("spanK", 16),
-          str(n, "corpusDir"), str(n, "semStoreDir"), str(n, "spanStoreDir"), ckpt,
+          req("corpusDir"), req("semStoreDir"), req("spanStoreDir"), ckpt,
           Option(n.get("dsirWeightsDir")).map(_.asText),
           dbl("minLogw", Double.NegativeInfinity),
           int("compactEvery", 0), int("maxDocChars", 0))

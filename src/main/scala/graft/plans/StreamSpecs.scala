@@ -162,14 +162,42 @@ object IngestCompiler {
   }
 
   /** `readStream` over the spec's source directory. File sources need an
-    * explicit schema; it is inferred from a STATIC read of the same path —
-    * which requires at least one file present before the first run (drop
-    * the first batch, then start; subsequent runs see the stable schema).
+    * explicit schema; on the FIRST round it is inferred from a static
+    * read of the path (so at least one file must be present — drop the
+    * first batch, then start) and persisted next to the checkpoint
+    * (`<checkpointDir>/graft_source_schema.json`). Every later round
+    * reads the pinned schema instead of re-inferring: rounds stay cheap
+    * when the drop directory holds millions of historical files (no
+    * footer reads), and keep working after drained files are archived or
+    * deleted — an empty drop directory with a pinned schema is just a
+    * zero-batch round, not an inference failure. Pinning also freezes
+    * the contract: a producer changing the file schema mid-stream fails
+    * loudly at read instead of silently re-inferring a new one.
     */
-  private[graft] def sourceStream(spark: SparkSession, src: StreamSourceSpec): DataFrame = {
-    val static = spark.read.format(src.format).options(src.options).load(src.path)
+  private[graft] def sourceStream(spark: SparkSession, src: StreamSourceSpec,
+                                  checkpointDir: String): DataFrame = {
+    val schemaPath = new org.apache.hadoop.fs.Path(checkpointDir, "graft_source_schema.json")
+    val fs = schemaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema: org.apache.spark.sql.types.StructType =
+      if (fs.exists(schemaPath)) {
+        val in = fs.open(schemaPath)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      } else {
+        val inferred = spark.read.format(src.format).options(src.options)
+          .load(src.path).schema
+        // atomic tmp+rename publish (the store-maintenance convention): a
+        // crash mid-write must not leave a truncated schema pin
+        val tmp = new org.apache.hadoop.fs.Path(checkpointDir,
+          "graft_source_schema.json.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(inferred.json.getBytes("UTF-8")) finally out.close()
+        fs.rename(tmp, schemaPath)
+        inferred
+      }
     spark.readStream.format(src.format).options(src.options)
-      .schema(static.schema).load(src.path)
+      .schema(schema).load(src.path)
   }
 
   /** Start the ingest described by `spec` (placeholders must already be
@@ -178,7 +206,7 @@ object IngestCompiler {
   def start(spark: SparkSession, spec: IngestSpec,
             trigger: Option[Trigger] = None): StreamingQuery = {
     import graft.streaming.Streams
-    val in = sourceStream(spark, spec.source)
+    val in = sourceStream(spark, spec.source, spec.checkpointDir)
     spec match {
       case s: QualityIngestSpec =>
         Streams.ingestQualityFiltered(in, s.textCol, s.weights, s.corpusDir,

@@ -12,6 +12,14 @@ package graft.tools
   */
 object SpecExport {
   def main(args: Array[String]): Unit = {
+    // back-compat: the pre-r13 form took the v3 asset FILE path; a .json
+    // arg still means that, otherwise the arg is the output directory
+    args.headOption.filter(_.endsWith(".json")).foreach { legacy =>
+      val json = graft.plans.SpecJson.toJson(graft.SparkEntry.llmPipelineV3Spec)
+      java.nio.file.Files.write(java.nio.file.Paths.get(legacy), json.getBytes("UTF-8"))
+      println(s"wrote $legacy (${json.length} bytes)")
+      return
+    }
     val dir = args.headOption.getOrElse("src/main/resources/specs")
     def write(name: String, json: String): Unit = {
       val p = java.nio.file.Paths.get(s"$dir/$name")

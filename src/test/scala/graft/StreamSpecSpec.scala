@@ -70,12 +70,36 @@ class StreamSpecSpec extends SparkSpec {
   }
 
   test("minLogw = -Infinity (no DSIR gate) encodes by omission and parses back") {
-    val s = PretrainIngestSpec(src, "id", "t", "v", Nil, Nil, 0.9, 16,
+    val s = PretrainIngestSpec(src, "id", "t", "v", Seq(1.0), cents, 0.9, 16,
       "/c", "/sem", "/span", "/k")
     val json = SpecJson.ingestToJson(s)
     assert(!json.contains("minLogw"), json)
     assert(!json.contains("dsirWeightsDir"), json)
     assert(SpecJson.ingestFromJson(json) == s)
+    // the importance arm follows the same convention (no "-Infinity"
+    // string ever reaches the JSON)
+    val imp = ImportanceIngestSpec(src, "id", "t", "/w",
+      Double.NegativeInfinity, "/c", "/k")
+    val impJson = SpecJson.ingestToJson(imp)
+    assert(!impJson.contains("Infinity"), impJson)
+    assert(SpecJson.ingestFromJson(impJson) == imp)
+  }
+
+  test("hand-authored JSON: missing/typo'd REQUIRED fields fail the parse by name") {
+    val good = SpecJson.ingestToJson(QualityIngestSpec(src, "text", Seq(1.0), "/c", "/k"))
+    def withoutField(f: String): String =
+      good.linesIterator.filterNot(_.contains("\"" + f + "\"")).mkString("\n")
+    for (f <- Seq("corpusDir", "textCol", "checkpointDir")) {
+      val e = intercept[IllegalArgumentException] {
+        SpecJson.ingestFromJson(withoutField(f)) }
+      assert(e.getMessage.contains(f), s"error must name '$f': ${e.getMessage}")
+    }
+    val noSource = intercept[IllegalArgumentException] {
+      SpecJson.ingestFromJson("""{"ingest": {"kind": "quality"}}""") }
+    assert(noSource.getMessage.contains("source"))
+    val noWeights = intercept[IllegalArgumentException] {
+      SpecJson.ingestFromJson(good.replace("\"weights\"", "\"wights\"")) }
+    assert(noWeights.getMessage.contains("weights"))
   }
 
   test("batch pipeline JSON is NOT ingest JSON (RunSpec's dispatch key)") {
@@ -122,6 +146,15 @@ class StreamSpecSpec extends SparkSpec {
     IngestCompiler.runAvailable(spark, spec, Map("root" -> root))
     assert(spark.read.parquet(s"$root/corpus").count() == n1,
       "empty round must append nothing")
+    // drained files ARCHIVED (deleted) between rounds — the schema pinned
+    // at the checkpoint on round 1 keeps later rounds working on an empty
+    // drop directory instead of failing static re-inference
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/drop"))
+      .iterator().asScala.toList.foreach(java.nio.file.Files.delete)
+    IngestCompiler.runAvailable(spark, spec, Map("root" -> root))
+    assert(spark.read.parquet(s"$root/corpus").count() == n1,
+      "archived-drop round must be a no-op, not an inference failure")
   }
 
   test("source options pass through: maxFilesPerTrigger bounds per-round micro-batches") {
