@@ -1960,21 +1960,168 @@ object SparkEntry {
       corpusDir = "{%work%}/corpus", semStoreDir = "{%work%}/sem",
       spanStoreDir = "{%work%}/span", checkpointDir = "{%work%}/ckpt",
       dsirWeightsDir = Some("{%work%}/weights"), minLogw = -30.0)
+    runTwoRoundIngest(s, work, all, "doc_id", spec)
+    s.read.parquet(s"$work/corpus")
+      .select(col("doc_id"), col("n_kept"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared two-round harness for the per-kind ingest gates: persist
+    * `spec` as a JSON file and parse it BACK (so the gate exercises the
+    * exact bytes a user would check in), then drive two
+    * `Trigger.AvailableNow` rounds from the same checkpoint — round 1
+    * drains the even-`idCol` slice of `rows`, round 2 the odd slice. The
+    * spec's paths must ride `{%work%}` placeholders; this resolves them
+    * to the returned scratch dir. File source + real restarts: the
+    * closest driver-gate form of the production "cron a RunSpec round"
+    * deployment (reference `jobs/hi-order/job-pipeline.js:86-106`).
+    */
+  private def runTwoRoundIngest(s: SparkSession, work: String, rows: DataFrame,
+                                idCol: String, spec: IngestSpec): Unit = {
     val specFile = java.nio.file.Paths.get(s"$work/ingest.json")
     java.nio.file.Files.write(specFile,
       SpecJson.ingestToJson(spec).getBytes("UTF-8"))
     val loaded = SpecJson.ingestFromJson(
       new String(java.nio.file.Files.readAllBytes(specFile), "UTF-8"))
     val params = Map("work" -> work)
-    // round 1: drop the even-id batch, drain; round 2: drop the odd-id
-    // batch, drain again from the SAME checkpoint (a real restart)
-    all.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(s"$work/drop")
+    rows.filter(col(idCol) % 2 === 0).write.mode("overwrite").parquet(s"$work/drop")
     IngestCompiler.runAvailable(s, loaded, params)
-    all.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$work/drop")
+    rows.filter(col(idCol) % 2 === 1).write.mode("append").parquet(s"$work/drop")
     IngestCompiler.runAvailable(s, loaded, params)
+  }
+
+  /** Planted parity-straddling exact twins over `df`: `+100001` flips the
+    * id's parity (the copy arrives in the OTHER two-round batch),
+    * `+200000` keeps it (an in-batch pair). `mk` builds each twin row
+    * from (shifted id, original row) — text gates copy the text verbatim
+    * (Jaccard exactly 1), vector gates scale by a power of two (cosine
+    * bitwise 1). Every multi-member clique therefore has a batch-0
+    * member, and the survivor under first-seen-wins is the clique's
+    * min-(batch, id) — the SQL-rankable rule the oracles replay.
+    */
+  private def parityTwins(df: DataFrame, idCol: String)(
+      mk: (Column, DataFrame) => DataFrame): DataFrame = {
+    val a = mk(col(idCol) + 100001L, df.filter(col(idCol) < 32))
+    val b = mk(col(idCol) + 200000L, df.filter(col(idCol) < 16))
+    df.unionByName(a).unionByName(b)
+  }
+
+  /** Driver gate for the standalone IMPORTANCE ingest kind
+    * ([[graft.streaming.Streams.ingestImportanceFiltered]] through its
+    * [[graft.plans.ImportanceIngestSpec]] JSON): DSIR rate-threshold
+    * filtering is batch-boundary-invariant by construction, so the
+    * two-round corpus must equal the batch-mode `dsir_logw >= -30.0`
+    * accept set. The threshold's margin to the nearest ORGANIC score on
+    * the full population is 0.0104 (tools/IngestGateProbe — the
+    * pretrain gate's probe covered only quality-accepted docs), ten
+    * orders of magnitude above cross-engine ln/summation noise. A
+    * planted whitespace-only doc (odd id, gram-less) pins the policy:
+    * no score row, never appended.
+    */
+  private def qSImportanceIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val all = base.select("doc_id", "text")
+      .unionByName(Seq((999999L, "   ")).toDF("doc_id", "text"))
+    val work = java.nio.file.Files.createTempDirectory("imp_ingest").toString
+    // run-once model, pinned to a dir the spec references (the weightsDir
+    // contract): target = en slice, background = whole corpus, built in
+    // one conditional-aggregation scan (the q_n_dsir model)
+    val joint = CorpusStats.hashedGramCountsSplit(base, "text", col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    CorpusStats.importanceWeightsJoint(
+        s.createDataFrame(joint).toDF("bucket", "cnt_target", "cnt_background"))
+      .write.mode("overwrite").parquet(s"$work/weights")
+    val spec = ImportanceIngestSpec(
+      StreamSourceSpec("parquet", "{%work%}/drop"), "doc_id", "text",
+      "{%work%}/weights", minLogw = -30.0,
+      corpusDir = "{%work%}/corpus", checkpointDir = "{%work%}/ckpt")
+    runTwoRoundIngest(s, work, all, "doc_id", spec)
     s.read.parquet(s"$work/corpus")
-      .select(col("doc_id"), col("n_kept"), md5(col("text")).as("text_md5"))
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
+  }
+
+  /** Driver gate for the standalone MINHASH-dedup ingest kind
+    * ([[graft.streaming.Streams.ingestDedup]] through its
+    * [[graft.plans.MinhashIngestSpec]] JSON): two rounds with planted
+    * parity-straddling exact twins, replayed in DuckDB as the exact
+    * char-5-gram Jaccard two-stage evolution — stage A elects min-id per
+    * within-even component, stage B drops odds matching a STORED (kept
+    * even) doc then elects among the odd survivors. Exact-J replay of
+    * the minhash estimator is valid at threshold 0.5 because the fixture
+    * has no pair with exact J in (0.15, 0.98) (tools/IngestGateProbe:
+    * organic near-dups all sit >= 0.98, twins at 1.0) — the 128-hash
+    * estimator cannot flip a verdict across that gap.
+    */
+  private def qSMinhashIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val all = parityTwins(docs, "doc_id") { (id, d) =>
+      d.select(id.as("doc_id"), col("text"), col("lang")) }
+    val work = java.nio.file.Files.createTempDirectory("minhash_ingest").toString
+    val spec = MinhashIngestSpec(
+      StreamSourceSpec("parquet", "{%work%}/drop"), "doc_id", "text",
+      threshold = 0.5, corpusDir = "{%work%}/corpus",
+      storeDir = "{%work%}/store", checkpointDir = "{%work%}/ckpt")
+    runTwoRoundIngest(s, work, all, "doc_id", spec)
+    s.read.parquet(s"$work/corpus")
+      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+  }
+
+  /** Driver gate for the standalone SPAN-dedup ingest kind
+    * ([[graft.streaming.Streams.ingestSpanDedup]] through its
+    * [[graft.plans.SpanIngestSpec]] JSON): the two-round window-store
+    * evolution replays as ONE global ranking — a window survives iff it
+    * is rank 1 per fingerprint ordered by (batch, id, start), the same
+    * equivalence the composed pretrain gate established. Planted exact
+    * twins rebuild to EMPTY documents, which this standalone ingest
+    * still appends (`n_kept = 0`, auditable corpus) — the policy that
+    * differs from the composed ingest's `n_kept > 0` filter, pinned
+    * here by the twins' empty-md5 rows.
+    */
+  private def qSSpanIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val all = parityTwins(docs, "doc_id") { (id, d) =>
+      d.select(id.as("doc_id"), col("text")) }
+    val work = java.nio.file.Files.createTempDirectory("span_ingest").toString
+    val spec = SpanIngestSpec(
+      StreamSourceSpec("parquet", "{%work%}/drop"), "doc_id", "text",
+      k = 16, corpusDir = "{%work%}/corpus",
+      storeDir = "{%work%}/store", checkpointDir = "{%work%}/ckpt")
+    runTwoRoundIngest(s, work, all, "doc_id", spec)
+    s.read.parquet(s"$work/corpus")
+      .select(col("id").as("doc_id"), col("n_toks"), col("n_kept"),
+        md5(col("text_out")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver gate for the standalone SEMANTIC-dedup ingest kind
+    * ([[graft.streaming.Streams.ingestSemanticDedup]] through its
+    * [[graft.plans.SemanticIngestSpec]] JSON): power-of-two-scaled twins
+    * share their original's cosine BITWISE (scaling by 2^k is exact in
+    * float arithmetic and commutes with the sum's rounding), so every
+    * clique assigns to one cluster and pairs at exactly 1.0, while the
+    * max ORGANIC within-cluster cosine is 0.493 (tools/IngestGateProbe)
+    * — no organic pair can reach the 0.9 threshold, and the kept set is
+    * pure clique arithmetic: min-(batch, id) per clique. The gate reads
+    * the STORE (assigned survivors), verifying the argmax cluster
+    * routing and the first-seen-wins evolution in one output.
+    */
+  private def qSSemanticIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val all = parityTwins(emb, "vec_id") { (id, d) =>
+      val scale = when(id >= 200000L, lit(4.0f)).otherwise(lit(2.0f))
+      d.select(id.as("vec_id"),
+        transform(col("embedding"), x => x * scale).as("embedding")) }
+    val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
+    val work = java.nio.file.Files.createTempDirectory("sem_ingest").toString
+    val spec = SemanticIngestSpec(
+      StreamSourceSpec("parquet", "{%work%}/drop"), "vec_id", "embedding",
+      cents, threshold = 0.9, corpusDir = "{%work%}/corpus",
+      storeDir = "{%work%}/store", checkpointDir = "{%work%}/ckpt")
+    runTwoRoundIngest(s, work, all, "vec_id", spec)
+    s.read.parquet(s"$work/store")
+      .select(col("id").as("vec_id"), col("cluster")).orderBy("vec_id")
   }
 
   /** Exact distributed percentiles (Catalyst `percentile`, one hash-agg
@@ -2042,6 +2189,10 @@ object SparkEntry {
     "q_s_stream_dedup"   -> (qSStreamDedup _),
     "q_s_pretrain_ingest" -> (qSPretrainIngest _),
     "q_s_spec_ingest"    -> (qSSpecIngest _),
+    "q_s_importance_ingest" -> (qSImportanceIngest _),
+    "q_s_minhash_ingest" -> (qSMinhashIngest _),
+    "q_s_span_ingest"    -> (qSSpanIngest _),
+    "q_s_semantic_ingest" -> (qSSemanticIngest _),
     "q_s_quality_ingest"  -> (qSQualityIngest _),
     "q_s_vector_index_ingest" -> (qSVectorIndexIngest _),
     "q_s_stream_enrich"  -> (qSStreamEnrich _),
@@ -2979,6 +3130,149 @@ object SparkEntry {
       s"""WITH ${qualityCtesSql("documents")}
           SELECT doc_id, quality_score_1e6 FROM qsc
           WHERE quality_score_1e6 > 0 ORDER BY doc_id""",
+    // standalone importance ingest: rate-threshold DSIR is batch-invariant,
+    // so the two-round corpus == the batch accept set at logw >= -30.0
+    // (model: en-slice target vs whole-corpus background, hexLen 4). The
+    // planted whitespace-only doc 999999 has no grams -> no score row ->
+    // never appended (the pinned gram-less policy).
+    "q_s_importance_ingest" ->
+      s"""WITH dd AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
+          da AS MATERIALIZED (SELECT doc_id, text FROM dd
+                              UNION ALL VALUES (999999, '   ')),
+          mg AS MATERIALIZED (SELECT lang, unnest(list_concat(
+                  list_transform(toks, x -> substr(md5(x), 1, 4)),
+                  list_transform(range(1, len(toks)),
+                    i -> substr(md5(toks[i] || chr(1) || toks[i+1]), 1, 4)))) AS b
+                FROM (SELECT lang, $toksSql AS toks FROM dd)),
+          tct AS MATERIALIZED (SELECT b, count(*) AS c FROM mg WHERE lang = 'en' GROUP BY 1),
+          tcr AS MATERIALIZED (SELECT b, count(*) AS c FROM mg GROUP BY 1),
+          tts AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS v FROM tct),
+          trs AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS v FROM tcr),
+          qg AS MATERIALIZED (SELECT doc_id, unnest(list_concat(
+                  list_transform(toks, x -> substr(md5(x), 1, 4)),
+                  list_transform(range(1, len(toks)),
+                    i -> substr(md5(toks[i] || chr(1) || toks[i+1]), 1, 4)))) AS b
+                FROM (SELECT doc_id, $toksSql AS toks FROM da)),
+          docw AS MATERIALIZED (SELECT qg.doc_id,
+                   sum(ln((coalesce(tct.c, 0) + 0.5) / (tts.v + 32768.0))
+                     - ln((tcr.c + 0.5) / (trs.v + 32768.0))) AS logw
+                 FROM qg LEFT JOIN tct USING (b) JOIN tcr USING (b), tts, trs
+                 GROUP BY qg.doc_id)
+          SELECT da.doc_id, md5(da.text) AS text_md5
+          FROM da JOIN docw USING (doc_id)
+          WHERE logw >= -30.0 ORDER BY doc_id""",
+    // standalone minhash ingest: exact char-5-gram Jaccard replay of the
+    // two-round store evolution (estimator-safe: no fixture pair has exact
+    // J in (0.15, 0.98)). Stage A: within-even CC, keep min id; store =
+    // kept evens. Stage B: drop odds pairing with a STORED doc, then CC
+    // among the odd survivors (the store-survivor election rule).
+    "q_s_minhash_ingest" ->
+      """WITH RECURSIVE
+         d0 AS (SELECT doc_id, text, lang FROM documents),
+         tA AS (SELECT doc_id + 100001 AS doc_id, text, lang FROM d0 WHERE doc_id < 32),
+         tB AS (SELECT doc_id + 200000 AS doc_id, text, lang FROM d0 WHERE doc_id < 16),
+         dl AS MATERIALIZED (SELECT * FROM d0 UNION ALL SELECT * FROM tA
+                             UNION ALL SELECT * FROM tB),
+         g AS MATERIALIZED (SELECT doc_id, doc_id % 2 AS bt,
+                list_distinct(list_transform(range(1, greatest(len(text) - 3, 1)),
+                  i -> substr(text, i, 5))) AS sh FROM dl),
+         p AS MATERIALIZED (
+           SELECT a.doc_id AS id_a, a.bt AS bt_a, b.doc_id AS id_b, b.bt AS bt_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         undA AS MATERIALIZED (
+           SELECT id_a AS a, id_b AS b FROM p WHERE bt_a = 0 AND bt_b = 0
+           UNION SELECT id_b, id_a FROM p WHERE bt_a = 0 AND bt_b = 0),
+         reachA(a, b) AS (SELECT a, b FROM undA
+                          UNION SELECT r.a, u.b FROM reachA r JOIN undA u ON r.b = u.a),
+         clA AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS cl
+                              FROM reachA GROUP BY a),
+         kept0 AS MATERIALIZED (SELECT doc_id FROM dl WHERE doc_id % 2 = 0
+                  AND doc_id NOT IN (SELECT id FROM clA WHERE id <> cl)),
+         vs1 AS MATERIALIZED (
+           SELECT id_b AS id FROM p JOIN kept0 k ON p.id_a = k.doc_id WHERE bt_b = 1
+           UNION
+           SELECT id_a FROM p JOIN kept0 k ON p.id_b = k.doc_id WHERE bt_a = 1),
+         po AS (SELECT id_a, id_b FROM p WHERE bt_a = 1 AND bt_b = 1
+                AND id_a NOT IN (SELECT id FROM vs1)
+                AND id_b NOT IN (SELECT id FROM vs1)),
+         undB AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM po
+                               UNION SELECT id_b, id_a FROM po),
+         reachB(a, b) AS (SELECT a, b FROM undB
+                          UNION SELECT r.a, u.b FROM reachB r JOIN undB u ON r.b = u.a),
+         clB AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS cl
+                              FROM reachB GROUP BY a),
+         kept1 AS (SELECT doc_id FROM dl WHERE doc_id % 2 = 1
+                   AND doc_id NOT IN (SELECT id FROM vs1)
+                   AND doc_id NOT IN (SELECT id FROM clB WHERE id <> cl))
+         SELECT doc_id, lang FROM dl
+         WHERE doc_id IN (SELECT doc_id FROM kept0 UNION SELECT doc_id FROM kept1)
+         ORDER BY doc_id""",
+    // standalone span ingest: the two-round store evolution == ONE global
+    // first-occurrence ranking per window fingerprint ordered by
+    // (batch, id, start) — the equivalence the pretrain gate established.
+    // NO n_kept>0 filter: emptied rebuilds (the planted twins) append.
+    "q_s_span_ingest" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+          tA AS (SELECT doc_id + 100001 AS doc_id, text FROM d0 WHERE doc_id < 32),
+          tB AS (SELECT doc_id + 200000 AS doc_id, text FROM d0 WHERE doc_id < 16),
+          dl AS MATERIALIZED (SELECT * FROM d0 UNION ALL SELECT * FROM tA
+                              UNION ALL SELECT * FROM tB),
+          kd AS MATERIALIZED (SELECT doc_id, doc_id % 2 AS bt, $toksSql AS toks FROM dl),
+          so AS MATERIALIZED (SELECT doc_id, bt, s AS start,
+                  md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS fp
+                FROM kd, UNNEST(range(0, greatest(len(toks), 1), 16)) AS u(s)
+                WHERE len(list_slice(toks, s + 1, s + 16)) > 0),
+          sr AS (SELECT *, row_number() OVER (PARTITION BY fp
+                   ORDER BY bt, doc_id, start) AS rn FROM so),
+          sd AS (SELECT doc_id, list(start) AS ds FROM sr WHERE rn > 1 GROUP BY 1),
+          rb AS (SELECT kd.doc_id, len(toks) AS n_toks,
+                   flatten(list_transform(
+                     list_filter(range(0, greatest(len(toks), 1), 16),
+                       s -> NOT list_contains(coalesce(ds, []), s)),
+                     s -> list_slice(toks, s + 1, s + 16))) AS ktoks
+                 FROM kd LEFT JOIN sd USING (doc_id))
+          SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+                 CAST(len(ktoks) AS BIGINT) AS n_kept,
+                 -- array_to_string of an EMPTY list is NULL in DuckDB but
+                 -- '' under Spark's concat_ws — the emptied-rebuild rows
+                 -- this gate exists to pin
+                 md5(coalesce(array_to_string(ktoks, ' '), '')) AS text_md5
+          FROM rb ORDER BY doc_id""",
+    // standalone semantic ingest: argmax-cluster routing (bitwise — the
+    // power-of-two twin scales are exact in float arithmetic) + pure
+    // clique arithmetic for the kept set (organic within-cluster cosine
+    // tops out at 0.493, far under the 0.9 threshold): keep the
+    // min-(batch, id) member of each planted clique.
+    "q_s_semantic_ingest" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+          tA AS (SELECT vec_id + 100001 AS vec_id,
+                   list_transform(embedding, x -> CAST(x*2 AS FLOAT)) AS embedding
+                 FROM e0 WHERE vec_id < 32),
+          tB AS (SELECT vec_id + 200000 AS vec_id,
+                   list_transform(embedding, x -> CAST(x*4 AS FLOAT)) AS embedding
+                 FROM e0 WHERE vec_id < 16),
+          v AS MATERIALIZED (SELECT * FROM e0 UNION ALL SELECT * FROM tA
+                             UNION ALL SELECT * FROM tB),
+          c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+                FROM e0 WHERE vec_id < 8),
+          sasg AS MATERIALIZED (SELECT v.vec_id, cid,
+                   ${cosSql("v.embedding", "cv")} AS cs FROM v, c),
+          rasg AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                   FROM sasg),
+          asg AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM rasg WHERE rn = 1),
+          grp AS (SELECT vec_id, cluster,
+                    CASE WHEN vec_id >= 200000 THEN vec_id - 200000
+                         WHEN vec_id >= 100001 THEN vec_id - 100001
+                         ELSE vec_id END AS base,
+                    vec_id % 2 AS bt
+                  FROM asg),
+          r AS (SELECT vec_id, cluster,
+                  row_number() OVER (PARTITION BY base ORDER BY bt, vec_id) AS rn
+                FROM grp)
+          SELECT vec_id, cluster FROM r WHERE rn = 1 ORDER BY vec_id""",
     // two-batch composed-ingest replay: quality gate -> DSIR threshold
     // (model = en slice of the raw corpus) -> semantic clique election by
     // min-(batch, id) -> span first-occurrence by (batch, id, start)
