@@ -23,7 +23,11 @@ package graft
   * `Trigger.AvailableNow`, block until drained — then prints the primary
   * sink's row count and exits. Re-running the same spec resumes from its
   * checkpoint and processes only newly-arrived files, so a scheduler
-  * invoking this CLI periodically IS the production ingest loop.
+  * invoking this CLI periodically IS the production ingest loop. Where
+  * no scheduler is available, `--rounds N [--sleep seconds]` runs N
+  * such rounds in one process (sleeping between rounds, default 60 s) —
+  * each round is the same drain-and-exit unit, so killing the process
+  * between rounds loses nothing the checkpoint doesn't recover.
   * `--out`/`--show`/`--explain` don't apply (sinks live in the spec).
   *
   * `--dag` prints the spec's `{nodes, links}` graph (the reference's
@@ -35,7 +39,8 @@ object RunSpec {
   def main(args: Array[String]): Unit = {
     def usage(): Nothing = {
       System.err.println(
-        "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] [--explain] [--dag]")
+        "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] " +
+          "[--explain] [--dag] [--rounds n [--sleep seconds]]")
       sys.exit(2)
     }
     if (args.isEmpty) usage()
@@ -45,6 +50,8 @@ object RunSpec {
     var show = 20
     var explain = false
     var dag = false
+    var rounds = 1
+    var sleepSec = 60L
     var i = 1
     def operand(flag: String): String = {
       if (i + 1 >= args.length) { System.err.println(s"$flag needs a value"); usage() }
@@ -63,6 +70,14 @@ object RunSpec {
           i += 2
         case "--explain" => explain = true; i += 1
         case "--dag"     => dag = true; i += 1
+        case "--rounds" =>
+          rounds = operand("--rounds").toIntOption.filter(_ >= 1).getOrElse {
+            System.err.println("--rounds expects a positive integer"); usage() }
+          i += 2
+        case "--sleep" =>
+          sleepSec = operand("--sleep").toLongOption.filter(_ >= 0).getOrElse {
+            System.err.println("--sleep expects a non-negative integer (seconds)"); usage() }
+          i += 2
         case other =>
           System.err.println(s"unknown argument '$other'"); usage()
       }
@@ -89,17 +104,25 @@ object RunSpec {
       val spark = GraftSession.builder(master = s"local[$cpus]",
         shufflePartitions = cpus.toInt).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      if (rounds > 1 && parsed.isLeft) {
+        System.err.println("--rounds applies only to ingest specs " +
+          "(a batch pipeline re-run computes the same result)")
+        sys.exit(2)
+      }
       parsed match {
         case Right(ingest) =>
-          plans.IngestCompiler.runAvailable(spark, ingest, params)
           val sink = plans.PipelineCompiler.substitute(
             plans.IngestCompiler.primarySink(ingest), params)
-          // a round whose every batch was filtered to nothing never
-          // creates the sink — that is a healthy outcome, not an error
-          val p = new org.apache.hadoop.fs.Path(sink)
-          val n = if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-            spark.read.parquet(sink).count() else 0L
-          println(s"ingest round drained; $sink now holds $n rows")
+          for (r <- 1 to rounds) {
+            if (r > 1 && sleepSec > 0) Thread.sleep(sleepSec * 1000L)
+            plans.IngestCompiler.runAvailable(spark, ingest, params)
+            // a round whose every batch was filtered to nothing never
+            // creates the sink — that is a healthy outcome, not an error
+            val p = new org.apache.hadoop.fs.Path(sink)
+            val n = if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+              spark.read.parquet(sink).count() else 0L
+            println(s"ingest round $r/$rounds drained; $sink now holds $n rows")
+          }
         case Left(spec) => try {
           val df = plans.PipelineCompiler.compile(spec, spark, params)
           if (explain) df.explain("formatted")
