@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans._
+
+/** docs/SPECS.md is executable documentation: every fenced ```json block
+  * must parse as a spec, round-trip through the serializer, and RUN —
+  * the batch example compiles and returns rows against a generated
+  * fixture, the ingest example drains a round and appends its corpus.
+  * A schema change that invalidates the doc fails here, not in a user's
+  * terminal.
+  */
+class SpecDocSpec extends SparkSpec {
+
+  private def docBlocks: Seq[String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("docs/SPECS.md")), "UTF-8")
+    "(?s)```json\\s*(.*?)```".r.findAllMatchIn(text).map(_.group(1)).toSeq
+  }
+
+  test("every json example in docs/SPECS.md parses and round-trips") {
+    val blocks = docBlocks
+    assert(blocks.size == 2, s"expected 2 json examples, found ${blocks.size}")
+    blocks.foreach { json =>
+      if (SpecJson.isIngestJson(json)) {
+        val spec = SpecJson.ingestFromJson(json)
+        assert(SpecJson.ingestFromJson(SpecJson.ingestToJson(spec)) == spec)
+      } else {
+        val spec = SpecJson.fromJson(json)
+        assert(SpecJson.fromJson(SpecJson.toJson(spec)) == spec)
+        assert(spec.nodes.exists(_._1 == spec.out), "out must name a node")
+      }
+    }
+  }
+
+  test("the batch example compiles and runs against a fixture") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spec_doc").toString
+    Seq((1L, "view", 5.0), (1L, "buy", 20.0), (2L, "buy", 15.0), (2L, "view", 2.0))
+      .toDF("user_id", "event_type", "value")
+      .write.parquet(s"$root/events")
+    Seq(("view", "View"), ("buy", "Purchase")).toDF("event_type", "label")
+      .write.parquet(s"$root/vocab")
+    val spec = SpecJson.fromJson(docBlocks.filterNot(SpecJson.isIngestJson).head)
+    val out = PipelineCompiler.compile(spec, spark, Map("root" -> root))
+    try {
+      val rows = out.orderBy("user_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(rows.map(r => r.getLong(r.fieldIndex("n"))).toSeq == Seq(1L, 1L),
+        "only value > 10 survives the filter")
+    } finally PipelineCompiler.unpersistCompiledCaches()
+  }
+
+  test("the ingest example drains a round against a fixture") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spec_doc_ingest").toString
+    (1L to 5L).map(i => (i, s"doc $i unique words ${"w" + i} " * 20))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/drop")
+    val spec = SpecJson.ingestFromJson(docBlocks.filter(SpecJson.isIngestJson).head)
+    IngestCompiler.runAvailable(spark, spec, Map("root" -> root))
+    assert(spark.read.parquet(s"$root/corpus").count() == 5)
+  }
+}
