@@ -100,15 +100,16 @@ object RunSpec {
         println(parsed.fold(plans.SpecJson.dag, plans.SpecJson.ingestDag))
         sys.exit(0)
       }
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-      val spark = GraftSession.builder(master = s"local[$cpus]",
-        shufflePartitions = cpus.toInt).getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
       if (rounds > 1 && parsed.isLeft) {
+        // argument errors fail before Spark startup, like parse errors
         System.err.println("--rounds applies only to ingest specs " +
           "(a batch pipeline re-run computes the same result)")
         sys.exit(2)
       }
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = GraftSession.builder(master = s"local[$cpus]",
+        shufflePartitions = cpus.toInt).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
       parsed match {
         case Right(ingest) =>
           val sink = plans.PipelineCompiler.substitute(
@@ -116,13 +117,16 @@ object RunSpec {
           for (r <- 1 to rounds) {
             if (r > 1 && sleepSec > 0) Thread.sleep(sleepSec * 1000L)
             plans.IngestCompiler.runAvailable(spark, ingest, params)
-            // a round whose every batch was filtered to nothing never
-            // creates the sink — that is a healthy outcome, not an error
-            val p = new org.apache.hadoop.fs.Path(sink)
-            val n = if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-              spark.read.parquet(sink).count() else 0L
-            println(s"ingest round $r/$rounds drained; $sink now holds $n rows")
+            println(s"ingest round $r/$rounds drained")
           }
+          // count the sink ONCE at the end — a per-round count would
+          // re-list and re-read footers of the whole cumulative corpus
+          // every round. A round whose every batch was filtered to
+          // nothing never creates the sink — a healthy zero, not an error
+          val p = new org.apache.hadoop.fs.Path(sink)
+          val n = if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+            spark.read.parquet(sink).count() else 0L
+          println(s"$sink now holds $n rows")
         case Left(spec) => try {
           val df = plans.PipelineCompiler.compile(spec, spark, params)
           if (explain) df.explain("formatted")

@@ -267,14 +267,30 @@ object SpecJson {
   private def parseSrc(n: JsonNode): StreamSourceSpec = {
     val opts = Option(n.get("options")).map(o =>
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
-    StreamSourceSpec(str(n, "format"), str(n, "path"), opts)
+    // the source's own fields are REQUIRED too — a typo'd "path" key must
+    // fail here, not as a cryptic empty-Path error after Spark startup
+    def req(f: String): String = {
+      val v = str(n, f)
+      if (v.isEmpty) throw new IllegalArgumentException(
+        s"ingest spec source missing required field '$f'")
+      v
+    }
+    StreamSourceSpec(req("format"), req("path"), opts)
   }
 
   private def putDoubles(n: ObjectNode, f: String, vs: Seq[Double]): Unit = {
     val a = n.putArray(f); vs.foreach(a.add)
   }
+  // strict numeric parse: Jackson's asDouble coerces strings/nulls to 0.0,
+  // which would let a typo'd weight pass the required-field check as a
+  // silently-zeroed model — exactly what the strict parse exists to stop
+  private def numOf(e: JsonNode, f: String): JsonNode = {
+    if (!e.isNumber) throw new IllegalArgumentException(
+      s"ingest spec field '$f' must be numeric, got: $e")
+    e
+  }
   private def doubles(n: JsonNode, f: String): Seq[Double] =
-    Option(n.get(f)).map(_.elements().asScala.map(_.asDouble).toSeq).getOrElse(Nil)
+    Option(n.get(f)).map(_.elements().asScala.map(numOf(_, f).asDouble).toSeq).getOrElse(Nil)
 
   // centroid floats serialize via Float.toString (shortest round-trip
   // form), so text → float parse recovers the exact pinned bits
@@ -287,8 +303,11 @@ object SpecJson {
   }
   private def parseCentroids(n: JsonNode): Seq[(Int, Seq[Float])] =
     Option(n.get("centroids")).map(_.elements().asScala.map { c =>
-      c.get("cell").asInt ->
-        c.get("vec").elements().asScala.map(_.floatValue).toSeq
+      numOf(Option(c.get("cell")).getOrElse(M.nullNode()), "centroids.cell").asInt ->
+        Option(c.get("vec")).map(_.elements().asScala
+            .map(numOf(_, "centroids.vec").floatValue).toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            "ingest spec field 'centroids' entry missing 'vec'"))
     }.toSeq).getOrElse(Nil)
 
   /** The JSON `kind` discriminator for each ingest shape — the streaming
@@ -395,8 +414,10 @@ object SpecJson {
       v
     }
     lazy val ckpt = req("checkpointDir")
-    def int(f: String, default: Int): Int = Option(n.get(f)).map(_.asInt).getOrElse(default)
-    def dbl(f: String, default: Double): Double = Option(n.get(f)).map(_.asDouble).getOrElse(default)
+    def int(f: String, default: Int): Int =
+      Option(n.get(f)).map(numOf(_, f).asInt).getOrElse(default)
+    def dbl(f: String, default: Double): Double =
+      Option(n.get(f)).map(numOf(_, f).asDouble).getOrElse(default)
     kind match {
       case "quality" =>
         QualityIngestSpec(source, req("textCol"), reqDoubles("weights"),

@@ -193,7 +193,16 @@ object IngestCompiler {
           "graft_source_schema.json.tmp")
         val out = fs.create(tmp, true)
         try out.write(inferred.json.getBytes("UTF-8")) finally out.close()
-        fs.rename(tmp, schemaPath)
+        if (!fs.rename(tmp, schemaPath)) {
+          // rename can refuse when the destination appeared concurrently
+          // (two rounds racing on one checkpoint) — the winner's pin is
+          // as good as ours; anything else must fail LOUDLY, or the pin
+          // silently never exists and a later archived-drop round dies
+          // re-inferring against an empty directory
+          fs.delete(tmp, false)
+          if (!fs.exists(schemaPath)) throw new java.io.IOException(
+            s"could not publish source-schema pin $schemaPath")
+        }
         inferred
       }
     spark.readStream.format(src.format).options(src.options)

@@ -100,6 +100,22 @@ class StreamSpecSpec extends SparkSpec {
     val noWeights = intercept[IllegalArgumentException] {
       SpecJson.ingestFromJson(good.replace("\"weights\"", "\"wights\"")) }
     assert(noWeights.getMessage.contains("weights"))
+    // the source's own fields are required too
+    val noPath = intercept[IllegalArgumentException] {
+      SpecJson.ingestFromJson(good.replace("\"path\"", "\"paht\"")) }
+    assert(noPath.getMessage.contains("path"), noPath.getMessage)
+  }
+
+  test("hand-authored JSON: non-numeric model values fail the parse, not coerce to 0") {
+    val good = SpecJson.ingestToJson(QualityIngestSpec(src, "text", Seq(1.0, 2.0), "/c", "/k"))
+    // a typo'd weight must not become a silently-zeroed model
+    val badWeight = intercept[IllegalArgumentException] {
+      SpecJson.ingestFromJson(good.replace("2.0", "\"0..3\"")) }
+    assert(badWeight.getMessage.contains("weights"), badWeight.getMessage)
+    val mh = SpecJson.ingestToJson(MinhashIngestSpec(src, "id", "t", 0.8, "/c", "/s", "/k"))
+    val badThr = intercept[IllegalArgumentException] {
+      SpecJson.ingestFromJson(mh.replace("0.8", "\"high\"")) }
+    assert(badThr.getMessage.contains("threshold"), badThr.getMessage)
   }
 
   test("batch pipeline JSON is NOT ingest JSON (RunSpec's dispatch key)") {
