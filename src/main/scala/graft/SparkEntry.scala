@@ -787,6 +787,20 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Data-card report grouped by language, with planted exact duplicates
+    * (+100000 copies of docs < 50) so the `n_docs - n_distinct` dup
+    * surplus is nonzero by construction — the composition-accounting
+    * audit run before/after each pipeline tier.
+    */
+  private def qNCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val dups = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"))
+    CorpusStats.corpusReport(docs.unionByName(dups), "text", "lang")
+      .withColumnRenamed("group", "lang")
+      .orderBy("lang")
+  }
+
   /** Corpus vocabulary audit: top-50 tokens by document frequency with
     * occurrence counts and corpus token share — tokenizer-training prep.
     */
@@ -2209,6 +2223,7 @@ object SparkEntry {
     "q_n_pack_seq"       -> (qNPackSeq _),
     "q_n_vocab_topk"     -> (qNVocabTopk _),
     "q_n_commonness"     -> (qNCommonness _),
+    "q_n_corpus_report"  -> (qNCorpusReport _),
     "q_n_lm_score"       -> (qNLmScore _),
     "q_n_dsir"           -> (qNDsir _),
     "q_n_quality_model"  -> (qNQualityModel _),
@@ -2756,6 +2771,24 @@ object SparkEntry {
                  round(CAST(sum(v.df) AS DOUBLE) / count(*), 4) AS mean_df
           FROM t JOIN v USING (term)
           GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // data-card composition table: counts are exact integers, quartiles
+    // ride the integer-inputs ×100 percentile convention, the dedup
+    // fingerprint is the q_n_dedup_exact content key
+    "q_n_corpus_report" ->
+      s"""WITH u AS (SELECT text, lang FROM documents
+                     UNION ALL
+                     SELECT text, lang FROM documents WHERE doc_id < 50),
+          f AS (SELECT lang, len(toks) AS ntoks, len(text) AS nchars,
+                  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+                FROM (SELECT lang, text, $toksSql AS toks FROM u))
+          SELECT lang, count(*) AS n_docs,
+                 CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+                 CAST(sum(ntoks) AS BIGINT) AS n_tokens,
+                 CAST(sum(nchars) AS BIGINT) AS n_chars,
+                 CAST(quantile_cont(ntoks, 0.25) * 100 AS BIGINT) AS p25_toks_c100,
+                 CAST(quantile_cont(ntoks, 0.5)  * 100 AS BIGINT) AS p50_toks_c100,
+                 CAST(quantile_cont(ntoks, 0.75) * 100 AS BIGINT) AS p75_toks_c100
+          FROM f GROUP BY lang ORDER BY lang""",
     "q_n_vocab_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
           g AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,

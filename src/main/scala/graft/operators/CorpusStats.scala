@@ -236,4 +236,49 @@ object CorpusStats {
          log((coalesce(col("__cr"), lit(0L)) + alpha) / (col("__tr") + alpha * nBuckets)))
           .as("logw"))
   }
+
+  /** Corpus "data card": per-`groupCol` document/token/char counts, exact
+    * content-duplicate accounting, and token-length quartiles — the audit
+    * a pretraining pipeline runs before and after every dedup/filter tier
+    * to state what a corpus holds and what a stage changed (what model
+    * release notes call the dataset card's composition table).
+    *
+    * Output per group: `n_docs`, `n_distinct` (distinct content
+    * fingerprints — `n_docs - n_distinct` is the exact-dup surplus),
+    * `n_tokens`, `n_chars`, and `p25/p50/p75_toks_c100` (token-count
+    * quartiles ×100 — integer inputs make the linear interpolation
+    * engine-exact, the [[graft.SparkEntry]] percentile convention).
+    *
+    * Scale shape: one narrow per-document projection (token count, char
+    * count, dedup fingerprint — single tokenization pass shared by all
+    * three), then ONE hash aggregation keyed on the group. The
+    * fingerprint distinct-count is exact by default — at data-card time
+    * the dup surplus IS the statistic, and the expand it costs is keyed
+    * by (group, fp), not by document. Pass `exactDistinct = false` to
+    * swap in `approx_count_distinct` (HLL, one pass, no expand) when the
+    * report is a monitoring heartbeat rather than an accounting artifact.
+    */
+  def corpusReport(df: DataFrame, textCol: String, groupCol: String,
+                   exactDistinct: Boolean = true): DataFrame = {
+    val perDoc = Dedup.spread(df).select(
+      col(groupCol).as("group"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("__ntoks"),
+      length(col(textCol)).cast("long").as("__nchars"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+    val distinctAgg =
+      if (exactDistinct) count_distinct(col("__fp"))
+      else approx_count_distinct(col("__fp"))
+    val pct = percentile(col("__ntoks"), lit(Array(0.25, 0.5, 0.75)))
+    perDoc.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        distinctAgg.as("n_distinct"),
+        sum(col("__ntoks")).as("n_tokens"),
+        sum(col("__nchars")).as("n_chars"),
+        pct.as("__p"))
+      .select(col("group"), col("n_docs"), col("n_distinct"),
+        col("n_tokens"), col("n_chars"),
+        (element_at(col("__p"), 1) * 100).cast("long").as("p25_toks_c100"),
+        (element_at(col("__p"), 2) * 100).cast("long").as("p50_toks_c100"),
+        (element_at(col("__p"), 3) * 100).cast("long").as("p75_toks_c100"))
+  }
 }

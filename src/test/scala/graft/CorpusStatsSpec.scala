@@ -92,4 +92,23 @@ class CorpusStatsSpec extends SparkSpec {
     val sparse = Seq((1L, "a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
     assert(CorpusStats.lmScore(sparse, "doc_id", "text").count() == 1)
   }
+
+  test("corpusReport: hand-computed data card, exact and approx distinct agree here") {
+    // en: "a b" twice (exact dups: fp counts once) + "c"; fr: "d e f"
+    val docs = Seq(
+      (1L, "a b", "en"), (2L, "A  b", "en"), (3L, "c", "en"), (4L, "d e f", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusStats.corpusReport(docs, "text", "lang").orderBy("group")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // en ntoks = (2, 2, 1): p25 = 1.5, p50 = 2, p75 = 2 (x100)
+    assert(out == Seq(
+      ("en", 3L, 2L, 5L, (3 + 4 + 1).toLong, 150L, 200L, 200L),
+      ("fr", 1L, 1L, 3L, 5L, 300L, 300L, 300L)))
+    // the HLL monitoring variant keeps the schema and, at this cardinality,
+    // the values
+    val approx = CorpusStats.corpusReport(docs, "text", "lang", exactDistinct = false)
+      .orderBy("group")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(approx == out)
+  }
 }
