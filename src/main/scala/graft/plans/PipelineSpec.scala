@@ -138,6 +138,12 @@ case class DecontamNodeSpec(input: OpSpec, bench: OpSpec, idCol: String,
 /** Pack documents into ≈budgetTokens sequences (EOS-joined token arrays). */
 case class PackNodeSpec(input: OpSpec, idCol: String, textCol: String,
                         budgetTokens: Long, shards: Int = 256) extends OpSpec
+/** Data-card composition table ([[graft.operators.CorpusStats.corpusReport]]):
+  * per-`groupCol` doc/token/char counts, exact-dup fingerprint accounting,
+  * token-length quartiles. `exactDistinct = false` swaps the distinct
+  * count for HLL (monitoring heartbeat vs accounting artifact). */
+case class ReportNodeSpec(input: OpSpec, textCol: String, groupCol: String,
+                          exactDistinct: Boolean = true) extends OpSpec
 /** Clustered-layout materialization barrier: write the input with a named
   * physical layout, yield the read-back relation — downstream nodes scan
   * the laid-out files (footer-stat pruning; zero-shuffle bucketed joins).
@@ -341,6 +347,8 @@ object PipelineCompiler {
           ngram, minHits)
       case PackNodeSpec(in, id, text, budget, shards) =>
         graft.operators.Packing.packSequences(build(in), sub(id), sub(text), budget, shards)
+      case ReportNodeSpec(in, text, group, exact) =>
+        graft.operators.CorpusStats.corpusReport(build(in), sub(text), sub(group), exact)
       case LayoutNodeSpec(in, layout, path, cols, files, bits) =>
         val df = build(in)
         val p = sub(path)
@@ -400,6 +408,7 @@ object PipelineCompiler {
     case QualityScoreNodeSpec(in, _, _) => refsOf(in)
     case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
+    case ReportNodeSpec(in, _, _, _)    => refsOf(in)
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case CompactStoreSpec(_, _)            => Set.empty
     case CacheSpec(in)                  => refsOf(in)

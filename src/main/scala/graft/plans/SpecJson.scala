@@ -98,6 +98,10 @@ object SpecJson {
         pairs(n, "op" -> "pack", "idCol" -> id, "textCol" -> text)
         n.put("budgetTokens", budget); n.put("shards", shards)
         n.set[JsonNode]("input", opNode(in))
+      case ReportNodeSpec(in, text, group, exact) =>
+        pairs(n, "op" -> "report", "textCol" -> text, "groupCol" -> group)
+        n.put("exactDistinct", exact)
+        n.set[JsonNode]("input", opNode(in))
       case LayoutNodeSpec(in, layout, path, cols, files, bits) =>
         pairs(n, "op" -> "layout", "layout" -> layout, "path" -> path)
         val c = n.putArray("cols"); cols.foreach(c.add)
@@ -188,6 +192,9 @@ object SpecJson {
     case "pack"    => PackNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "textCol"),
                         n.get("budgetTokens").asLong,
                         Option(n.get("shards")).map(_.asInt).getOrElse(256))
+    case "report"  => ReportNodeSpec(parseOp(n.get("input")), str(n, "textCol"),
+                        str(n, "groupCol"),
+                        Option(n.get("exactDistinct")).forall(_.asBoolean))
     case "layout"  => LayoutNodeSpec(parseOp(n.get("input")), str(n, "layout"), str(n, "path"),
                         strs(n, "cols"),
                         Option(n.get("files")).map(_.asInt).getOrElse(64),
@@ -495,6 +502,7 @@ object SpecJson {
         case QualityScoreNodeSpec(in, _, _) => link(in)
         case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)
+        case ReportNodeSpec(in, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
         case CompactStoreSpec(_, _) =>
         case CacheSpec(in) => link(in)

@@ -47,6 +47,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: QualityScoreNodeSpec => QualityScoreNodeSpec(in, "txt", Seq(0.5, -1.25, 3.0))
       case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2)
       case _: PackNodeSpec => PackNodeSpec(in, "id", "txt", 2048L, 64)
+      case _: ReportNodeSpec => ReportNodeSpec(in, "txt", "src", exactDistinct = false)
       case _: LayoutNodeSpec => LayoutNodeSpec(in, "zorder", "/data/z", Seq("a", "b"), 32, 8)
       case _: CompactStoreSpec => CompactStoreSpec("/data/store", Seq("fp", "id"))
       case _: CacheSpec => CacheSpec(FilterSpec(in, "x > 0"))
@@ -62,7 +63,8 @@ class SpecJsonSpec extends SparkSpec {
       SplitNodeSpec(in, "i", Nil),
       MixNodeSpec(in, "i", "s", Map.empty), DsirNodeSpec(in, in, "i", "t", 1),
       QualityScoreNodeSpec(in, "t", Nil), DecontamNodeSpec(in, in, "i", "t"),
-      PackNodeSpec(in, "i", "t", 1L), LayoutNodeSpec(in, "sorted", "p", Nil),
+      PackNodeSpec(in, "i", "t", 1L), ReportNodeSpec(in, "t", "g"),
+      LayoutNodeSpec(in, "sorted", "p", Nil),
       CompactStoreSpec("p", Seq("fp")), CacheSpec(in))
     shapes.foreach { shape =>
       val op = exemplar(shape)
