@@ -1551,6 +1551,26 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** The PERSISTED index under the int8 codec (4× smaller cells): same
+    * containment contract as the float index — quantization must not push
+    * any returned neighbor out of the exact float top-20.
+    */
+  private def qNAnnIvfIndexedInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("gate_ivfidx8").toString + "/idx"
+    graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16, codec = "int8")
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = graft.operators.VectorIndex.ivfTopKIndexed(queries, idx, k = 5, nprobe = 8)
+    val exact20 = VectorOps.bruteForceTopK(queries, emb, k = 20)
+      .select("query_id", "neighbor_id")
+    ivf.groupBy("query_id").agg(count(lit(1)).as("n_returned"))
+      .join(
+        ivf.join(exact20, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_in_top20")),
+        Seq("query_id"))
+      .orderBy("query_id")
+  }
+
   private def qNAnnIvfInt8Full(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorOps.ivfTopKInt8(emb.filter(col("vec_id") < 20), emb, k = 5, nlist = 16, nprobe = 8)
@@ -2250,6 +2270,7 @@ object SparkEntry {
     "q_n_ann_lsh"        -> (qNAnnLsh _),
     "q_n_ann_ivf"        -> (qNAnnIvf _),
     "q_n_ann_ivf_indexed" -> (qNAnnIvfIndexed _),
+    "q_n_ann_ivf_indexed_int8" -> (qNAnnIvfIndexedInt8 _),
     "q_n_ann_ivf_int8"   -> (qNAnnIvfInt8 _),
     "q_n_vector_stats"   -> (qNVectorStats _),
     "q_n_text_stats"     -> (qNTextStats _),
@@ -3692,6 +3713,11 @@ object SparkEntry {
     // persisted IVF index: the build→query lifecycle must satisfy the same
     // containment contract as the ad-hoc tier
     "q_n_ann_ivf_indexed" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+                CAST(5 AS BIGINT) AS n_in_top20
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // the persisted index under the int8 codec: same containment invariant
+    "q_n_ann_ivf_indexed_int8" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
                 CAST(5 AS BIGINT) AS n_in_top20
          FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",

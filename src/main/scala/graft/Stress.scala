@@ -103,6 +103,19 @@ object Stress {
         println(f"STRESS $name%-18s n=$actual%9d $secs%8.2f s rows=$rows%9d shuffleMB=$mb%9.1f spillMemMB=$spillMemMB%9.1f spillDiskMB=$spillDiskMB%8.1f rowsPerMin=$perMin%12.0f")
       }
       time("exact_dedup")(Dedup.exact(big, "text", "doc_id").count())
+      // data-card report: the action must REFERENCE every output column —
+      // a bare count() would let ColumnPruning drop the unused aggregate
+      // expressions and measure an empty shell; "rows" = total docs
+      time("corpus_report") {
+        val rep = graft.operators.CorpusStats.corpusReport(
+          big.withColumn("grp", pmod(col("doc_id"), lit(8L))), "text", "grp")
+        val r = rep.select(
+          sum(col("n_docs")).as("d"),
+          sum(col("n_distinct") + col("n_tokens") + col("n_chars") +
+            col("p25_toks_c100") + col("p50_toks_c100") + col("p75_toks_c100")).as("all"))
+          .head()
+        r.getLong(0)
+      }
       // NOT count(): the drop relation is unique per id, so Catalyst
       // ELIMINATES the rebuild left-join from a bare count (measured 0.2 s /
       // 0 shuffle at 1M — nothing ran). sum(n_kept) forces windowing,
