@@ -260,11 +260,16 @@ object CorpusStats {
     */
   def corpusReport(df: DataFrame, textCol: String, groupCol: String,
                    exactDistinct: Boolean = true): DataFrame = {
+    // null text (failed upstream extraction) counts as a ZERO-LENGTH doc:
+    // without the coalesce it would sit in n_docs but vanish from the
+    // token-length quartiles (percentile skips nulls), silently shifting
+    // the distribution the card exists to report
+    val text = coalesce(col(textCol), lit(""))
     val perDoc = Dedup.spread(df).select(
       col(groupCol).as("group"),
-      TextOps.tokenCount(col(textCol)).cast("long").as("__ntoks"),
-      length(col(textCol)).cast("long").as("__nchars"),
-      TextOps.fingerprint(col(textCol)).as("__fp"))
+      TextOps.tokenCount(text).cast("long").as("__ntoks"),
+      length(text).cast("long").as("__nchars"),
+      TextOps.fingerprint(text).as("__fp"))
     val distinctAgg =
       if (exactDistinct) count_distinct(col("__fp"))
       else approx_count_distinct(col("__fp"))

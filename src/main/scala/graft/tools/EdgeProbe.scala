@@ -114,6 +114,7 @@ object EdgeProbe {
       probe(s"$tag/pack_greedy")(Packing.packBinsGreedy(df.withColumn("n", graft.functions.TextOps.tokenCount(col("text"))), "id", "n", 16))
       probe(s"$tag/pack_seq")(Packing.packSequences(df, "id", "text", 16))
       probe(s"$tag/commonness")(CorpusStats.commonnessScore(df, "id", "text"))
+      probe(s"$tag/corpus_report")(CorpusStats.corpusReport(df, "text", "label"))
       probe(s"$tag/lm_score")(CorpusStats.lmScore(df, "id", "text"))
       probe(s"$tag/top_terms")(CorpusStats.topTerms(df, "id", "text", 5))
       probe(s"$tag/bpe_encode")({

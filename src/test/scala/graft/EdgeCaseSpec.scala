@@ -173,4 +173,22 @@ class EdgeCaseSpec extends SparkSpec {
     val fps = texts.select(TextOps.fingerprint(col("text"))).as[String].collect()
     assert(fps.distinct.length == 3 && fps.forall(_.length == 32))
   }
+
+  test("corpusReport: null text is a zero-length doc, not a hole in the quartiles") {
+    val rep = CorpusStats.corpusReport(
+      dirtyDocs.withColumn("g", lit("all")), "text", "g").collect().toSeq
+    assert(rep.size == 1)
+    val r = rep.head
+    assert(r.getLong(r.fieldIndex("n_docs")) == 6)
+    // null, "", whitespace-only share the empty fingerprint; "x" and the
+    // twin normal docs add two more distinct contents
+    assert(r.getLong(r.fieldIndex("n_distinct")) == 3)
+    // token counts (0,0,0,1,6,6): every doc in the distribution -> p50 is
+    // the 0/1 interpolation midpoint, NOT a null-skewed 1-or-6
+    assert(r.getLong(r.fieldIndex("p50_toks_c100")) == 50)
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 13)
+    // empty corpus: zero groups, no throw
+    assert(CorpusStats.corpusReport(
+      emptyDocs.withColumn("g", lit("all")), "text", "g").count() == 0)
+  }
 }
