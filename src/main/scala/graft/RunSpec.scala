@@ -27,7 +27,10 @@ package graft
   * no scheduler is available, `--rounds N [--sleep seconds]` runs N
   * such rounds in one process (sleeping between rounds, default 60 s) —
   * each round is the same drain-and-exit unit, so killing the process
-  * between rounds loses nothing the checkpoint doesn't recover.
+  * between rounds loses nothing the checkpoint doesn't recover. After
+  * the last round, `--report <groupCol>` prints the corpus's data card
+  * ([[graft.operators.CorpusStats.corpusReport]] grouped by that column
+  * — `{%var%}` placeholders resolve) for the text-bearing ingest kinds.
   * `--out`/`--show`/`--explain` don't apply (sinks live in the spec).
   *
   * `--dag` prints the spec's `{nodes, links}` graph (the reference's
@@ -36,11 +39,25 @@ package graft
   * describes the persisted artifact, not one environment's run.
   */
 object RunSpec {
+
+  /** The column a post-round `--report` reads as document text, per ingest
+    * kind — the span tier's corpus carries the REBUILT text under
+    * `text_out`; the vector-borne kinds have no text to report on.
+    */
+  private def textColOf(s: plans.IngestSpec): Option[String] = s match {
+    case k: plans.QualityIngestSpec    => Some(k.textCol)
+    case k: plans.ImportanceIngestSpec => Some(k.textCol)
+    case k: plans.MinhashIngestSpec    => Some(k.textCol)
+    case _: plans.SpanIngestSpec       => Some("text_out")
+    case k: plans.PretrainIngestSpec   => Some(k.textCol)
+    case _: plans.SemanticIngestSpec | _: plans.VectorIndexIngestSpec => None
+  }
+
   def main(args: Array[String]): Unit = {
     def usage(): Nothing = {
       System.err.println(
         "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] " +
-          "[--explain] [--dag] [--rounds n [--sleep seconds]]")
+          "[--explain] [--dag] [--rounds n [--sleep seconds]] [--report groupCol]")
       sys.exit(2)
     }
     if (args.isEmpty) usage()
@@ -52,6 +69,7 @@ object RunSpec {
     var dag = false
     var rounds = 1
     var sleepSec = 60L
+    var report: Option[String] = None
     var i = 1
     def operand(flag: String): String = {
       if (i + 1 >= args.length) { System.err.println(s"$flag needs a value"); usage() }
@@ -78,6 +96,7 @@ object RunSpec {
           sleepSec = operand("--sleep").toLongOption.filter(_ >= 0).getOrElse {
             System.err.println("--sleep expects a non-negative integer (seconds)"); usage() }
           i += 2
+        case "--report" => report = Some(operand("--report")); i += 2
         case other =>
           System.err.println(s"unknown argument '$other'"); usage()
       }
@@ -106,6 +125,16 @@ object RunSpec {
           "(a batch pipeline re-run computes the same result)")
         sys.exit(2)
       }
+      if (report.isDefined && parsed.isLeft) {
+        System.err.println("--report applies only to ingest specs " +
+          "(a batch pipeline can add a 'report' node instead)")
+        sys.exit(2)
+      }
+      if (report.isDefined && parsed.exists(textColOf(_).isEmpty)) {
+        System.err.println("--report needs a text-bearing ingest kind " +
+          "(semanticDedup / vectorIndex corpora carry vectors, not text)")
+        sys.exit(2)
+      }
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = GraftSession.builder(master = s"local[$cpus]",
         shufflePartitions = cpus.toInt).getOrCreate()
@@ -127,6 +156,11 @@ object RunSpec {
           val n = if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
             spark.read.parquet(sink).count() else 0L
           println(s"$sink now holds $n rows")
+          // one more corpus scan, only when asked: the post-round data card
+          for (g <- report if n > 0; tc <- textColOf(ingest))
+            graft.operators.CorpusStats.corpusReport(
+                spark.read.parquet(sink), tc, plans.PipelineCompiler.substitute(g, params))
+              .orderBy("group").show(100, truncate = false)
         case Left(spec) => try {
           val df = plans.PipelineCompiler.compile(spec, spark, params)
           if (explain) df.explain("formatted")
