@@ -156,11 +156,20 @@ object RunSpec {
           val n = if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
             spark.read.parquet(sink).count() else 0L
           println(s"$sink now holds $n rows")
-          // one more corpus scan, only when asked: the post-round data card
+          // one more corpus scan, only when asked: the post-round data
+          // card. A report failure (typo'd groupCol) must NOT fail the
+          // run — the rounds already committed; a scheduler wrapper
+          // should see the ingest's success, not exit 1 after a day of
+          // successful hourly rounds
           for (g <- report if n > 0; tc <- textColOf(ingest))
-            graft.operators.CorpusStats.corpusReport(
-                spark.read.parquet(sink), tc, plans.PipelineCompiler.substitute(g, params))
+            try graft.operators.CorpusStats.corpusReport(
+                spark.read.parquet(sink),
+                plans.PipelineCompiler.substitute(tc, params),
+                plans.PipelineCompiler.substitute(g, params))
               .orderBy("group").show(100, truncate = false)
+            catch { case e: Exception =>
+              System.err.println(s"--report failed (ingest succeeded): ${e.getMessage}")
+            }
         case Left(spec) => try {
           val df = plans.PipelineCompiler.compile(spec, spark, params)
           if (explain) df.explain("formatted")

@@ -1923,11 +1923,7 @@ object SparkEntry {
     // pinned run-once models: the DSIR gram weights (target = the corpus's
     // en slice, one conditional-aggregation scan) and the firstK centroids
     val work = java.nio.file.Files.createTempDirectory("pretrain_ingest").toString
-    val joint = CorpusStats.hashedGramCountsSplit(base, "text", col("lang") === "en")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    CorpusStats.importanceWeightsJoint(
-        s.createDataFrame(joint).toDF("bucket", "cnt_target", "cnt_background"))
-      .write.mode("overwrite").parquet(s"$work/weights")
+    pinnedDsirWeights(s, base, s"$work/weights")
     val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
     val in = MemoryStream[(Long, String, String, Seq[Float])]
     val q = graft.streaming.Streams.ingestPretrainCorpus(
@@ -1979,11 +1975,7 @@ object SparkEntry {
     val all = joined.unionByName(twinA).unionByName(twinB).unionByName(planted)
     val work = java.nio.file.Files.createTempDirectory("spec_ingest").toString
     // pinned run-once models, identical to the MemoryStream gate's
-    val joint = CorpusStats.hashedGramCountsSplit(base, "text", col("lang") === "en")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    CorpusStats.importanceWeightsJoint(
-        s.createDataFrame(joint).toDF("bucket", "cnt_target", "cnt_background"))
-      .write.mode("overwrite").parquet(s"$work/weights")
+    pinnedDsirWeights(s, base, s"$work/weights")
     val cents = Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)
     // every location rides a {%work%} placeholder — the parameterized-spec
     // form a user persists once and points at any environment
@@ -1998,6 +1990,23 @@ object SparkEntry {
     s.read.parquet(s"$work/corpus")
       .select(col("doc_id"), col("n_kept"), md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
+  }
+
+  /** Pinned run-once DSIR gram model shared by the ingest gates and
+    * tools/IngestGateProbe (the probe that justifies their threshold
+    * margins): target = the corpus's `lang = 'en'` slice, background =
+    * the whole corpus, counts collected from ONE conditional-aggregation
+    * scan and written as the `weightsDir` parquet asset the specs
+    * reference. One definition, so a recipe change (alpha, hexLen,
+    * target predicate) cannot diverge between a gate and the probe.
+    */
+  private[graft] def pinnedDsirWeights(s: SparkSession, docs: DataFrame,
+                                       outDir: String): Unit = {
+    val joint = CorpusStats.hashedGramCountsSplit(docs, "text", col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    CorpusStats.importanceWeightsJoint(
+        s.createDataFrame(joint).toDF("bucket", "cnt_target", "cnt_background"))
+      .write.mode("overwrite").parquet(outDir)
   }
 
   /** Shared two-round harness for the per-kind ingest gates: persist
@@ -2058,14 +2067,7 @@ object SparkEntry {
     val all = base.select("doc_id", "text")
       .unionByName(Seq((999999L, "   ")).toDF("doc_id", "text"))
     val work = java.nio.file.Files.createTempDirectory("imp_ingest").toString
-    // run-once model, pinned to a dir the spec references (the weightsDir
-    // contract): target = en slice, background = whole corpus, built in
-    // one conditional-aggregation scan (the q_n_dsir model)
-    val joint = CorpusStats.hashedGramCountsSplit(base, "text", col("lang") === "en")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    CorpusStats.importanceWeightsJoint(
-        s.createDataFrame(joint).toDF("bucket", "cnt_target", "cnt_background"))
-      .write.mode("overwrite").parquet(s"$work/weights")
+    pinnedDsirWeights(s, base, s"$work/weights")
     val spec = ImportanceIngestSpec(
       StreamSourceSpec("parquet", "{%work%}/drop"), "doc_id", "text",
       "{%work%}/weights", minLogw = -30.0,

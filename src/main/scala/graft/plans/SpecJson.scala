@@ -275,9 +275,12 @@ object SpecJson {
     val opts = Option(n.get("options")).map(o =>
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
     // the source's own fields are REQUIRED too — a typo'd "path" key must
-    // fail here, not as a cryptic empty-Path error after Spark startup
+    // fail here, not as a cryptic empty-Path error after Spark startup.
+    // JSON null counts as missing (NullNode.asText is the STRING "null" —
+    // without the isNull check a null path would read a directory
+    // literally named ./null)
     def req(f: String): String = {
-      val v = str(n, f)
+      val v = Option(n.get(f)).filterNot(_.isNull).map(_.asText).getOrElse("")
       if (v.isEmpty) throw new IllegalArgumentException(
         s"ingest spec source missing required field '$f'")
       v
@@ -401,7 +404,8 @@ object SpecJson {
     // "" would send a corpus to the working directory or dedup against an
     // empty model; only genuinely optional knobs carry defaults
     def req(f: String): String = {
-      val v = str(n, f)
+      // JSON null counts as missing, like the source fields above
+      val v = Option(n.get(f)).filterNot(_.isNull).map(_.asText).getOrElse("")
       if (v.isEmpty) throw new IllegalArgumentException(
         s"ingest spec ($kind) missing required field '$f'")
       v
@@ -421,10 +425,11 @@ object SpecJson {
       v
     }
     lazy val ckpt = req("checkpointDir")
+    // for the OPTIONAL knobs an explicit JSON null means "use the default"
     def int(f: String, default: Int): Int =
-      Option(n.get(f)).map(numOf(_, f).asInt).getOrElse(default)
+      Option(n.get(f)).filterNot(_.isNull).map(numOf(_, f).asInt).getOrElse(default)
     def dbl(f: String, default: Double): Double =
-      Option(n.get(f)).map(numOf(_, f).asDouble).getOrElse(default)
+      Option(n.get(f)).filterNot(_.isNull).map(numOf(_, f).asDouble).getOrElse(default)
     kind match {
       case "quality" =>
         QualityIngestSpec(source, req("textCol"), reqDoubles("weights"),
@@ -453,7 +458,7 @@ object SpecJson {
           req("vecCol"), reqDoubles("qualityWeights"), reqCentroids(),
           dbl("semThreshold", 0.95), int("spanK", 16),
           req("corpusDir"), req("semStoreDir"), req("spanStoreDir"), ckpt,
-          Option(n.get("dsirWeightsDir")).map(_.asText),
+          Option(n.get("dsirWeightsDir")).filterNot(_.isNull).map(_.asText),
           dbl("minLogw", Double.NegativeInfinity),
           int("compactEvery", 0), int("maxDocChars", 0))
       case other => throw new IllegalArgumentException(s"unknown ingest kind: '$other'")

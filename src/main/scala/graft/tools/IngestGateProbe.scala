@@ -19,10 +19,11 @@ object IngestGateProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val docs = graft.Tables(spark, sfDir, "documents").select("doc_id", "text", "lang")
-    val joint = CorpusStats.hashedGramCountsSplit(docs, "text", col("lang") === "en")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    val weights = CorpusStats.importanceWeightsJoint(
-      spark.createDataFrame(joint).toDF("bucket", "cnt_target", "cnt_background"))
+    // the EXACT model the gates pin (one shared definition — a recipe
+    // drift here would silence the margins this probe exists to justify)
+    val wdir = java.nio.file.Files.createTempDirectory("probe_w").toString
+    graft.SparkEntry.pinnedDsirWeights(spark, docs, wdir)
+    val weights = spark.read.parquet(wdir)
     val scores = graft.operators.Sampling.importanceScores(
       docs, "doc_id", "text", weights, 4).cache()
     val n = scores.count()

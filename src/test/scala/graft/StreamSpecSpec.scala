@@ -104,6 +104,12 @@ class StreamSpecSpec extends SparkSpec {
     val noPath = intercept[IllegalArgumentException] {
       SpecJson.ingestFromJson(good.replace("\"path\"", "\"paht\"")) }
     assert(noPath.getMessage.contains("path"), noPath.getMessage)
+    // JSON null counts as missing, not as the literal string "null"
+    // (NullNode.asText returns "null" — a corpus must not land in ./null)
+    val nullDir = intercept[IllegalArgumentException] {
+      SpecJson.ingestFromJson(good.replaceFirst(""""corpusDir"\s*:\s*"/c"""",
+        "\"corpusDir\" : null")) }
+    assert(nullDir.getMessage.contains("corpusDir"), nullDir.getMessage)
   }
 
   test("hand-authored JSON: non-numeric model values fail the parse, not coerce to 0") {
