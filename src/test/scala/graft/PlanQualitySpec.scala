@@ -405,6 +405,36 @@ class PlanQualitySpec extends SparkSpec {
       s"vectors may ride only the cluster-key shuffle:\n${vecExchanges.mkString("\n")}")
   }
 
+  test("corpus report: one scan, one tokenization, no token arrays in any exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // AQE wraps the tree in a leaf AdaptiveSparkPlanExec that collect()
+    // cannot see through — pin it off for the structural asserts (the
+    // DSIR-resample lock's convention)
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    val plan = try {
+      spark.conf.set(aqe, "false")
+      graft.operators.CorpusStats.corpusReport(docs, "text", "lang")
+        .queryExecution.executedPlan
+    } finally spark.conf.set(aqe, prev)
+    // ONE pass over the corpus: counts, chars, and the dedup fingerprint
+    // all derive from a single per-document projection
+    val scans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+    assert(scans.size == 1, s"data card must cost one scan:\n$plan")
+    // the shared tokenization evaluates once per doc
+    val ps = plan.toString
+    assert("array_distinct".r.findAllIn(ps).size <= 1,
+      s"tokenization fan-out — the per-doc projection re-splits:\n$ps")
+    // exchanges carry (group, fp, counts) scalars, never token arrays
+    val tokenExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.output.exists(tokenBearing) => e
+    }
+    assert(tokenExchanges.isEmpty,
+      s"token arrays ride a report exchange:\n${tokenExchanges.mkString("\n")}")
+  }
+
   test("DSIR gate scans documents at most twice (single-scan conditional model)") {
     // the r11 gate built target and background counts with two separate
     // hashedGramCounts passes — three documents scans end-to-end; the
