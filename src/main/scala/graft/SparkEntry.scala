@@ -2318,7 +2318,15 @@ object SparkEntry {
     Sampling.importanceResample(Dedup.spread(docs), "doc_id", "text", w, k = 1000)
   }
 
+  /** Bench form of the data card: the ORGANIC corpus (no planted dups) —
+    * the gate fixture's union would add a second scan the operator
+    * doesn't have.
+    */
+  private def qNCorpusReportFull(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.corpusReport(t(s, dir, "documents"), "text", "lang")
+
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_n_corpus_report" -> (qNCorpusReportFull _),
     "q_n_dsir"          -> (qNDsirFull _),
     "q_n_dedup_spans"   -> (qNDedupSpansFull _),
     "q_n_dedup_minhash" -> (qNDedupMinhashFull _),
