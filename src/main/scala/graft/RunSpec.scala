@@ -53,6 +53,57 @@ object RunSpec {
     case _: plans.SemanticIngestSpec | _: plans.VectorIndexIngestSpec => None
   }
 
+  /** Parsed CLI configuration — produced by [[parseArgs]], pure and
+    * unit-testable (main owns the printing and exit codes).
+    */
+  private[graft] case class Config(specPath: String,
+                                   params: Map[String, String] = Map.empty,
+                                   out: Option[String] = None,
+                                   show: Int = 20,
+                                   explain: Boolean = false,
+                                   dag: Boolean = false,
+                                   rounds: Int = 1,
+                                   sleepSec: Long = 60L,
+                                   report: Option[String] = None)
+
+  /** Left(error message) on a malformed command line. */
+  private[graft] def parseArgs(args: Array[String]): Either[String, Config] = {
+    if (args.isEmpty) return Left("missing <spec.json>")
+    var c = Config(args.head)
+    var i = 1
+    def operand(flag: String): Either[String, String] =
+      if (i + 1 >= args.length) Left(s"$flag needs a value") else Right(args(i + 1))
+    while (i < args.length) {
+      val step: Either[String, Config] = args(i) match {
+        case "--param" => operand("--param").flatMap { v =>
+          v.split("=", 2) match {
+            case Array(k, value) => i += 2; Right(c.copy(params = c.params + (k -> value)))
+            case _ => Left("--param expects k=v")
+          }
+        }
+        case "--out" => operand("--out").map { v => i += 2; c.copy(out = Some(v)) }
+        case "--show" => operand("--show").flatMap(_.toIntOption.filter(_ >= 0)
+          .toRight("--show expects a non-negative integer")
+          .map { v => i += 2; c.copy(show = v) })
+        case "--explain" => i += 1; Right(c.copy(explain = true))
+        case "--dag"     => i += 1; Right(c.copy(dag = true))
+        case "--rounds" => operand("--rounds").flatMap(_.toIntOption.filter(_ >= 1)
+          .toRight("--rounds expects a positive integer")
+          .map { v => i += 2; c.copy(rounds = v) })
+        case "--sleep" => operand("--sleep").flatMap(_.toLongOption.filter(_ >= 0)
+          .toRight("--sleep expects a non-negative integer (seconds)")
+          .map { v => i += 2; c.copy(sleepSec = v) })
+        case "--report" => operand("--report").map { v => i += 2; c.copy(report = Some(v)) }
+        case other => Left(s"unknown argument '$other'")
+      }
+      step match {
+        case Right(next) => c = next
+        case Left(err)   => return Left(err)
+      }
+    }
+    Right(c)
+  }
+
   def main(args: Array[String]): Unit = {
     def usage(): Nothing = {
       System.err.println(
@@ -60,47 +111,11 @@ object RunSpec {
           "[--explain] [--dag] [--rounds n [--sleep seconds]] [--report groupCol]")
       sys.exit(2)
     }
-    if (args.isEmpty) usage()
-    val specPath = args.head
-    var params = Map.empty[String, String]
-    var out: Option[String] = None
-    var show = 20
-    var explain = false
-    var dag = false
-    var rounds = 1
-    var sleepSec = 60L
-    var report: Option[String] = None
-    var i = 1
-    def operand(flag: String): String = {
-      if (i + 1 >= args.length) { System.err.println(s"$flag needs a value"); usage() }
-      args(i + 1)
-    }
-    while (i < args.length) {
-      args(i) match {
-        case "--param" =>
-          val kv = operand("--param").split("=", 2)
-          if (kv.length != 2) { System.err.println(s"--param expects k=v"); usage() }
-          params += kv(0) -> kv(1); i += 2
-        case "--out"     => out = Some(operand("--out")); i += 2
-        case "--show" =>
-          show = operand("--show").toIntOption.filter(_ >= 0).getOrElse {
-            System.err.println("--show expects a non-negative integer"); usage() }
-          i += 2
-        case "--explain" => explain = true; i += 1
-        case "--dag"     => dag = true; i += 1
-        case "--rounds" =>
-          rounds = operand("--rounds").toIntOption.filter(_ >= 1).getOrElse {
-            System.err.println("--rounds expects a positive integer"); usage() }
-          i += 2
-        case "--sleep" =>
-          sleepSec = operand("--sleep").toLongOption.filter(_ >= 0).getOrElse {
-            System.err.println("--sleep expects a non-negative integer (seconds)"); usage() }
-          i += 2
-        case "--report" => report = Some(operand("--report")); i += 2
-        case other =>
-          System.err.println(s"unknown argument '$other'"); usage()
+    val Config(specPath, params, out, show, explain, dag, rounds, sleepSec, report) =
+      parseArgs(args) match {
+        case Right(c)  => c
+        case Left(err) => System.err.println(err); usage()
       }
-    }
     // errors must reach an EXPLICIT nonzero exit: a spec can start per-JVM
     // services (paged-HTTP sources spawn a non-daemon dispatcher), and an
     // exception propagating out of main would leave the JVM hanging on
