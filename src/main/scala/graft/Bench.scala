@@ -48,6 +48,20 @@ object Bench {
       case _ => -1L
     }
 
+  /** Cumulative stop-the-world GC milliseconds across all collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Cumulative JIT compilation milliseconds (−1 if unsupported). */
+  private def jitMillis(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime
+    else -1L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -86,27 +100,42 @@ object Bench {
     // along so round-over-round regressions are attributable to the code,
     // not to a co-tenant burning the machine during one rep.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def timeOnce(name: String): Double = {
+    // iteration/diagnosis knobs (default = the driver's full contract):
+    // BENCH_QUERIES narrows the headline set; BENCH_GC=0 skips the
+    // between-rep System.gc() (the r13 one-slow-rep variance suspect)
+    val toRun = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(headline)
+    val gcBetweenReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
+    // (wall sec, GC sec inside the rep, JIT-compile sec inside the rep)
+    def timeOnce(name: String): (Double, Double, Double) = {
+      val gc0 = gcMillis(); val jit0 = jitMillis()
       val t0 = System.nanoTime()
       try { queryFn(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9 }
+        ((System.nanoTime() - t0) / 1e9,
+          (gcMillis() - gc0) / 1e3,
+          if (jit0 < 0) -1.0 else (jitMillis() - jit0) / 1e3) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); (-1.0, -1.0, -1.0) }
     }
-    val results = headline.map { name =>
+    val results = toRun.map { name =>
       // rep 0 runs at the BENCH sf and is DISCARDED: the sf0.01 warm-up
       // reaches JIT steady state but not the sfDir-sized working set (OS
       // page cache, AQE runtime stats, shuffle-file reuse) — the r8 LSH
       // spread (66% of the minhash median) was first-rep dominated
-      val times = (0 to reps).map { _ =>
-        val t = timeOnce(name)
+      val repStats = (0 to reps).map { rep =>
+        val (t, gcSec, jitSec) = timeOnce(name)
+        // per-rep attribution to stderr: a 2× outlier rep with matching GC
+        // or JIT seconds names its own cause (VERDICT r13 wrong #1)
+        System.err.println(
+          f"[bench] $name rep $rep: $t%.3f s (gc $gcSec%.3f s, jit $jitSec%.3f s)")
         graft.operators.Dedup.unpersistCaches()
         // the v3 flagship's CacheSpec persists register with the session
         // cache manager, not the operator registry — drop them too, or
         // reps 2..n measure cache hits instead of the pipeline
         graft.plans.PipelineCompiler.unpersistCompiledCaches()
-      spark.sharedState.cacheManager.clearCache()
+        spark.sharedState.cacheManager.clearCache()
         // settle the heap between reps: dropping DataFrame references lets
         // the ContextCleaner reclaim their broadcast variables, but only
         // after a GC notices them — without this, queries that build a
@@ -114,11 +143,12 @@ object Bench {
         // 4-10 s inside the full bench vs 1.4 s in isolation, purely from
         // prior queries' garbage (observed r8; medians can't fix a bias
         // that hits every rep)
-        System.gc()
-        t
+        if (gcBetweenReps) System.gc()
+        (t, gcSec, jitSec)
       }.tail
-      name -> times
+      name -> repStats
     }
+    val timesByName = results.map { case (k, rs) => k -> rs.map(_._1) }
     def median(ts: Seq[Double]): Double = {
       // failures are reported as -1, never as a plausible elapsed time
       val ok = ts.filter(_ >= 0).sorted
@@ -126,13 +156,21 @@ object Bench {
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
     }
-    def obj(f: Seq[Double] => Double) = results
+    def obj(f: Seq[Double] => Double) = timesByName
       .map { case (k, ts) => "\"" + k + "\":" + f"${f(ts)}%.3f" }
       .mkString("{", ",", "}")
     val qs = obj(median)
-    val total = results.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
+    val total = timesByName.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
     val spread = obj(ts => ts.filter(_ >= 0).maxOption.getOrElse(-1.0)
       - ts.filter(_ >= 0).minOption.getOrElse(0.0))
+    // per-rep arrays in the tail: an outlier rep is visible (and GC/JIT
+    // attributable) in the artifact itself, not only in the stderr log
+    def repArr(pick: ((Double, Double, Double)) => Double) = results
+      .map { case (k, rs) =>
+        "\"" + k + "\":" + rs.map(r => f"${pick(r)}%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val repsObj =
+      s""""queries_reps":${repArr(_._1)},"queries_gc_reps":${repArr(_._2)}"""
     val loadEnd = load1m()
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val otherCores = {
@@ -142,7 +180,7 @@ object Bench {
         ((busy - busy0) * 0.010 - (selfCpu - selfCpu0) / 1e9) / wallSec)
     }
     val loadObj = f""""load":{"start_1m":$loadStart%.2f,"end_1m":$loadEnd%.2f,"other_cores":$otherCores%.2f}"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"queries_spread":$spread,$loadObj,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"queries_spread":$spread,$repsObj,$loadObj,"sf":"$sfDir"}"""
     // sbt runMain wraps System.out/err with "[info] "/"[error] " prefixes,
     // defeating a ^{-anchored parse (VERDICT r1 §wrong #2). Write the line
     // to the RAW process file descriptors (sbt substitutes the JVM stream

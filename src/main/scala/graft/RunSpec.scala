@@ -31,7 +31,8 @@ package graft
   * the last round, `--report <groupCol>` prints the corpus's data card
   * ([[graft.operators.CorpusStats.corpusReport]] grouped by that column
   * — `{%var%}` placeholders resolve) for the text-bearing ingest kinds.
-  * `--out`/`--show`/`--explain` don't apply (sinks live in the spec).
+  * `--out`/`--show`/`--explain` on an ingest spec exit 2 (sinks live in
+  * the spec itself — silently ignoring them would mislead).
   *
   * `--dag` prints the spec's `{nodes, links}` graph (the reference's
   * `getLinkedJobs` Sankey export) for EITHER kind and exits without
@@ -59,7 +60,10 @@ object RunSpec {
   private[graft] case class Config(specPath: String,
                                    params: Map[String, String] = Map.empty,
                                    out: Option[String] = None,
-                                   show: Int = 20,
+                                   // None = flag absent: main defaults batch
+                                   // display to 20 rows, and an ingest spec
+                                   // can reject an EXPLICIT --show
+                                   show: Option[Int] = None,
                                    explain: Boolean = false,
                                    dag: Boolean = false,
                                    rounds: Int = 1,
@@ -77,14 +81,15 @@ object RunSpec {
       val step: Either[String, Config] = args(i) match {
         case "--param" => operand("--param").flatMap { v =>
           v.split("=", 2) match {
-            case Array(k, value) => i += 2; Right(c.copy(params = c.params + (k -> value)))
-            case _ => Left("--param expects k=v")
+            case Array(k, value) if k.nonEmpty =>
+              i += 2; Right(c.copy(params = c.params + (k -> value)))
+            case _ => Left("--param expects k=v with a non-empty key")
           }
         }
         case "--out" => operand("--out").map { v => i += 2; c.copy(out = Some(v)) }
         case "--show" => operand("--show").flatMap(_.toIntOption.filter(_ >= 0)
           .toRight("--show expects a non-negative integer")
-          .map { v => i += 2; c.copy(show = v) })
+          .map { v => i += 2; c.copy(show = Some(v)) })
         case "--explain" => i += 1; Right(c.copy(explain = true))
         case "--dag"     => i += 1; Right(c.copy(dag = true))
         case "--rounds" => operand("--rounds").flatMap(_.toIntOption.filter(_ >= 1)
@@ -150,6 +155,14 @@ object RunSpec {
           "(semanticDedup / vectorIndex corpora carry vectors, not text)")
         sys.exit(2)
       }
+      // symmetric with the --rounds/--report checks above: batch-only
+      // flags on an ingest spec exit 2 instead of being silently ignored
+      // (a user expecting --out to redirect the corpus needs a signal)
+      if (parsed.isRight && (out.isDefined || explain || show.isDefined)) {
+        System.err.println("--out/--show/--explain apply only to batch " +
+          "pipeline specs (an ingest spec's sinks live in the spec itself)")
+        sys.exit(2)
+      }
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = GraftSession.builder(master = s"local[$cpus]",
         shufflePartitions = cpus.toInt).getOrCreate()
@@ -185,16 +198,16 @@ object RunSpec {
             catch { case e: Exception =>
               System.err.println(s"--report failed (ingest succeeded): ${e.getMessage}")
             }
-        case Left(spec) => try {
+        case Left(spec) => plans.PipelineCompiler.withCompiledCacheScope {
           val df = plans.PipelineCompiler.compile(spec, spark, params)
           if (explain) df.explain("formatted")
           else out match {
             case Some(dir) =>
               df.write.mode("overwrite").parquet(dir)
               println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
-            case None => df.show(show, truncate = false)
+            case None => df.show(show.getOrElse(20), truncate = false)
           }
-        } finally plans.PipelineCompiler.unpersistCompiledCaches()
+        }
       }
     } catch {
       case e: Throwable =>

@@ -288,8 +288,15 @@ object TextOps {
     * `list_filter(l, (x, i) -> list_position(l, x) = i)` form, which is
     * fine at ORACLE scale (both index conventions resolve to 1-based
     * first-occurrence, and list_distinct does not preserve order).
+    *
+    * Null elements are DROPPED, not kept-once: `array_distinct` would keep
+    * one null, but the DuckDB replay form drops them all
+    * (`list_position(l, NULL)` is NULL, so the predicate never passes) —
+    * pre-filtering nulls keeps the two engines row-identical on every
+    * input, not just the split()-fed arrays that can't contain them.
     */
-  def dropRepeatedLinesArr(lines: Column): Column = array_distinct(lines)
+  def dropRepeatedLinesArr(lines: Column): Column =
+    array_distinct(filter(lines, _.isNotNull))
 
   /** [[dropRepeatedLinesArr]] over a newline-delimited text column,
     * re-joined with newlines. The REMOVAL counterpart of

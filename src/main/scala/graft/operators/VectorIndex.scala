@@ -219,12 +219,16 @@ object VectorIndex {
     // probed feeds TWO consumers (the wanted-cells collect and the scored
     // join) — checkpoint the small queries×nprobe relation so the
     // nlist×dim centroid scoring evaluates once, not per consumer
-    val probed = qPayload
+    val exploded = qPayload
       .withColumn("cell",
         explode(transform(slice(array_sort(scoredCells), 1, probeN),
           c => c.getField("cell"))))
-      .drop(if (codec == "float") "__keep_q_vec" else "q_vec")
-      .localCheckpoint(true)
+    // float scoring needs q_vec downstream; int8 scored against (q_q, q_n2)
+    // and carrying the float vector through the explode would be dead weight
+    val probed = (codec match {
+      case "float" => exploded
+      case _       => exploded.drop("q_vec")
+    }).localCheckpoint(true)
     // static partition pruning: the union of probed cells is at most nlist
     // ints — collect it and push `cell IN (...)` into the partitioned scan
     val wanted = probed.select("cell").distinct().collect().map(_.getInt(0))

@@ -43,6 +43,24 @@ case class ExplodeSpec(input: OpSpec, arrayExpr: String, as: String) extends OpS
 case class AggSpec(input: OpSpec, keys: Seq[String], aggs: Seq[(String, String)]) extends OpSpec
 /** C5: ORDER BY exprs ("col desc" supported). */
 case class SortSpec(input: OpSpec, keys: Seq[String]) extends OpSpec
+/** Window/analytic function: adds column `as` =
+  * `function OVER (PARTITION BY partitionBy ORDER BY orderBy frame)`.
+  * `function` is any SQL window-function call (`row_number()`, `rank()`,
+  * `ntile(4)`, `sum(x)`, `lag(x, 1)` …); `orderBy` entries take the same
+  * `"expr desc"` suffix as [[SortSpec]] (SQL ORDER BY syntax); `frame` is
+  * a verbatim SQL frame clause (`"rows between unbounded preceding and
+  * current row"`) or empty for the function's default frame. Top-N per
+  * key — the reference's persisted-job persona's most common analytic ask
+  * (`jobs/hi-order/job-pipeline.js:86-106` is the authoring UX) — is this
+  * node plus a `FilterSpec` on the rank column. At scale the partition
+  * keys shuffle once and each partition sorts locally — prefer an
+  * [[AggSpec]] when a plain grouped aggregate answers the question (no
+  * per-row output to carry).
+  */
+case class WindowNodeSpec(input: OpSpec, function: String, as: String,
+                          partitionBy: Seq[String] = Nil,
+                          orderBy: Seq[String] = Nil,
+                          frame: String = "") extends OpSpec
 /** C6: distinct by key; keep-first under `order` when given. */
 case class DistinctSpec(input: OpSpec, keys: Seq[String], order: Seq[String] = Nil) extends OpSpec
 /** Limit (the reference's spy-driven early stop, `jobs/job.js:202-210`). */
@@ -192,10 +210,31 @@ object PipelineCompiler {
   // [[unpersistCompiledCaches]] (the Dedup.cached/unpersistCaches pattern).
   private val compiledCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  /** Release every relation persisted by CacheSpec nodes in this session. */
+  /** Release every relation persisted by CacheSpec nodes in this session.
+    * This is the WHOLE-SESSION hammer — a caller that merely wants to clean
+    * up after its own compile must use [[withCompiledCacheScope]] instead,
+    * or it unpersists CacheSpec relations belonging to any other pipeline
+    * compiled concurrently in the same JVM.
+    */
   def unpersistCompiledCaches(): Unit = compiledCaches.synchronized {
     compiledCaches.foreach(_.unpersist(blocking = false))
     compiledCaches.clear()
+  }
+
+  /** Run `body` and release exactly the CacheSpec relations that
+    * [[compile]] registered DURING it — the per-unit-of-work hygiene for
+    * callers that compile in a loop (a bench rep, one RunSpec execution)
+    * without touching other compiles' persists (the
+    * [[graft.operators.Dedup.withCacheScope]] pattern). Results needed
+    * beyond the scope must be materialized inside `body`.
+    */
+  def withCompiledCacheScope[T](body: => T): T = {
+    val before = compiledCaches.synchronized(compiledCaches.length)
+    try body
+    finally compiledCaches.synchronized {
+      compiledCaches.drop(before).foreach(_.unpersist(blocking = false))
+      compiledCaches.remove(before, compiledCaches.length - before)
+    }
   }
 
   def compile(spec: PipelineSpec, spark: SparkSession,
@@ -257,6 +296,14 @@ object PipelineCompiler {
           else expr(s)
         }
         build(in).orderBy(keys.map(sortKey): _*)
+      case WindowNodeSpec(in, fn, as, parts, order, frame) =>
+        // one SQL window expression — Catalyst parses the OVER clause, so
+        // partition exprs, "desc" order suffixes and frame syntax are all
+        // plain SQL (same parser as every other expression in the spec)
+        val pb = if (parts.isEmpty) "" else parts.map(sub).mkString("PARTITION BY ", ", ", "")
+        val ob = if (order.isEmpty) "" else order.map(sub).mkString("ORDER BY ", ", ", "")
+        val over = Seq(pb, ob, sub(frame).trim).filter(_.nonEmpty).mkString(" ")
+        build(in).withColumn(as, expr(s"${sub(fn)} OVER ($over)"))
       case DistinctSpec(in, keys, order) =>
         val df = build(in)
         if (order.isEmpty) df.dropDuplicates(keys)
@@ -394,6 +441,7 @@ object PipelineCompiler {
     case ExplodeSpec(in, _, _)          => refsOf(in)
     case AggSpec(in, _, _)              => refsOf(in)
     case SortSpec(in, _)                => refsOf(in)
+    case WindowNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case DistinctSpec(in, _, _)         => refsOf(in)
     case LimitSpec(in, _)               => refsOf(in)
     case JoinSpec(in, v, _, _, _, _)       => refsOf(in) ++ refsOf(v)

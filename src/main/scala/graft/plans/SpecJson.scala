@@ -49,6 +49,11 @@ object SpecJson {
       case SortSpec(in, keys) =>
         n.put("op", "sort"); n.set[JsonNode]("input", opNode(in))
         val k = n.putArray("keys"); keys.foreach(k.add)
+      case WindowNodeSpec(in, fn, as, parts, order, frame) =>
+        pairs(n, "op" -> "window", "function" -> fn, "as" -> as, "frame" -> frame)
+        val p = n.putArray("partitionBy"); parts.foreach(p.add)
+        val o = n.putArray("orderBy"); order.foreach(o.add)
+        n.set[JsonNode]("input", opNode(in))
       case DistinctSpec(in, keys, order) =>
         n.put("op", "distinct"); n.set[JsonNode]("input", opNode(in))
         val k = n.putArray("keys"); keys.foreach(k.add)
@@ -148,6 +153,9 @@ object SpecJson {
     case "explode" => ExplodeSpec(parseOp(n.get("input")), str(n, "arrayExpr"), str(n, "as"))
     case "agg"     => AggSpec(parseOp(n.get("input")), strs(n, "keys"), namedExprs(n, "aggs"))
     case "sort"    => SortSpec(parseOp(n.get("input")), strs(n, "keys"))
+    case "window"  => WindowNodeSpec(parseOp(n.get("input")), str(n, "function"),
+                        str(n, "as"), strs(n, "partitionBy"), strs(n, "orderBy"),
+                        str(n, "frame"))
     case "distinct" => DistinctSpec(parseOp(n.get("input")), strs(n, "keys"), strs(n, "order"))
     case "limit"   => LimitSpec(parseOp(n.get("input")), n.get("n").asInt)
     case "join"    => JoinSpec(parseOp(n.get("input")), parseOp(n.get("vocab")),
@@ -493,6 +501,7 @@ object SpecJson {
         case ExplodeSpec(in, _, _) => link(in)
         case AggSpec(in, _, _) => link(in)
         case SortSpec(in, _) => link(in)
+        case WindowNodeSpec(in, _, _, _, _, _) => link(in)
         case DistinctSpec(in, _, _) => link(in)
         case LimitSpec(in, _) => link(in)
         case JoinSpec(in, vocab, _, _, _, _) => link(in); link(vocab)

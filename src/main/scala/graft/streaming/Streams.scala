@@ -428,8 +428,16 @@ object Streams {
           graft.operators.VectorIndex.appendToIvfIndex(batch, indexDir, idCol, vecCol)
           beforeCommit()
         }
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          graft.operators.VectorIndex.compactIvfIndex(spark, indexDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          // same exists/recover guard as maybeCompact: if the cells store
+          // is absent (index never built, or every batch so far empty) the
+          // rewrite's read would throw and kill the streaming query
+          val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
+          val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(cells) ||
+              graft.operators.Dedup.recoverStore(spark, s"$indexDir/cells"))
+            graft.operators.VectorIndex.compactIvfIndex(spark, indexDir)
+        }
         ()
       }
       .start()

@@ -30,5 +30,7 @@ object SpecExport {
       graft.plans.SpecJson.toJson(graft.SparkEntry.llmPipelineV3Spec))
     write("pretrain_ingest.json",
       graft.plans.SpecJson.ingestToJson(graft.SparkEntry.pretrainIngestSpec))
+    write("window_topn.json",
+      graft.plans.SpecJson.toJson(graft.SparkEntry.windowTopNSpec))
   }
 }

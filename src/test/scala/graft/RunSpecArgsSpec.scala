@@ -22,13 +22,15 @@ class RunSpecArgsSpec extends AnyFunSuite {
       "--report", "lang")
     // --param splits on the FIRST '=' only: values may contain '='
     assert(c == RunSpec.Config("p.json", Map("a" -> "1", "b" -> "x=y"),
-      Some("/o"), 5, explain = true, dag = true, rounds = 3, sleepSec = 0L,
-      report = Some("lang")))
+      Some("/o"), Some(5), explain = true, dag = true, rounds = 3,
+      sleepSec = 0L, report = Some("lang")))
   }
 
   test("malformed inputs fail with the message main prints") {
     assert(err() == "missing <spec.json>")
     assert(err("p.json", "--param", "novalue").contains("k=v"))
+    // an empty key ('--param =v') must not silently no-op
+    assert(err("p.json", "--param", "=v").contains("non-empty key"))
     assert(err("p.json", "--param") == "--param needs a value")
     assert(err("p.json", "--show", "-1").contains("non-negative"))
     assert(err("p.json", "--rounds", "0").contains("positive"))

@@ -20,7 +20,7 @@ class SpecDocSpec extends SparkSpec {
 
   test("every json example in docs/SPECS.md parses and round-trips") {
     val blocks = docBlocks
-    assert(blocks.size == 2, s"expected 2 json examples, found ${blocks.size}")
+    assert(blocks.size == 3, s"expected 3 json examples, found ${blocks.size}")
     blocks.foreach { json =>
       if (SpecJson.isIngestJson(json)) {
         val spec = SpecJson.ingestFromJson(json)
@@ -49,6 +49,22 @@ class SpecDocSpec extends SparkSpec {
       assert(rows.map(r => r.getLong(r.fieldIndex("n"))).toSeq == Seq(1L, 1L),
         "only value > 10 survives the filter")
     } finally PipelineCompiler.unpersistCompiledCaches()
+  }
+
+  test("the window example keeps each user's top-2 events by value") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spec_doc_win").toString
+    Seq((1L, "view", 5.0), (1L, "buy", 20.0), (1L, "cart", 9.0),
+        (2L, "buy", 15.0), (2L, "view", 2.0))
+      .toDF("user_id", "event_type", "value")
+      .write.parquet(s"$root/events")
+    // the window example is the batch block that carries a "window" op
+    val spec = SpecJson.fromJson(docBlocks.filterNot(SpecJson.isIngestJson)
+      .find(_.contains("\"window\"")).get)
+    val out = PipelineCompiler.compile(spec, spark, Map("root" -> root))
+      .orderBy("user_id", "rn")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "buy"), (1L, "cart"), (2L, "buy"), (2L, "view")))
   }
 
   test("the ingest example drains a round against a fixture") {

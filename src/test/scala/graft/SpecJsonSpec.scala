@@ -33,6 +33,9 @@ class SpecJsonSpec extends SparkSpec {
       case _: ExplodeSpec => ExplodeSpec(in, "split(s, ' ')", "tok")
       case _: AggSpec     => AggSpec(in, Seq("k1", "k2"), Seq("n" -> "count(1)", "m" -> "max(a)"))
       case _: SortSpec    => SortSpec(in, Seq("n desc", "k1"))
+      case _: WindowNodeSpec => WindowNodeSpec(in, "sum(x)", "running",
+        Seq("k1", "k2"), Seq("ts desc", "id"),
+        "rows between unbounded preceding and current row")
       case _: DistinctSpec => DistinctSpec(in, Seq("k1"), Seq("ts desc"))
       case _: LimitSpec   => LimitSpec(in, 7)
       case _: JoinSpec    => JoinSpec(in, RefSpec("vocab"), "lk", "rk", "inner", broadcastVocab = false)
@@ -55,7 +58,8 @@ class SpecJsonSpec extends SparkSpec {
     val shapes: Seq[OpSpec] = Seq(
       SourceSpec("parquet", "p"), RefSpec("r"), FilterSpec(in, "1=1"),
       MapSpec(in, Nil), WithColumnsSpec(in, Nil), ExplodeSpec(in, "a", "b"),
-      AggSpec(in, Nil, Nil), SortSpec(in, Nil), DistinctSpec(in, Nil),
+      AggSpec(in, Nil, Nil), SortSpec(in, Nil),
+      WindowNodeSpec(in, "row_number()", "rn"), DistinctSpec(in, Nil),
       LimitSpec(in, 1), JoinSpec(in, in, "l", "r"),
       JoinDetailSpec(in, in, "m", "d"), UnionSpec(Seq(in)),
       DedupNodeSpec(in, "i", "t"), SpanDedupNodeSpec(in, "i", "t"),
@@ -277,6 +281,47 @@ class SpecJsonSpec extends SparkSpec {
     assert(graft.SparkEntry.llmPipelineV3Json ==
       SpecJson.toJson(graft.SparkEntry.llmPipelineV3Spec),
       "re-run `runMain graft.tools.SpecExport` after editing llmPipelineV3Spec")
+    assert(graft.SparkEntry.windowTopNJson ==
+      SpecJson.toJson(graft.SparkEntry.windowTopNSpec),
+      "re-run `runMain graft.tools.SpecExport` after editing windowTopNSpec")
+  }
+
+  test("window node: top-N per key, running sum frame, and default frame compile") {
+    // the gate-shaped spec (row_number + filter) against the direct API
+    val topn = PipelineCompiler.compile(
+      SpecJson.fromJson(SpecJson.toJson(graft.SparkEntry.windowTopNSpec)),
+      spark, Map("dir" -> sf))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    assert(topn.count() == direct.count())
+    assert(topn.exceptAll(direct).isEmpty && direct.exceptAll(topn).isEmpty)
+    // explicit frame clause: per-key running sum in order
+    val running = PipelineCompiler.compile(PipelineSpec(Seq(
+      "o" -> SourceSpec("parquet", s"$sf/orders.parquet"),
+      "r" -> WindowNodeSpec(RefSpec("o"),
+        "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))", "running_cents",
+        partitionBy = Seq("o_custkey"),
+        orderBy = Seq("o_orderdate", "o_orderkey"),
+        frame = "rows between unbounded preceding and current row")), "r"),
+      spark)
+    val last = running.filter("o_custkey = 1")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .select("running_cents").as[Long].head()
+    val total = spark.read.parquet(s"$sf/orders.parquet").filter("o_custkey = 1")
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))).as[Long].head()
+    assert(last == total, "running sum's last row must equal the partition total")
+    // no partition keys + default frame: a global rank is legal too
+    val global = PipelineCompiler.compile(PipelineSpec(Seq(
+      "n" -> SourceSpec("parquet", s"$sf/nation.parquet"),
+      "r" -> WindowNodeSpec(RefSpec("n"), "rank()", "rk",
+        orderBy = Seq("n_regionkey"))), "r"), spark)
+    assert(global.filter("rk = 1").count() == 5) // 5 nations share region 0
+    assert(SpecJson.dag(PipelineSpec(Seq(
+      "n" -> WindowNodeSpec(RefSpec("x"), "rank()", "rk")), "n"))
+      .contains("windownode"))
   }
 
   test("CacheSpec returns a cache-leaf-rooted relation and registers an unpersist handle") {
