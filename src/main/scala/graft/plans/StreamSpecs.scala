@@ -248,10 +248,103 @@ object IngestCompiler {
     * `Trigger.AvailableNow`, block until the source is drained. The
     * checkpoint makes successive calls process only newly-arrived files —
     * the restartable-CLI form of the ingest.
+    *
+    * Concurrency guard: the round runs under an advisory single-writer
+    * lock on the checkpoint ([[withIngestLock]]) — two invocations
+    * sharing one checkpoint (a cron round overlapping a slow manual run)
+    * are undefined behavior in Structured Streaming, so the second
+    * invoker fails fast naming the holder instead of corrupting offsets.
+    * `lockStaleMs` bounds how long a CRASHED holder's lock survives: the
+    * live holder heartbeats the lock's mtime every `lockStaleMs / 4`, so
+    * only a process that stopped heartbeating that long ago is reclaimed.
     */
   def runAvailable(spark: SparkSession, spec: IngestSpec,
-                   params: Map[String, String] = Map.empty): Unit = {
-    val q = start(spark, substituted(spec, params), Some(Trigger.AvailableNow()))
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+                   params: Map[String, String] = Map.empty,
+                   lockStaleMs: Long = 600000L): Unit = {
+    val resolved = substituted(spec, params)
+    withIngestLock(spark, resolved.checkpointDir, lockStaleMs) {
+      val q = start(spark, resolved, Some(Trigger.AvailableNow()))
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+  }
+
+  /** Advisory single-writer lock on an ingest checkpoint directory.
+    *
+    * Mechanics: `<checkpointDir>/graft_ingest.lock` is created
+    * CREATE-EXCLUSIVE (the filesystem arbitrates a same-instant race)
+    * holding `pid/host/started` for the error message; a daemon thread
+    * refreshes the file's mtime every `staleMs / 4` while `body` runs.
+    * A second invoker seeing a FRESH lock (mtime younger than `staleMs`)
+    * fails fast with the holder's identity. A STALE lock is a crashed
+    * holder (kill -9 skips the finally-delete): reclaim goes through an
+    * atomic rename to a caller-unique tombstone — of N racing reclaimers
+    * exactly one rename succeeds, and everyone then re-enters the
+    * create-exclusive gate, so a reclaim can never delete a lock another
+    * invoker just created. The streaming checkpoint itself stays the
+    * source of truth for data correctness (a reclaimed-but-alive zombie
+    * holder is still fenced by checkpoint file atomicity); the lock
+    * exists to fail fast and NAME the conflict instead of letting two
+    * rounds interleave offsets.
+    */
+  private[graft] def withIngestLock[T](spark: SparkSession, checkpointDir: String,
+                                       staleMs: Long)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val lock = new Path(dir, "graft_ingest.lock")
+    val me = s"pid=${ProcessHandle.current().pid()} " +
+      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"started=${java.time.Instant.now()}"
+    def holderOf: String =
+      try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case _: Exception => "<unreadable holder>" }
+    def tryReclaimStale(): Unit = {
+      val st = try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      st.foreach { s =>
+        val age = System.currentTimeMillis() - s.getModificationTime
+        if (age < staleMs) throw new IllegalStateException(
+          s"ingest checkpoint $checkpointDir is locked by [$holderOf] " +
+            s"(heartbeat ${age / 1000}s ago, stale after ${staleMs / 1000}s): " +
+            "one RunSpec invocation per checkpoint — wait for it, or delete " +
+            s"$lock if the holder is known dead")
+        // stale: atomic-rename tombstone, unique per reclaimer — the one
+        // winner deletes it; losers find the lock gone (or recreated by a
+        // faster winner) and are arbitrated by create-exclusive below
+        val tomb = new Path(dir,
+          s"graft_ingest.lock.reclaimed.${ProcessHandle.current().pid()}")
+        if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+        ()
+      }
+    }
+    tryReclaimStale()
+    val out =
+      try fs.create(lock, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"ingest checkpoint $checkpointDir is locked by [$holderOf]: " +
+            "one RunSpec invocation per checkpoint — a concurrent round just " +
+            "acquired it")
+      }
+    try out.write(me.getBytes("UTF-8")) finally out.close()
+    val hb = new Thread(() => {
+      val interval = math.max(200L, staleMs / 4)
+      try while (!Thread.interrupted()) {
+        Thread.sleep(interval)
+        // refresh mtime only; a transient FS error just skips one beat
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: Exception => () }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-ingest-lock-heartbeat-${lock.hashCode()}")
+    hb.setDaemon(true)
+    hb.start()
+    try body
+    finally {
+      hb.interrupt()
+      try { fs.delete(lock, false); () } catch { case _: Exception => () }
+    }
   }
 }

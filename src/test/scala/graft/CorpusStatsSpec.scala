@@ -111,4 +111,49 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(approx == out)
   }
+
+  test("corpusReport HLL variant: invariants vs exact on the gate corpus") {
+    // the monitoring contract (exactDistinct = false has no SQL oracle —
+    // HLL isn't replayable — so its bounds are pinned here): every
+    // non-estimated column identical to the exact card, the estimate
+    // within 3× the default rel-sd (0.05) of the exact distinct count,
+    // and never exceeding the group's doc count. HLL++ is deterministic
+    // for a fixed input set, so these are pins, not flaky stat asserts.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = CorpusStats.corpusReport(docs, "text", "lang")
+      .orderBy("group").collect()
+    val approx = CorpusStats.corpusReport(docs, "text", "lang", exactDistinct = false)
+      .orderBy("group").collect()
+    assert(exact.length == approx.length && exact.nonEmpty)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      Seq(1, 3, 4, 5, 6, 7).foreach(i =>
+        assert(e.getLong(i) == a.getLong(i),
+          s"non-estimated column $i must not change under HLL"))
+      val ex = e.getLong(2).toDouble
+      val ap = a.getLong(2).toDouble
+      assert(ap <= e.getLong(1),
+        s"group ${e.getString(0)}: estimate $ap exceeds n_docs ${e.getLong(1)}")
+      assert(math.abs(ap - ex) / ex <= 0.15,
+        s"group ${e.getString(0)}: HLL $ap vs exact $ex outside 3×rel-sd")
+    }
+  }
+
+  test("corpusReport HLL variant: planted-dup corpus at 20k docs tracks the dup surplus") {
+    // 4 groups × 5000 docs, exactly 1000 distinct texts per group — the
+    // dup-surplus regime the monitoring heartbeat exists to watch
+    val docs = spark.range(20000).select(
+      (col("id") % 4).cast("string").as("grp"),
+      concat(lit("text body number "), (col("id") % 4000).cast("string")).as("text"))
+    val rep = CorpusStats.corpusReport(docs, "text", "grp", exactDistinct = false)
+      .orderBy("group").collect()
+    assert(rep.length == 4)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 5000L)
+      val est = r.getLong(2).toDouble
+      assert(est <= 5000L, s"group ${r.getString(0)}: estimate $est exceeds n_docs")
+      assert(math.abs(est - 1000.0) / 1000.0 <= 0.15,
+        s"group ${r.getString(0)}: HLL $est vs exact 1000 outside 3×rel-sd")
+    }
+  }
 }

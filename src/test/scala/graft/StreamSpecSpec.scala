@@ -224,6 +224,67 @@ class StreamSpecSpec extends SparkSpec {
     assert(m.get("out").asText == "{%root%}/corpus")
   }
 
+  test("a concurrent second invocation on one checkpoint fails fast naming the holder") {
+    val root = java.nio.file.Files.createTempDirectory("lock_ingest").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    docs.limit(50).write.mode("overwrite").parquet(s"$root/drop")
+    val spec = QualityIngestSpec(StreamSourceSpec("parquet", s"$root/drop"),
+      "text", SparkEntry.qualityGateWeights, s"$root/corpus", s"$root/ckpt")
+    // simulate the FIRST invoker still running: a fresh lock with live
+    // heartbeat semantics (mtime = now)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/ckpt"))
+    val lock = new org.apache.hadoop.fs.Path(s"$root/ckpt/graft_ingest.lock")
+    val out = fs.create(lock, false)
+    try out.write("pid=9999 host=other started=2026-01-01T00:00:00Z".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      IngestCompiler.runAvailable(spark, spec, lockStaleMs = 600000L)
+    }
+    assert(e.getMessage.contains("locked by") && e.getMessage.contains("pid=9999"),
+      e.getMessage)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/corpus")),
+      "the rejected invocation must not have run the ingest")
+    // the holder's lock is untouched by the rejected invoker
+    assert(fs.exists(lock))
+  }
+
+  test("a crashed holder's STALE lock is reclaimed and the round proceeds") {
+    val root = java.nio.file.Files.createTempDirectory("lock_stale").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    docs.limit(50).write.mode("overwrite").parquet(s"$root/drop")
+    val spec = QualityIngestSpec(StreamSourceSpec("parquet", s"$root/drop"),
+      "text", SparkEntry.qualityGateWeights, s"$root/corpus", s"$root/ckpt")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/ckpt"))
+    val lock = new org.apache.hadoop.fs.Path(s"$root/ckpt/graft_ingest.lock")
+    val out = fs.create(lock, false)
+    try out.write("pid=1 host=dead started=2026-01-01T00:00:00Z".getBytes("UTF-8"))
+    finally out.close()
+    // kill -9 semantics: the holder died without deleting; its last
+    // heartbeat is far older than the staleness bound
+    fs.setTimes(lock, System.currentTimeMillis() - 3600_000L, -1)
+    IngestCompiler.runAvailable(spark, spec, lockStaleMs = 600000L)
+    assert(spark.read.parquet(s"$root/corpus").count() > 0,
+      "stale-lock round must reclaim and ingest")
+    assert(!fs.exists(lock), "the reclaiming round must release its own lock")
+    // and the lock releases even when the round FAILS (source dir removed
+    // out from under a later round → start throws; the lock must not leak)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/drop"))
+      .iterator().asScala.toList.foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/drop"))
+    intercept[Exception] {
+      IngestCompiler.runAvailable(spark,
+        spec.copy(source = StreamSourceSpec("parquet", s"$root/gone"),
+          checkpointDir = s"$root/ckpt2"), lockStaleMs = 600000L)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/ckpt2/graft_ingest.lock")),
+      "a failed round must still release the lock")
+  }
+
   test("spec-driven quality ingest == programmatic batch accept set (dispatch arm)") {
     val root = java.nio.file.Files.createTempDirectory("q_ingest").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
