@@ -1312,7 +1312,7 @@ object SparkEntry {
     * left-to-right fold (overlapping occurrences in a same-symbol run),
     * so it is excluded from the gate model by construction.
     */
-  private val bpeGateMerges: Seq[(String, String)] = Seq(
+  private[graft] val bpeGateMerges: Seq[(String, String)] = Seq(
     ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"),
     ("l", "u"), ("a", "s"), ("i", "n"), ("e", "r"),
     ("o", "r"), ("a", "r"), ("p", "ar"), ("i", "n</w>"),

@@ -237,8 +237,26 @@ object PipelineCompiler {
     }
   }
 
+  /** [[compile]] the whole DAG and return EVERY node's frame by name
+    * ([[compile]] is `compileNodes(...)(spec.out)`). The stage-inspection
+    * surface: a stress harness or a debugging session counts/explains any
+    * intermediate stage of ONE compiled DAG — CacheSpec barriers are
+    * shared across the returned frames, so inspecting a stage at or below
+    * a cache re-reads the cached relation instead of recomputing the
+    * upstream chain.
+    */
+  def compileNodes(spec: PipelineSpec, spark: SparkSession,
+                   params: Map[String, String] = Map.empty): Map[String, DataFrame] = {
+    compileResolved(spec, spark, params)
+  }
+
   def compile(spec: PipelineSpec, spark: SparkSession,
-              params: Map[String, String] = Map.empty): DataFrame = {
+              params: Map[String, String] = Map.empty): DataFrame =
+    compileResolved(spec, spark, params).getOrElse(spec.out,
+      throw new IllegalArgumentException(s"broken chain: output node '${spec.out}' undefined"))
+
+  private def compileResolved(spec: PipelineSpec, spark: SparkSession,
+                              params: Map[String, String]): Map[String, DataFrame] = {
     val resolved = scala.collection.mutable.Map.empty[String, DataFrame]
     def sub(s: String) = substitute(s, params)
 
@@ -427,8 +445,9 @@ object PipelineCompiler {
     }
 
     spec.nodes.foreach { case (name, op) => resolved(name) = build(op) }
-    resolved.getOrElse(spec.out,
-      throw new IllegalArgumentException(s"broken chain: output node '${spec.out}' undefined"))
+    if (!resolved.contains(spec.out))
+      throw new IllegalArgumentException(s"broken chain: output node '${spec.out}' undefined")
+    resolved.toMap
   }
 
   /** Direct RefSpec dependencies of an op (nested through its inputs). */

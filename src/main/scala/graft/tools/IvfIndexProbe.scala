@@ -6,9 +6,97 @@ import org.apache.spark.sql.functions._
   * corpus assignment on EVERY query batch; the index pays it once at build.
   * Prints build cost and per-query-batch medians for both paths (and the
   * int8-codec index) — the numbers behind SCALING.md's persisted-index row.
+  *
+  * `--big [nVec]` runs the LARGE-SCALE characterization instead
+  * (SCALING.md's 1M-vector index table): a [[SemanticStressCorpus]] of
+  * `nVec` (default 10⁶) vectors, nlist ≈ √N (the classic IVF operating
+  * point), ~100 spread queries, and for nprobe ∈ {1, 2, 4, 8}: per-batch
+  * latency + recall@20 against the exact top-20 (neighbor-id set
+  * intersection). Also prints build wall + store bytes for both codecs
+  * (int8 built from the float index's pinned centroids, so the codec rows
+  * differ only in codec).
   */
 object IvfIndexProbe {
+
+  /** Mean per-query |approx ∩ exact| / |exact| over the top-k id sets. */
+  private def recallAt(approx: org.apache.spark.sql.DataFrame,
+                       exact: org.apache.spark.sql.DataFrame): Double = {
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    hits.toDouble / exact.count()
+  }
+
+  private def big(nVec: Long): Unit = {
+    val spark = graft.GraftSession.builder(master = "local[32]", shufflePartitions = 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("ivfbig").toString
+    val (embRaw, _) = SemanticStressCorpus.build(spark, nVec)
+    embRaw.write.mode("overwrite").parquet(s"$root/corpus")
+    val emb = spark.read.parquet(s"$root/corpus")
+    val n = emb.count()
+    val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
+    println(s"IVFBIG corpus n=$n nlist=$nlist (sqrt-N) root=$root")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(df: => org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val (_, buildF) = time(graft.operators.VectorIndex.buildIvfIndex(
+      emb, s"$root/f", nlist = nlist, trainSampleCap = 100000L))
+    // int8 from the SAME pinned centroids: the codec rows differ only in codec
+    val cents = graft.operators.VectorIndex.readCentroids(spark, s"$root/f")
+    val (_, buildI) = time(graft.operators.VectorIndex.buildIvfIndexPinned(
+      emb, s"$root/i", cents, codec = "int8"))
+    def duOf(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(x => duOf(x.getPath)).sum).getOrElse(0L)
+    }
+    println(f"IVFBIG build float=$buildF%7.1f s (${duOf(s"$root/f/cells") / 1e6}%8.1f MB) " +
+      f"int8=$buildI%7.1f s (${duOf(s"$root/i/cells") / 1e6}%8.1f MB, pinned centroids)")
+
+    // ~100 queries spread across the copy generations (exact twins,
+    // near dups, mixtures — mixed retrieval difficulty)
+    val queries = emb.filter(pmod(col("vec_id"), lit(10007L)) === 0)
+      .localCheckpoint(true)
+    val nq = queries.count()
+    val (exact, exactWall) = time {
+      val e = graft.functions.VectorOps.bruteForceTopK(queries, emb, 20)
+        .localCheckpoint(true)
+      e.count(); e
+    }
+    println(f"IVFBIG exact_top20 queries=$nq wall=$exactWall%7.1f s (the brute-force baseline)")
+
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val (ap, w1) = time {
+        val a = graft.operators.VectorIndex.ivfTopKIndexed(
+          queries, s"$root/f", k = 20, nprobe = nprobe).localCheckpoint(true)
+        a.count(); a
+      }
+      val (_, w2) = time(run(graft.operators.VectorIndex.ivfTopKIndexed(
+        queries, s"$root/f", k = 20, nprobe = nprobe)))
+      val r = recallAt(ap, exact)
+      println(f"IVFBIG nprobe=$nprobe%2d recall@20=$r%6.4f batch_wall=${math.min(w1, w2)}%6.2f s " +
+        f"(scan ~${100.0 * math.min(nprobe, nlist) / nlist}%4.1f%% of cells)")
+    }
+    // the int8 codec at the recommended default, for the quantization cost
+    val (ap8, w8) = time {
+      val a = graft.operators.VectorIndex.ivfTopKIndexed(
+        queries, s"$root/i", k = 20, nprobe = 8).localCheckpoint(true)
+      a.count(); a
+    }
+    println(f"IVFBIG int8 nprobe= 8 recall@20=${recallAt(ap8, exact)}%6.4f batch_wall=$w8%6.2f s")
+    spark.stop(); sys.exit(0)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--big")) {
+      big(args.lift(1).map(_.toLong).getOrElse(1000000L))
+      return
+    }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.GraftSession.builder(master = "local[32]", shufflePartitions = 32)
       .getOrCreate()
