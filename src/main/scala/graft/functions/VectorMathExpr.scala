@@ -86,6 +86,63 @@ case class DotProduct(left: Expression, right: Expression) extends PairwiseVecto
     copy(left = l, right = r)
 }
 
+/** `nearestCells(vec)` — the IVF coarse-routing kernel: the `n` cell ids
+  * whose pinned centroids sit at the smallest squared-L2 distance from the
+  * row's vector, ascending by `(distance, cell)`. ONE expression
+  * evaluation per row over the whole k×dim centroid matrix (a tight
+  * primitive loop), replacing the
+  * `array_min(array(struct(aggregate(zip_with(...)), cell), ...))` literal
+  * formulation whose k×dim interpreted lambda evaluations dominated index
+  * builds (measured r14: 1M rows × nlist=1000 = 709 s HOF vs seconds
+  * here) and whose ~100 KB plan strings bloated every task binary.
+  * Arithmetic is bit-identical to the HOF form (per-element double cast,
+  * index-order accumulation, lowest-cell tie-break), so replay oracles
+  * that re-derive the routing are unaffected. Null for a null/empty
+  * vector, a null element, or a dimension mismatch — the cases the HOF
+  * form yielded a null/indeterminate distance for.
+  *
+  * The centroid matrix rides the expression (k×dim×8 B in the task
+  * binary, shipped once per stage — ~0.5 MB at nlist=1000/dim=64, fine
+  * through k ≈ 10⁴; beyond that assign with the ML k-means model's
+  * `transform`). Centroid arrays compare by REFERENCE in the case-class
+  * equality (plan canonicalization may miss subexpression reuse across
+  * separately-built instances; never a correctness issue).
+  */
+case class NearestCells(child: Expression, cells: Array[Int],
+                        centroids: Array[Array[Double]], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(cells.length == centroids.length && cells.nonEmpty,
+    "NearestCells: cells/centroids must be aligned and non-empty")
+  require(n >= 1, "NearestCells: n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.nearestCells(v.asInstanceOf[ArrayData], isFloat, cells, centroids, n)
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+
+  // the default case-class toString would print the whole centroid matrix
+  // into every plan string (the pathology this kernel replaces)
+  override def toString: String =
+    s"nearest_cells($child, nlist=${cells.length}, n=$n)"
+  override def prettyName: String = "nearest_cells"
+}
+
 object VectorMath {
   import org.apache.spark.sql.graft.Bridge
 
@@ -94,6 +151,11 @@ object VectorMath {
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** [[NearestCells]] over a pinned `(cell, centroid)` model. */
+  def nearestCellsCol(vec: Column, centroids: Seq[(Int, Seq[Double])], n: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(vec),
+      centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray, n))
 
   @inline private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
@@ -133,5 +195,44 @@ object VectorMath {
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom) // Divide-by-zero → null, like Spark SQL
+  }
+
+  /** [[NearestCells]]' kernel: top-`n` cells by ascending `(sqdist, cell)`
+    * via one k×dim primitive loop + insertion into a ≤n sorted prefix
+    * (O(k·(dim + n)); n ≤ 64 in practice). Returns null on dimension
+    * mismatch or a null element — the "can't route" answer.
+    */
+  def nearestCells(a: ArrayData, aFloat: Boolean, cells: Array[Int],
+                   centroids: Array[Array[Double]], n: Int): ArrayData = {
+    val d = a.numElements()
+    if (d == 0 || centroids(0).length != d) return null
+    if (hasNullElement(a, d)) return null
+    val m = cells.length
+    val keep = math.min(n, m)
+    val topD = new Array[Double](keep)
+    val topC = new Array[Int](keep)
+    var filled = 0
+    var j = 0
+    while (j < m) {
+      val c = centroids(j)
+      var s = 0.0
+      var i = 0
+      while (i < d) { val t = elem(a, i, aFloat) - c(i); s += t * t; i += 1 }
+      val cid = cells(j)
+      def beats(p: Int): Boolean =
+        topD(p) > s || (topD(p) == s && topC(p) > cid)
+      if (filled < keep) {
+        var p = filled
+        while (p > 0 && beats(p - 1)) { topD(p) = topD(p - 1); topC(p) = topC(p - 1); p -= 1 }
+        topD(p) = s; topC(p) = cid; filled += 1
+      } else if (beats(keep - 1)) {
+        var p = keep - 1
+        while (p > 0 && beats(p - 1)) { topD(p) = topD(p - 1); topC(p) = topC(p - 1); p -= 1 }
+        topD(p) = s; topC(p) = cid
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(topC, filled))
   }
 }

@@ -41,28 +41,33 @@ import org.apache.spark.sql.functions._
   * empty embeddings are excluded from the index and from query routing;
   * zero-NORM vectors are indexed (dimensionally well-formed) and surface
   * with null cos_sim.
+  *
+  * COSINE retrieval operating point: normalize embeddings at ingest
+  * ([[graft.functions.VectorOps.normalized]]) before building/querying.
+  * Routing is squared-L2 to the centroids (the k-means metric); on
+  * unnormalized vectors those cells don't align with the cosine metric
+  * and recall plateaus regardless of probe budget (measured at 1M
+  * vectors: 0.58 → 0.85 recall@20 after normalization — SCALING.md's
+  * characterization table; cosine itself is scale-invariant, so scores
+  * are unchanged). VectorIndexSpec pins the normalized operating point's
+  * recall floor.
   */
 object VectorIndex {
 
   private def wellFormed(df: DataFrame, vecCol: String): DataFrame =
     graft.functions.VectorOps.wellFormedVectors(df, vecCol)
 
-  /** Squared-L2 distance between a (float) vector column and a literal
-    * double centroid — matches the k-means assignment metric, pure codegen.
-    */
-  private def sqDist(vec: org.apache.spark.sql.Column, centroid: Seq[Double]) =
-    aggregate(
-      zip_with(transform(vec, x => x.cast("double")), typedLit(centroid),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** `(cell, sqdist)` of the nearest centroid, as one narrow expression
-    * (ties break to the lower cell id, the k-means `transform` convention).
+  /** Nearest centroid's cell id — the [[graft.functions.VectorMath.nearestCellsCol]]
+    * kernel (one evaluation per row over the pinned k×dim matrix; ties
+    * break to the lower cell id, the k-means `transform` convention). The
+    * r13 form — `array_min` over a literal array of per-centroid
+    * `aggregate(zip_with(...))` structs — interpreted k×dim lambdas PER
+    * ROW: at nlist=1000 a 1M-vector build spent 709 s routing; the kernel
+    * routes the same corpus in seconds, bit-identically.
     */
   private def nearestCell(vec: org.apache.spark.sql.Column,
                           centroids: Seq[(Int, Seq[Double])]) =
-    array_min(array(centroids.map { case (cid, cv) =>
-      struct(sqDist(vec, cv).as("d"), lit(cid).as("cell")) }: _*))
+    element_at(graft.functions.VectorMath.nearestCellsCol(vec, centroids, 1), 1)
 
   /** Train the coarse quantizer and materialize the index. The corpus
     * crosses exactly one exchange (repartition by cell → one file per
@@ -131,10 +136,9 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val base = wellFormed(corpus, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // assignment through the LITERAL expression (not model.transform) so
-    // build and append share one routing code path
-    payloadOf(base.withColumn("cell",
-        nearestCell(col("vec"), centroids).getField("cell")), codec)
+    // assignment through the PINNED-centroid kernel (not model.transform)
+    // so build and append share one routing code path
+    payloadOf(base.withColumn("cell", nearestCell(col("vec"), centroids)), codec)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
   }
@@ -167,7 +171,7 @@ object VectorIndex {
           // index and top-k returns the same neighbor at two ranks
           .dropDuplicates("id")
           .join(known, Seq("id"), "left_anti")
-          .withColumn("cell", nearestCell(col("vec"), centroids).getField("cell")),
+          .withColumn("cell", nearestCell(col("vec"), centroids)),
         codec)
       .localCheckpoint(true) // sever from the store scan before writing to it
     val n = fresh.count()
@@ -200,11 +204,6 @@ object VectorIndex {
     val raw = spark.read.parquet(s"$dir/cells")
     val codec = codecOf(raw)
     import graft.functions.VectorOps
-    // per-query probe set as ONE narrow expression: sort the literal
-    // centroid array by (sqdist, cell) and slice the head — no crossJoin,
-    // no window exchange on the query side
-    val scoredCells = array(centroids.map { case (cid, cv) =>
-      struct(sqDist(col("q_vec"), cv).as("d"), lit(cid).as("cell")) }: _*)
     val qBase = wellFormed(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     // int8: quantize ONCE per query, BEFORE the per-cell explode — after it
@@ -219,10 +218,13 @@ object VectorIndex {
     // probed feeds TWO consumers (the wanted-cells collect and the scored
     // join) — checkpoint the small queries×nprobe relation so the
     // nlist×dim centroid scoring evaluates once, not per consumer
+    // per-query probe set in ONE kernel evaluation: the probeN nearest
+    // cells, (sqdist, cell)-ascending — no crossJoin, no window exchange
+    // on the query side (and no nlist-struct literal in the plan)
     val exploded = qPayload
       .withColumn("cell",
-        explode(transform(slice(array_sort(scoredCells), 1, probeN),
-          c => c.getField("cell"))))
+        explode(graft.functions.VectorMath.nearestCellsCol(
+          col("q_vec"), centroids, probeN)))
     // float scoring needs q_vec downstream; int8 scored against (q_q, q_n2)
     // and carrying the float vector through the explode would be dead weight
     val probed = (codec match {

@@ -27,6 +27,20 @@ object IvfIndexProbe {
     hits.toDouble / exact.count()
   }
 
+  /** Tie-aware recall: a retrieved neighbor counts when its cosine is at
+    * least the exact k-th neighbor's — the standard correction when the
+    * ground-truth boundary is a dense tie band (id-set recall punishes
+    * returning a DIFFERENT member of the same-cosine band, which no
+    * consumer can distinguish).
+    */
+  private def tieRecallAt(approx: org.apache.spark.sql.DataFrame,
+                          exact: org.apache.spark.sql.DataFrame): Double = {
+    val kth = exact.groupBy("query_id").agg(min(col("cos_sim")).as("__kth"))
+    val hits = approx.join(kth, Seq("query_id"))
+      .filter(col("cos_sim") >= col("__kth")).count()
+    math.min(1.0, hits.toDouble / exact.count())
+  }
+
   private def big(nVec: Long): Unit = {
     val spark = graft.GraftSession.builder(master = "local[32]", shufflePartitions = 32)
       .getOrCreate()
@@ -79,7 +93,9 @@ object IvfIndexProbe {
       val (_, w2) = time(run(graft.operators.VectorIndex.ivfTopKIndexed(
         queries, s"$root/f", k = 20, nprobe = nprobe)))
       val r = recallAt(ap, exact)
-      println(f"IVFBIG nprobe=$nprobe%2d recall@20=$r%6.4f batch_wall=${math.min(w1, w2)}%6.2f s " +
+      val tr = tieRecallAt(ap, exact)
+      println(f"IVFBIG nprobe=$nprobe%2d recall@20=$r%6.4f tie_recall@20=$tr%6.4f " +
+        f"batch_wall=${math.min(w1, w2)}%6.2f s " +
         f"(scan ~${100.0 * math.min(nprobe, nlist) / nlist}%4.1f%% of cells)")
     }
     // the int8 codec at the recommended default, for the quantization cost
@@ -89,6 +105,34 @@ object IvfIndexProbe {
       a.count(); a
     }
     println(f"IVFBIG int8 nprobe= 8 recall@20=${recallAt(ap8, exact)}%6.4f batch_wall=$w8%6.2f s")
+
+    // NORMALIZED routing: cosine retrieval over unnormalized vectors
+    // routes L2 cells that don't align with the cosine metric (a 2x-scaled
+    // twin lands far from its direction's cell) — the FAISS recipe is
+    // normalize-then-L2. Cosine is scale-invariant, so pre-normalizing
+    // changes only the ROUTING geometry, not the scores.
+    val nrm = graft.functions.VectorOps.normalized(col("embedding"))
+    val embN = emb.select(col("vec_id"), nrm.as("embedding"))
+      .filter(col("embedding").isNotNull)
+    embN.write.mode("overwrite").parquet(s"$root/corpusN")
+    val embNr = spark.read.parquet(s"$root/corpusN")
+    val queriesN = queries.select(col("vec_id"), nrm.as("embedding"))
+      .filter(col("embedding").isNotNull).localCheckpoint(true)
+    val (_, buildN) = time(graft.operators.VectorIndex.buildIvfIndex(
+      embNr, s"$root/n", nlist = nlist, trainSampleCap = 100000L))
+    val exactN = graft.functions.VectorOps.bruteForceTopK(queriesN, embNr, 20)
+      .localCheckpoint(true)
+    exactN.count()
+    println(f"IVFBIG normalized build=$buildN%7.1f s")
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val (apN, wN) = time {
+        val a = graft.operators.VectorIndex.ivfTopKIndexed(
+          queriesN, s"$root/n", k = 20, nprobe = nprobe).localCheckpoint(true)
+        a.count(); a
+      }
+      println(f"IVFBIG normalized nprobe=$nprobe%2d recall@20=${recallAt(apN, exactN)}%6.4f " +
+        f"tie_recall@20=${tieRecallAt(apN, exactN)}%6.4f batch_wall=$wN%6.2f s")
+    }
     spark.stop(); sys.exit(0)
   }
 

@@ -14,6 +14,70 @@ class VectorIndexSpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("nearest-cells kernel == the HOF sqdist formulation (bit-identical routing)") {
+    import graft.functions.VectorMath
+    // the formulation the kernel replaced (r13's literal-struct routing):
+    // per-centroid aggregate(zip_with(...)) sqdist, array_sort by (d, cell)
+    val cents = Seq(
+      0 -> Seq(0.1, -0.2, 0.3), 1 -> Seq(-0.5, 0.4, 0.0),
+      2 -> Seq(0.1, -0.2, 0.30000001), 3 -> Seq(2.0, 2.0, 2.0))
+    def hofCells(vec: org.apache.spark.sql.Column, n: Int) = {
+      val scored = array(cents.map { case (cid, cv) =>
+        struct(aggregate(
+          zip_with(transform(vec, x => x.cast("double")), typedLit(cv),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"), lit(cid).as("cell")) }: _*)
+      transform(slice(array_sort(scored), 1, n), c => c.getField("cell"))
+    }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")
+        * (col("vec_id") % 7 - 3)).as("v"))
+    val both = vecs.select(
+      hofCells(col("v"), 3).as("hof"),
+      VectorMath.nearestCellsCol(col("v"), cents, 3).as("kernel"))
+    assert(both.filter(col("hof") =!= col("kernel")).count() == 0,
+      both.filter(col("hof") =!= col("kernel")).head(1).mkString)
+    // edge semantics: null vector, null element, dim mismatch → null
+    val edges = Seq(
+      (1L, null.asInstanceOf[Seq[java.lang.Double]]),
+      (2L, Seq[java.lang.Double](0.1, null, 0.3)),
+      (3L, Seq[java.lang.Double](0.1, 0.2))).toDF("id", "v")
+    val out = edges.select(VectorMath.nearestCellsCol(col("v"), cents, 2).as("c"))
+      .collect().map(_.isNullAt(0)).toSeq
+    assert(out == Seq(true, true, true))
+  }
+
+  test("recall floor at the documented operating point (normalized routing, sqrt-N cells)") {
+    // the r14 1M-vector characterization (tools.IvfIndexProbe --big,
+    // SCALING.md): cosine retrieval over UNNORMALIZED vectors routes L2
+    // cells misaligned with the metric (recall@20 plateaued at 0.58);
+    // normalize-then-L2 (the FAISS recipe — cosine is scale-invariant, so
+    // only ROUTING geometry changes) reached 0.85 at nprobe=8/nlist=1000.
+    // This pins the same operating point at CI scale: 10k stress vectors
+    // (planted twins + near dups + adversarial mixture filler), nlist =
+    // sqrt(N), nprobe=8. Floor calibrated from the measured value with
+    // headroom for k-means seed-stability across Spark upgrades.
+    val (embRaw, _) = graft.tools.SemanticStressCorpus.build(spark, 10000)
+    val nrm = VectorOps.normalized(col("embedding"))
+    val corpus = embRaw.select(col("vec_id"), nrm.as("embedding"))
+      .filter(col("embedding").isNotNull).localCheckpoint(true)
+    val n = corpus.count()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_floor").toString + "/idx"
+    VectorIndex.buildIvfIndex(corpus, dir, nlist = math.sqrt(n.toDouble).toInt)
+    val queries = corpus.filter(pmod(col("vec_id"), lit(211L)) === 0)
+      .localCheckpoint(true)
+    val exact = VectorOps.bruteForceTopK(queries, corpus, 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = VectorIndex.ivfTopKIndexed(queries, dir, k = 20, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // measured 0.764 at this scale (top-20 of a 10k corpus is a HARDER
+    // target than 1M's — the same k covers 100× more of the corpus and
+    // spreads over relatively more cells); floor leaves seed headroom
+    val recall = got.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.70, f"recall@20 $recall%.4f below the 0.70 floor " +
+      "(normalized routing, nlist=sqrt(N), nprobe=8; measured 0.764 r14)")
+  }
+
   test("indexed top-k returns well-formed neighbors contained in the exact top-20") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
     VectorIndex.buildIvfIndex(emb, dir, nlist = 16)
