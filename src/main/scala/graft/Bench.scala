@@ -169,8 +169,15 @@ object Bench {
       .map { case (k, rs) =>
         "\"" + k + "\":" + rs.map(r => f"${pick(r)}%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // jit seconds are the r14 variance verdict: the model-heavy queries'
+    // one-slow-rep spread tracks JIT compilation of the per-rep-fresh
+    // codegen classes (gc stays ≤ 0.3 s while jit runs 6-10 s inside a v3
+    // rep and does NOT decline rep-over-rep — every rep's cache clear
+    // yields new generated classes), so the arrays make a slow rep
+    // self-attributing in the artifact
     val repsObj =
-      s""""queries_reps":${repArr(_._1)},"queries_gc_reps":${repArr(_._2)}"""
+      s""""queries_reps":${repArr(_._1)},"queries_gc_reps":${repArr(_._2)},""" +
+        s""""queries_jit_reps":${repArr(_._3)}"""
     val loadEnd = load1m()
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val otherCores = {
