@@ -143,6 +143,67 @@ case class NearestCells(child: Expression, cells: Array[Int],
   override def prettyName: String = "nearest_cells"
 }
 
+/** `nearestCosineCell(vec)` — the SemDeDup assignment kernel: argmax-cosine
+  * centroid over a pinned (cell, float-centroid) model, ONE evaluation per
+  * row, returning `struct(cluster int, centroid_sim double)`. Replaces the
+  * `array_max(transform(literalArray, c => struct(cosineSim(...), -cid)))`
+  * formulation ([[graft.operators.Dedup.assignSemanticClusters]]) whose
+  * per-centroid struct allocations + boxed HOF evaluations dominate
+  * assignment at k in the hundreds. Semantics are BIT-IDENTICAL to the
+  * struct-max form, which replay oracles re-derive:
+  *
+  *  - per-centroid cosine = [[VectorMath.cosine]] (double casts,
+  *    index-order accumulation, null on length mismatch / null element /
+  *    zero denom);
+  *  - argmax by (cosine, lowest cell) under Spark's struct ordering:
+  *    null cosine sorts below every real one
+  *    (`SQLOrderingUtil.compareDoubles` — ±0.0 equal, NaN greatest);
+  *  - a vector with NULL cosine to every centroid (null/empty/degenerate
+  *    vector, zero norm) lands in the LOWEST cell with null sim — never
+  *    a null row, matching the struct-max's all-null-cs behavior.
+  */
+case class NearestCosineCell(child: Expression, cells: Array[Int],
+                             centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(cells.length == centroids.length && cells.nonEmpty,
+    "NearestCosineCell: cells/centroids must be aligned and non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("centroid_sim", DoubleType, nullable = true)))
+  // a row ALWAYS assigns (degenerate vectors take the lowest cell)
+  override def nullable: Boolean = false
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val minCell = cells.min
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val res = if (v == null) null
+      else VectorMath.nearestCosineCell(v.asInstanceOf[ArrayData], isFloat, cells, centroids)
+    if (res == null)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](minCell, null))
+    else res
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCosineCell =
+    copy(child = c)
+
+  override def toString: String = s"nearest_cosine_cell($child, k=${cells.length})"
+  override def prettyName: String = "nearest_cosine_cell"
+}
+
 object VectorMath {
   import org.apache.spark.sql.graft.Bridge
 
@@ -156,6 +217,11 @@ object VectorMath {
   def nearestCellsCol(vec: Column, centroids: Seq[(Int, Seq[Double])], n: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(vec),
       centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray, n))
+
+  /** [[NearestCosineCell]] over a pinned `(cell, float-centroid)` model. */
+  def nearestCosineCellCol(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column =
+    Bridge.column(NearestCosineCell(Bridge.expression(vec),
+      centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray))
 
   @inline private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
@@ -234,5 +300,55 @@ object VectorMath {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(java.util.Arrays.copyOf(topC, filled))
+  }
+
+  /** [[NearestCosineCell]]'s kernel: argmax cosine over the pinned float
+    * centroids under Spark's struct-max ordering — per-centroid cosine
+    * exactly as [[cosine]] computes it (the norm of `a` is the same value
+    * whichever centroid it pairs with, so hoisting it out of the loop is
+    * bit-neutral), nulls smallest, `SQLOrderingUtil.compareDoubles` on
+    * ties of value, lower cell wins equal cosines. Returns null when NO
+    * centroid yields a real cosine (caller substitutes the lowest cell).
+    */
+  def nearestCosineCell(a: ArrayData, aFloat: Boolean, cells: Array[Int],
+                        centroids: Array[Array[Float]]): Any = {
+    import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+    val d = a.numElements()
+    if (d == 0 || hasNullElement(a, d)) return null
+    var na = 0.0
+    var i = 0
+    while (i < d) { val x = elem(a, i, aFloat); na += x * x; i += 1 }
+    val sqrtNa = math.sqrt(na)
+    var bestCs = 0.0
+    var bestCid = 0
+    var found = false
+    var j = 0
+    while (j < cells.length) {
+      val c = centroids(j)
+      if (c.length == d) {
+        var dot = 0.0
+        var nb = 0.0
+        i = 0
+        while (i < d) {
+          val x = elem(a, i, aFloat)
+          val y = c(i).toDouble
+          dot += x * y
+          nb += y * y
+          i += 1
+        }
+        val denom = sqrtNa * math.sqrt(nb)
+        if (denom != 0.0) {
+          val cs = dot / denom
+          val cmp = if (found) SQLOrderingUtil.compareDoubles(cs, bestCs) else 1
+          if (cmp > 0 || (cmp == 0 && cells(j) < bestCid)) {
+            bestCs = cs; bestCid = cells(j); found = true
+          }
+        }
+      }
+      j += 1
+    }
+    if (!found) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCid, bestCs))
   }
 }

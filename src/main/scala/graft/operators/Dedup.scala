@@ -1236,15 +1236,17 @@ object Dedup {
                              centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     require(centroids.nonEmpty, "assignSemanticClusters: empty centroid set")
     import graft.functions.VectorMath
-    val cArr = array(centroids.map { case (cid, v) =>
-      struct(typedLit(v).as("cv"), lit(cid).as("cid")) }: _*)
-    val best = array_max(transform(cArr, c => struct(
-      VectorMath.cosineSim(col(vecCol), c.getField("cv")).as("cs"),
-      (lit(0) - c.getField("cid")).as("ncid"))))
+    // ONE kernel evaluation per row (functions/VectorMathExpr
+    // NearestCosineCell) — bit-identical to the r13 struct-max HOF form
+    // (`array_max(transform(literal, c => struct(cosineSim, -cid)))`,
+    // cross-checked in SemDedupSpec) without its per-centroid struct
+    // allocations; at k in the hundreds the HOF assignment dominated the
+    // tier (the IVF build's 709 s → 30 s lesson, SCALING.md r14)
+    val best = VectorMath.nearestCosineCellCol(col(vecCol), centroids)
     df.withColumn("__best", best)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        (lit(0) - col("__best.ncid")).as("cluster"),
-        col("__best.cs").as("centroid_sim"))
+        col("__best.cluster").as("cluster"),
+        col("__best.centroid_sim").as("centroid_sim"))
   }
 
   /** SemDeDup pairs: exact cosine ≥ `threshold`, computed ONLY within a

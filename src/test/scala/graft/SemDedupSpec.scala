@@ -29,6 +29,39 @@ class SemDedupSpec extends SparkSpec {
       6L -> 0)) // (3,3) has bit-identical cosine to both centroids → cid 0
   }
 
+  test("assignment kernel == the r13 struct-max HOF form (bit-identical, all edges)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorMath
+    // the formulation NearestCosineCell replaced: literal struct array,
+    // cosineSim per centroid, array_max by (cs, -cid)
+    def hofAssign(vec: org.apache.spark.sql.Column) = {
+      val cArr = array(cents.map { case (cid, v) =>
+        struct(typedLit(v).as("cv"), lit(cid).as("cid")) }: _*)
+      array_max(transform(cArr, c => struct(
+        VectorMath.cosineSim(vec, c.getField("cv")).as("cs"),
+        (lit(0) - c.getField("cid")).as("ncid"))))
+    }
+    // organic + planted edges: exact tie, zero-norm, null vector, null
+    // element, empty vector, dimension mismatch
+    val edgy = vecs.union(Seq(
+      (6L, Seq(3f, 3f)), (7L, Seq(0f, 0f)), (9L, Seq(1f, 2f, 3f)),
+      (10L, Seq.empty[Float])).toDF("vec_id", "embedding"))
+      .union(Seq((8L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+      .union(Seq((11L, Seq[java.lang.Float](1f, null))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")))
+    val both = edgy.select(col("vec_id"),
+      hofAssign(col("embedding")).as("hof"),
+      VectorMath.nearestCosineCellCol(col("embedding"), cents).as("kernel"))
+      .select(col("vec_id"),
+        (lit(0) - col("hof.ncid")).as("h_cluster"), col("hof.cs").as("h_cs"),
+        col("kernel.cluster").as("k_cluster"), col("kernel.centroid_sim").as("k_cs"))
+    val mismatch = both.filter(
+      col("h_cluster") =!= col("k_cluster") ||
+        (col("h_cs").isNull =!= col("k_cs").isNull) ||
+        (col("h_cs").isNotNull && col("h_cs") =!= col("k_cs")))
+    assert(mismatch.count() == 0, mismatch.collect().mkString("\n"))
+  }
+
   test("pairs are exact cosine within a cluster only; cross-cluster pairs never emit") {
     val got = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding", cents, threshold = 0.95)
       .select("id_a", "id_b", "cluster").as[(Long, Long, Int)].collect().toSet
