@@ -184,17 +184,14 @@ object VectorOps {
     // corpus side: one cell per vector (the model's transform)
     val assigned = model.transform(toVec).withColumnRenamed("prediction", "cell")
       .select("neighbor_id", "c_vec", "cell")
-    // query side: nprobe nearest cells, computed against the broadcast centroids
-    val centroidDf = queries.sparkSession.createDataFrame(
-      cells.map { case (c, i) => (i, c.toArray) }.toIndexedSeq).toDF("cell", "centroid")
-    val probed = q0.crossJoin(broadcast(centroidDf))
-      .withColumn("dist", aggregate(
-        zip_with(transform(col("q_vec"), x => x.cast("double")), col("centroid"),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("cell_rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
-      .filter(col("cell_rank") <= nprobe)
+    // query side: nprobe nearest cells in ONE kernel evaluation per query
+    // (functions/VectorMathExpr NearestCells — same (sqdist, cell)-ascending
+    // arithmetic as the crossJoin+window form it replaces, without the
+    // centroid crossJoin or the window exchange)
+    val cents = cells.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val probed = q0
+      .withColumn("cell", explode(graft.functions.VectorMath.nearestCellsCol(
+        col("q_vec"), cents, math.min(nprobe, k))))
       .select("query_id", "q_vec", "cell")
     (assigned, probed)
   }
