@@ -19,7 +19,8 @@ object Bench {
     "q_c4_reducer", "q_h1_joiner", "q_h2_join_detail", "q_x_rollup",
     "q_x_window_topn", "q_c7c8_map_roundtrip", "q_e_sessionize",
     "q_n_text_stats", "q_n_dedup_minhash", "q_n_dedup_simhash",
-    "q_n_dedup_spans", "q_n_ann_cosine", "q_n_emb_dups", "q_n_dsir",
+    "q_n_dedup_spans", "q_n_ann_cosine", "q_n_ann_ivf_indexed",
+    "q_n_emb_dups", "q_n_dsir",
     "q_n_quality_model", "q_n_corpus_report", "q_n_llm_pipeline",
     "q_n_llm_pipeline_v2", "q_n_llm_pipeline_v3")
 
