@@ -42,15 +42,21 @@ import org.apache.spark.sql.functions._
   * zero-NORM vectors are indexed (dimensionally well-formed) and surface
   * with null cos_sim.
   *
-  * COSINE retrieval operating point: normalize embeddings at ingest
-  * ([[graft.functions.VectorOps.normalized]]) before building/querying.
+  * COSINE retrieval operating point: build with `normalize = true`.
   * Routing is squared-L2 to the centroids (the k-means metric); on
   * unnormalized vectors those cells don't align with the cosine metric
   * and recall plateaus regardless of probe budget (measured at 1M
   * vectors: 0.58 → 0.85 recall@20 after normalization — SCALING.md's
   * characterization table; cosine itself is scale-invariant, so scores
-  * are unchanged). VectorIndexSpec pins the normalized operating point's
-  * recall floor.
+  * are unchanged). The layout is self-describing (`normalized.marker`
+  * next to the centroids, like the codec riding the cells schema):
+  * queries and appends against a normalized index normalize their own
+  * vectors, so asymmetric normalization — unit corpus, raw queries, the
+  * silent-recall-loss footgun — cannot happen. Zero-norm vectors are
+  * EXCLUDED from a normalized index (they normalize to null and can
+  * never clear a cosine bar); on a raw index they keep the null-cos_sim
+  * contract below. VectorIndexSpec pins the operating point's recall
+  * floor and the scaled-query == unit-query retrieval invariance.
   */
 object VectorIndex {
 
@@ -95,15 +101,43 @@ object VectorIndex {
     else throw new IllegalArgumentException(
       s"not a VectorIndex cells store (columns: ${cells.columns.mkString(",")})")
 
+  /** Marker file making the normalized layout self-describing (like the
+    * codec, which rides the cells schema): queries and appends against a
+    * normalized index normalize THEIR vectors automatically — asymmetric
+    * normalization (unit corpus, raw queries) would silently degrade
+    * routing, the footgun this closes.
+    */
+  private def normalizedMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/normalized.marker")
+
+  private def isNormalized(spark: SparkSession, dir: String): Boolean = {
+    val p = normalizedMarker(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** `(id, vec)` projection with the index's normalization policy applied:
+    * unit vectors when `normalize` (zero-norm vectors normalize to NULL
+    * and are excluded — they can never clear a cosine bar), raw otherwise.
+    */
+  private def vecSide(df: DataFrame, idCol: String, vecCol: String,
+                      normalize: Boolean, idAs: String = "id",
+                      vecAs: String = "vec"): DataFrame = {
+    val base = wellFormed(df, vecCol)
+    if (!normalize) base.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+    else base.select(col(idCol).as(idAs),
+        graft.functions.VectorOps.normalized(col(vecCol)).as(vecAs))
+      .filter(col(vecAs).isNotNull)
+  }
+
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     trainSampleCap: Long = 1000000L,
-                    codec: String = "float"): Unit = {
+                    codec: String = "float",
+                    normalize: Boolean = false): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val base = wellFormed(corpus, vecCol)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = vecSide(corpus, idCol, vecCol, normalize)
     val toVec = base.withColumn("features",
       array_to_vector(transform(col("vec"), x => x.cast("double"))))
     val n = toVec.count()
@@ -115,7 +149,7 @@ object VectorIndex {
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(trainSet)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-    buildIvfIndexPinned(corpus, dir, centroids, idCol, vecCol, codec)
+    buildIvfIndexPinned(corpus, dir, centroids, idCol, vecCol, codec, normalize)
   }
 
   /** Build from a PINNED centroid set — the run-once-model discipline
@@ -128,14 +162,17 @@ object VectorIndex {
   def buildIvfIndexPinned(corpus: DataFrame, dir: String,
                           centroids: Seq[(Int, Seq[Double])],
                           idCol: String = "vec_id", vecCol: String = "embedding",
-                          codec: String = "float"): Unit = {
+                          codec: String = "float",
+                          normalize: Boolean = false): Unit = {
     require(centroids.nonEmpty, "buildIvfIndexPinned: empty centroid set")
     val spark = corpus.sparkSession
     import spark.implicits._
     centroids.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    val base = wellFormed(corpus, vecCol)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val marker = normalizedMarker(dir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (normalize) fs.create(marker, true).close() else fs.delete(marker, false)
+    val base = vecSide(corpus, idCol, vecCol, normalize)
     // assignment through the PINNED-centroid kernel (not model.transform)
     // so build and append share one routing code path
     payloadOf(base.withColumn("cell", nearestCell(col("vec"), centroids)), codec)
@@ -163,8 +200,7 @@ object VectorIndex {
     val codec = codecOf(cells) // self-describing store — append matches it
     val known = cells.select("id")
     val fresh = payloadOf(
-        wellFormed(delta, vecCol)
-          .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        vecSide(delta, idCol, vecCol, isNormalized(spark, dir))
           // WITHIN-batch dedup too: an at-least-once source can re-deliver
           // an id inside one micro-batch, and the store anti-join below
           // only sees ids already COMMITTED — without this, both copies
@@ -204,8 +240,11 @@ object VectorIndex {
     val raw = spark.read.parquet(s"$dir/cells")
     val codec = codecOf(raw)
     import graft.functions.VectorOps
-    val qBase = wellFormed(queries, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // a normalized index normalizes the QUERY side too (self-describing,
+    // like the codec) — cosine is scale-invariant so scores are unchanged,
+    // but routing against unit centroids needs a unit query
+    val qBase = vecSide(queries, idCol, vecCol, isNormalized(spark, dir),
+      "query_id", "q_vec")
     // int8: quantize ONCE per query, BEFORE the per-cell explode — after it
     // the O(d) quantization would re-run nprobe times per query
     val qPayload = codec match {

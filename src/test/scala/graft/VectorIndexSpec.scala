@@ -57,13 +57,15 @@ class VectorIndexSpec extends SparkSpec {
     // (planted twins + near dups + adversarial mixture filler), nlist =
     // sqrt(N), nprobe=8. Floor calibrated from the measured value with
     // headroom for k-means seed-stability across Spark upgrades.
+    // normalize = true does the normalization INSIDE the index (corpus at
+    // build, queries/deltas at use — the self-describing marker), so this
+    // runs on RAW stress vectors end to end
     val (embRaw, _) = graft.tools.SemanticStressCorpus.build(spark, 10000)
-    val nrm = VectorOps.normalized(col("embedding"))
-    val corpus = embRaw.select(col("vec_id"), nrm.as("embedding"))
-      .filter(col("embedding").isNotNull).localCheckpoint(true)
+    val corpus = embRaw.localCheckpoint(true)
     val n = corpus.count()
     val dir = java.nio.file.Files.createTempDirectory("ivf_floor").toString + "/idx"
-    VectorIndex.buildIvfIndex(corpus, dir, nlist = math.sqrt(n.toDouble).toInt)
+    VectorIndex.buildIvfIndex(corpus, dir, nlist = math.sqrt(n.toDouble).toInt,
+      normalize = true)
     val queries = corpus.filter(pmod(col("vec_id"), lit(211L)) === 0)
       .localCheckpoint(true)
     val exact = VectorOps.bruteForceTopK(queries, corpus, 20)
@@ -75,7 +77,17 @@ class VectorIndexSpec extends SparkSpec {
     // spreads over relatively more cells); floor leaves seed headroom
     val recall = got.count(exact.contains).toDouble / exact.size
     assert(recall >= 0.70, f"recall@20 $recall%.4f below the 0.70 floor " +
-      "(normalized routing, nlist=sqrt(N), nprobe=8; measured 0.764 r14)")
+      "(normalize=true, nlist=sqrt(N), nprobe=8; measured 0.764 r14)")
+    // the footgun the marker closes: a SCALED query routes identically to
+    // its unit form, so retrieval is scale-invariant end to end
+    val q1 = queries.limit(1).localCheckpoint(true)
+    val q5 = q1.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(5.0f)).as("embedding"))
+    val top1 = VectorIndex.ivfTopKIndexed(q1, dir, k = 10, nprobe = 4)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    val top5 = VectorIndex.ivfTopKIndexed(q5, dir, k = 10, nprobe = 4)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(top1 == top5, "scaled query must retrieve identically on a normalized index")
   }
 
   test("indexed top-k returns well-formed neighbors contained in the exact top-20") {
