@@ -1578,6 +1578,29 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** The normalized layout (`normalize = true` — the documented cosine
+    * operating point, SCALING.md's 1M characterization): the corpus is
+    * unit-normalized for routing and storage, queries auto-normalize via
+    * the marker, and the SAME containment contract must hold — cosine is
+    * scale-invariant, so normalization may only improve which cells are
+    * probed, never push a returned neighbor out of the exact top-20.
+    */
+  private def qNAnnIvfIndexedNorm(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("gate_ivfidxn").toString + "/idx"
+    graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16, normalize = true)
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = graft.operators.VectorIndex.ivfTopKIndexed(queries, idx, k = 5, nprobe = 8)
+    val exact20 = VectorOps.bruteForceTopK(queries, emb, k = 20)
+      .select("query_id", "neighbor_id")
+    ivf.groupBy("query_id").agg(count(lit(1)).as("n_returned"))
+      .join(
+        ivf.join(exact20, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_in_top20")),
+        Seq("query_id"))
+      .orderBy("query_id")
+  }
+
   /** The PERSISTED index under the int8 codec (4× smaller cells): same
     * containment contract as the float index — quantization must not push
     * any returned neighbor out of the exact float top-20.
@@ -2300,6 +2323,7 @@ object SparkEntry {
     "q_n_ann_lsh"        -> (qNAnnLsh _),
     "q_n_ann_ivf"        -> (qNAnnIvf _),
     "q_n_ann_ivf_indexed" -> (qNAnnIvfIndexed _),
+    "q_n_ann_ivf_indexed_norm" -> (qNAnnIvfIndexedNorm _),
     "q_n_ann_ivf_indexed_int8" -> (qNAnnIvfIndexedInt8 _),
     "q_n_ann_ivf_int8"   -> (qNAnnIvfInt8 _),
     "q_n_vector_stats"   -> (qNVectorStats _),
@@ -3786,6 +3810,12 @@ object SparkEntry {
     // persisted IVF index: the build→query lifecycle must satisfy the same
     // containment contract as the ad-hoc tier
     "q_n_ann_ivf_indexed" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+                CAST(5 AS BIGINT) AS n_in_top20
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // the normalized layout (normalize = true): cosine is scale-invariant,
+    // so the same containment invariant must hold under unit routing
+    "q_n_ann_ivf_indexed_norm" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
                 CAST(5 AS BIGINT) AS n_in_top20
          FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
