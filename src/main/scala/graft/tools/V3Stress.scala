@@ -133,11 +133,35 @@ object V3Stress {
       s"(nVecs/1500)" + decontamN.map(v => s" decontam.n=3->$v").getOrElse("") +
       "; every other field verbatim")
 
+    val stagesMode = sys.env.getOrElse("SPARK_GRAFT_V3_STAGES", "0") == "1"
     PipelineCompiler.withCompiledCacheScope {
+      // compile() is not free: DSIR's model collect, firstK centroid
+      // collect, and semanticDrop's CC loop all execute at plan-build time
+      val tc = System.nanoTime()
+      val nodes = PipelineCompiler.compileNodes(spec, spark, Map("dir" -> dir))
+      if (stagesMode)
+        println(f"V3STRESS stage_time compile    ${(System.nanoTime() - tc) / 1e9}%8.2f s (eager model builds + CC)")
+      if (stagesMode) {
+        // --- stage attribution (SPARK_GRAFT_V3_STAGES=1, REPLACES the
+        //     composed run so cache fills attribute to their stage):
+        //     count each stage in dependency order — with every upstream
+        //     stage already counted (and caches filled in order), each
+        //     marginal wall ≈ that stage's own cost. Approximate (a count
+        //     prunes columns the real run reads), but it names the
+        //     dominant stages.
+        val order = Seq("scored", "passed", "qvecs", "sem", "kept", "spans",
+          "deduped", "cleaned", "sel", "train")
+        var prev = System.nanoTime()
+        order.foreach { name =>
+          val rows = nodes(name).count()
+          val now = System.nanoTime()
+          println(f"V3STRESS stage_time $name%-10s ${(now - prev) / 1e9}%8.2f s rows=$rows%9d")
+          prev = now
+        }
+      } else {
       // --- the timed composed run: compile -> BPE tail -> noop sink ------
       val b0 = meter.bytes.get(); val m0 = meter.memSpill.get(); val d0 = meter.diskSpill.get()
       val t1 = System.nanoTime()
-      val nodes = PipelineCompiler.compileNodes(spec, spark, Map("dir" -> dir))
       val train = nodes("train")
       val seg = graft.functions.Bpe.vocabSegmentation(
         graft.functions.Bpe.wordCounts(train, "text"), graft.SparkEntry.bpeGateMerges)
@@ -149,6 +173,7 @@ object V3Stress {
         f"shuffleMB=${(meter.bytes.get() - b0) / 1e6}%9.1f " +
         f"spillMemMB=${(meter.memSpill.get() - m0) / 1e6}%9.1f " +
         f"spillDiskMB=${(meter.diskSpill.get() - d0) / 1e6}%8.1f")
+      }
 
       // --- stage survivors vs planted rates (untimed; cached stages cheap,
       //     uncached ones recompute from the nearest cache barrier) --------
