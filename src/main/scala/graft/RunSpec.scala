@@ -14,8 +14,10 @@ package graft
   * the `$VAR` form, as in the reference's config loading). With `--out`
   * the result is written as parquet; with `--explain` the compiled
   * physical plan prints instead of executing (the plan-audit twin of
-  * `SpecJson.dag`'s logical export); otherwise the first `--show` rows
-  * (default 20) print to stdout. Exits nonzero on a broken spec.
+  * `SpecJson.dag`'s logical export); with `--stages` every node's row
+  * count prints in spec order (which stage ate my rows? — executes each
+  * stage once, reusing `cache` barriers); otherwise the first `--show`
+  * rows (default 20) print to stdout. Exits nonzero on a broken spec.
   *
   * A spec whose root carries an `ingest` field is a STREAMING-ingest spec
   * ([[graft.plans.IngestSpec]]): the runner performs ONE incremental
@@ -65,6 +67,7 @@ object RunSpec {
                                    // can reject an EXPLICIT --show
                                    show: Option[Int] = None,
                                    explain: Boolean = false,
+                                   stages: Boolean = false,
                                    dag: Boolean = false,
                                    rounds: Int = 1,
                                    sleepSec: Long = 60L,
@@ -91,6 +94,7 @@ object RunSpec {
           .toRight("--show expects a non-negative integer")
           .map { v => i += 2; c.copy(show = Some(v)) })
         case "--explain" => i += 1; Right(c.copy(explain = true))
+        case "--stages"  => i += 1; Right(c.copy(stages = true))
         case "--dag"     => i += 1; Right(c.copy(dag = true))
         case "--rounds" => operand("--rounds").flatMap(_.toIntOption.filter(_ >= 1)
           .toRight("--rounds expects a positive integer")
@@ -113,10 +117,11 @@ object RunSpec {
     def usage(): Nothing = {
       System.err.println(
         "usage: graft.RunSpec <spec.json> [--param k=v]... [--out dir] [--show n] " +
-          "[--explain] [--dag] [--rounds n [--sleep seconds]] [--report groupCol]")
+          "[--explain] [--stages] [--dag] [--rounds n [--sleep seconds]] [--report groupCol]")
       sys.exit(2)
     }
-    val Config(specPath, params, out, show, explain, dag, rounds, sleepSec, report) =
+    val Config(specPath, params, out, show, explain, stages, dag, rounds,
+        sleepSec, report) =
       parseArgs(args) match {
         case Right(c)  => c
         case Left(err) => System.err.println(err); usage()
@@ -158,8 +163,8 @@ object RunSpec {
       // symmetric with the --rounds/--report checks above: batch-only
       // flags on an ingest spec exit 2 instead of being silently ignored
       // (a user expecting --out to redirect the corpus needs a signal)
-      if (parsed.isRight && (out.isDefined || explain || show.isDefined)) {
-        System.err.println("--out/--show/--explain apply only to batch " +
+      if (parsed.isRight && (out.isDefined || explain || stages || show.isDefined)) {
+        System.err.println("--out/--show/--explain/--stages apply only to batch " +
           "pipeline specs (an ingest spec's sinks live in the spec itself)")
         sys.exit(2)
       }
@@ -199,13 +204,27 @@ object RunSpec {
               System.err.println(s"--report failed (ingest succeeded): ${e.getMessage}")
             }
         case Left(spec) => plans.PipelineCompiler.withCompiledCacheScope {
-          val df = plans.PipelineCompiler.compile(spec, spark, params)
-          if (explain) df.explain("formatted")
-          else out match {
-            case Some(dir) =>
-              df.write.mode("overwrite").parquet(dir)
-              println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
-            case None => df.show(show.getOrElse(20), truncate = false)
+          if (stages) {
+            // per-node row counts in spec order — the debugging question a
+            // pipeline author asks first ("which stage ate my rows?").
+            // Counting EXECUTES each stage once; nodes at/below a `cache`
+            // barrier reuse the filled cache, everything else recomputes
+            // from its nearest barrier — expect roughly one pipeline run
+            // per uncached tail, not per node
+            val nodes = plans.PipelineCompiler.compileNodes(spec, spark, params)
+            val width = spec.nodes.map(_._1.length).max
+            spec.nodes.foreach { case (name, _) =>
+              println(s"%-${width}s %12d rows".format(name, nodes(name).count()))
+            }
+          } else {
+            val df = plans.PipelineCompiler.compile(spec, spark, params)
+            if (explain) df.explain("formatted")
+            else out match {
+              case Some(dir) =>
+                df.write.mode("overwrite").parquet(dir)
+                println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
+              case None => df.show(show.getOrElse(20), truncate = false)
+            }
           }
         }
       }

@@ -18,12 +18,12 @@ class RunSpecArgsSpec extends AnyFunSuite {
 
   test("full flag set parses, repeated --param accumulates") {
     val c = ok("p.json", "--param", "a=1", "--param", "b=x=y", "--out", "/o",
-      "--show", "5", "--explain", "--dag", "--rounds", "3", "--sleep", "0",
-      "--report", "lang")
+      "--show", "5", "--explain", "--stages", "--dag", "--rounds", "3",
+      "--sleep", "0", "--report", "lang")
     // --param splits on the FIRST '=' only: values may contain '='
     assert(c == RunSpec.Config("p.json", Map("a" -> "1", "b" -> "x=y"),
-      Some("/o"), Some(5), explain = true, dag = true, rounds = 3,
-      sleepSec = 0L, report = Some("lang")))
+      Some("/o"), Some(5), explain = true, stages = true, dag = true,
+      rounds = 3, sleepSec = 0L, report = Some("lang")))
   }
 
   test("malformed inputs fail with the message main prints") {
