@@ -1069,6 +1069,28 @@ object SparkEntry {
   private def qXWindowTopNSpec(s: SparkSession, dir: String): DataFrame =
     PipelineCompiler.compile(SpecJson.fromJson(windowTopNJson), s, Map("dir" -> dir))
 
+  /** The FRAME clause through the persisted surface: `q_x_running`'s
+    * cumulative sum authored as a window node. The spec round-trips
+    * through JSON on the gate path (serialize → parse → compile), so the
+    * frame string's fidelity is oracle-checked, not just CI-checked.
+    */
+  private def qXRunningSpec(s: SparkSession, dir: String): DataFrame = {
+    val spec = PipelineSpec(Seq(
+      "orders" -> SourceSpec("parquet", "{%dir%}/orders.parquet"),
+      "small"  -> FilterSpec(RefSpec("orders"), "o_custkey <= 200"),
+      "run"    -> WindowNodeSpec(RefSpec("small"),
+                    "sum(floor(o_totalprice * 100 + 0.5))", "running_cents",
+                    partitionBy = Seq("o_custkey"),
+                    orderBy = Seq("o_orderdate", "o_orderkey"),
+                    frame = "rows between unbounded preceding and current row"),
+      "out"    -> MapSpec(RefSpec("run"), Seq(
+                    "o_custkey" -> "o_custkey", "o_orderkey" -> "o_orderkey",
+                    "running_cents" -> "running_cents")),
+      "sorted" -> SortSpec(RefSpec("out"), Seq("o_custkey", "o_orderkey"))),
+      out = "sorted")
+    PipelineCompiler.compile(SpecJson.fromJson(SpecJson.toJson(spec)), s, Map("dir" -> dir))
+  }
+
   /** The composed streaming ingest as a persisted, parameterized spec
     * asset — the STREAMING sibling of [[llmPipelineV3Spec]], carrying the
     * same pinned models inline (trained quality weights + trained k-means
@@ -2261,6 +2283,7 @@ object SparkEntry {
     "q_w3_tree_rebuild"  -> (qW3TreeRebuild _),
     "q_x_window_topn"    -> (qXWindowTopN _),
     "q_x_window_topn_spec" -> (qXWindowTopNSpec _),
+    "q_x_running_spec"   -> (qXRunningSpec _),
     "q_x_anti_join"      -> (qXAntiJoin _),
     "q_x_semi_join"      -> (qXSemiJoin _),
     "q_x_rollup"         -> (qXRollup _),
@@ -3175,6 +3198,14 @@ object SparkEntry {
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_x_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY o_custkey, o_orderkey""",
+    // the frame clause through the persisted window node: same oracle
+    "q_x_running_spec" ->
       """SELECT o_custkey, o_orderkey,
                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
