@@ -150,9 +150,16 @@ case class DsirNodeSpec(input: OpSpec, target: OpSpec, idCol: String,
   */
 case class QualityScoreNodeSpec(input: OpSpec, textCol: String,
                                 weights: Seq[Double]) extends OpSpec
-/** Drop rows sharing ≥ minHits word n-grams with the bench node. */
+/** Drop rows sharing ≥ minHits word n-grams with the bench node.
+  * `hashKeys = true` joins on 64-bit gram hashes instead of the gram
+  * strings — the corpus-scale form (the join shuffle carries 8 B/gram
+  * instead of the text; xxhash64 collisions can only ADD a hit, and a
+  * doc one accidental gram away from `minHits` was contaminated-adjacent
+  * anyway). Default false: exact grams, byte-replayable oracles.
+  */
 case class DecontamNodeSpec(input: OpSpec, bench: OpSpec, idCol: String,
-                            textCol: String, n: Int = 8, minHits: Int = 1) extends OpSpec
+                            textCol: String, n: Int = 8, minHits: Int = 1,
+                            hashKeys: Boolean = false) extends OpSpec
 /** Pack documents into ≈budgetTokens sequences (EOS-joined token arrays). */
 case class PackNodeSpec(input: OpSpec, idCol: String, textCol: String,
                         budgetTokens: Long, shards: Int = 256) extends OpSpec
@@ -407,9 +414,9 @@ object PipelineCompiler {
           spark.createDataFrame(weightRows).toDF("bucket", "logw"), k, hexLen, salt)
       case QualityScoreNodeSpec(in, text, weights) =>
         graft.operators.QualityModel.score(build(in), sub(text), weights)
-      case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
+      case DecontamNodeSpec(in, bench, id, text, ngram, minHits, hashKeys) =>
         graft.operators.Dedup.decontaminate(build(in), build(bench), sub(id), sub(text),
-          ngram, minHits)
+          ngram, minHits, hashKeys)
       case PackNodeSpec(in, id, text, budget, shards) =>
         graft.operators.Packing.packSequences(build(in), sub(id), sub(text), budget, shards)
       case ReportNodeSpec(in, text, group, exact) =>
@@ -473,7 +480,7 @@ object PipelineCompiler {
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
     case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => refsOf(in) ++ refsOf(tgt)
     case QualityScoreNodeSpec(in, _, _) => refsOf(in)
-    case DecontamNodeSpec(in, b, _, _, _, _) => refsOf(in) ++ refsOf(b)
+    case DecontamNodeSpec(in, b, _, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
     case ReportNodeSpec(in, _, _, _)    => refsOf(in)
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)

@@ -95,9 +95,9 @@ object SpecJson {
         pairs(n, "op" -> "qualityScore", "textCol" -> text)
         val arr = n.putArray("weights"); weights.foreach(arr.add)
         n.set[JsonNode]("input", opNode(in))
-      case DecontamNodeSpec(in, bench, id, text, ngram, minHits) =>
+      case DecontamNodeSpec(in, bench, id, text, ngram, minHits, hashKeys) =>
         pairs(n, "op" -> "decontaminate", "idCol" -> id, "textCol" -> text)
-        n.put("n", ngram); n.put("minHits", minHits)
+        n.put("n", ngram); n.put("minHits", minHits); n.put("hashKeys", hashKeys)
         n.set[JsonNode]("input", opNode(in)); n.set[JsonNode]("bench", opNode(bench))
       case PackNodeSpec(in, id, text, budget, shards) =>
         pairs(n, "op" -> "pack", "idCol" -> id, "textCol" -> text)
@@ -196,7 +196,8 @@ object SpecJson {
     case "decontaminate" => DecontamNodeSpec(parseOp(n.get("input")), parseOp(n.get("bench")),
                         str(n, "idCol"), str(n, "textCol"),
                         Option(n.get("n")).map(_.asInt).getOrElse(8),
-                        Option(n.get("minHits")).map(_.asInt).getOrElse(1))
+                        Option(n.get("minHits")).map(_.asInt).getOrElse(1),
+                        Option(n.get("hashKeys")).exists(_.asBoolean))
     case "pack"    => PackNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "textCol"),
                         n.get("budgetTokens").asLong,
                         Option(n.get("shards")).map(_.asInt).getOrElse(256))
@@ -514,7 +515,7 @@ object SpecJson {
         case MixNodeSpec(in, _, _, _, _) => link(in)
         case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => link(in); link(tgt)
         case QualityScoreNodeSpec(in, _, _) => link(in)
-        case DecontamNodeSpec(in, b, _, _, _, _) => link(in); link(b)
+        case DecontamNodeSpec(in, b, _, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)
         case ReportNodeSpec(in, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
