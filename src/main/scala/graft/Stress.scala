@@ -138,6 +138,26 @@ object Stress {
           Dedup.minhashDedupPairs(exactHeavy, "doc_id", "text", 0.7).count())
         exactHeavy.unpersist(false)
       }
+      // decontamination: 2% of the corpus as the bench split (the v3
+      // composed shape) — at 1M that's ~1M distinct gram strings, past the
+      // broadcast threshold, i.e. exactly the shuffle-join regime the
+      // hashKeys=true form exists for; "rows" = surviving docs (the two
+      // variants agree unless a 64-bit collision lands, which can only
+      // drop an extra already-contaminated-adjacent doc)
+      if (only.forall(o => o.contains("decontam_exact") || o.contains("decontam_hash"))) {
+        val bench = big.filter(col("doc_id") % 50 === 0).persist()
+        bench.count()
+        val train = big.filter(col("doc_id") % 50 =!= 0)
+        // n=8 (the DecontamNodeSpec default / realistic pretraining gram):
+        // n=3 on this generator-dense corpus drops every doc (measured —
+        // the composed-v3 finding), which understates the anti-join side
+        time("decontam_exact")(
+          Dedup.decontaminate(train, bench, "doc_id", "text", 8, 1).count())
+        time("decontam_hash")(
+          Dedup.decontaminate(train, bench, "doc_id", "text", 8, 1,
+            hashKeys = true).count())
+        bench.unpersist(false)
+      }
       time("simhash_pairs")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
       time("drop_near_dups")(Dedup.dropNearDups(big, "doc_id", "text", 0.7).count())
       if (only.forall(_.contains("incremental_dedup"))) {
