@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, expressed as Catalyst
@@ -59,6 +58,29 @@ object VectorOps {
       .otherwise(transform(d(a), x => x / n))
   }
 
+  /** Per-query top-k over a `(query_id, neighbor_id, cos_sim)` scored
+    * relation — shared by every ANN tier. Runs as the bounded
+    * [[TopKPairs]] aggregate, NOT the window idiom it replaced: a window's
+    * single exchange carries every scored candidate to its query's
+    * partition (candidate-count-proportional shuffle — the term that
+    * explodes when the query side stops being small), while hash
+    * aggregation's PARTIAL pass caps the exchange at one ≤k-entry buffer
+    * per (query, map partition). Ordering — `(cos_sim desc nulls-last,
+    * neighbor_id asc)` — matches the window form bit-for-bit, so the
+    * `row_number()` replay oracles are unaffected.
+    */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val top = Bridge.column(TopKPairs(
+      Bridge.expression(col("cos_sim")),
+      Bridge.expression(col("neighbor_id")), k).toAggregateExpression())
+    scored.groupBy("query_id").agg(top.as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        col("__e.score").as("cos_sim"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force cosine top-k: for each row of `queries`, the k most similar
     * rows of `corpus` (self-matches excluded).
     *
@@ -74,11 +96,7 @@ object VectorOps {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
@@ -102,10 +120,7 @@ object VectorOps {
     val scored = assigned.join(probed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF over an int8-quantized cell index — the at-scale configuration:
@@ -136,10 +151,7 @@ object VectorOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", round(cosineInt8OfNorms(
         dotInt8(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** Shared IVF coarse quantizer: trains k-means on a capped deterministic
@@ -268,11 +280,7 @@ object VectorOps {
       .withColumn("cos_sim", round(cosineInt8OfNorms(
         dotInt8(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")), 6))
       .drop("q_n2", "c_n2")
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes for sign-LSH, seeded so plans are
@@ -318,10 +326,6 @@ object VectorOps {
       .select("query_id", "q_vec", "neighbor_id", "c_vec")
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates.withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    rankTopK(scored, k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the "cells are precomputed at ingest" path that
@@ -296,9 +295,10 @@ object VectorIndex {
           .withColumn("cos_sim", round(VectorOps.cosineInt8OfNorms(
             VectorOps.dotInt8(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")), 6))
     }
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    // bounded top-k aggregate, not a window: the partial pass caps the
+    // exchange at ≤k entries per (query, map partition) instead of
+    // shipping every scored candidate — the term that dominates once the
+    // query batch is too big to broadcast (see VectorOps.rankTopK)
+    graft.functions.VectorOps.rankTopK(scored, k)
   }
 }
