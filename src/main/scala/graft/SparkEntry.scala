@@ -1600,6 +1600,64 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** The persisted-index QUERY through the spec surface
+    * ([[graft.plans.AnnQuerySpec]], serialize → parse → compile like
+    * `q_x_running_spec`): a RunSpec user points a JSON node at the layout
+    * the `vectorIndex` ingest maintains and gets top-k retrieval without
+    * Scala. Same containment contract as `q_n_ann_ivf_indexed` — the spec
+    * path must not change WHAT the operator computes.
+    */
+  private def qNAnnIndexSpec(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("gate_annspec").toString + "/idx"
+    graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16)
+    val spec = PipelineSpec(Seq(
+      "emb"     -> SourceSpec("parquet", "{%dir%}/embeddings.parquet"),
+      "queries" -> FilterSpec(RefSpec("emb"), "vec_id < 20"),
+      "knn"     -> AnnQuerySpec(RefSpec("queries"), "{%index%}", k = 5, nprobe = 8)),
+      out = "knn")
+    val ivf = PipelineCompiler.compile(SpecJson.fromJson(SpecJson.toJson(spec)), s,
+      Map("dir" -> dir, "index" -> idx))
+    val exact20 = VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 20)
+      .select("query_id", "neighbor_id")
+    ivf.groupBy("query_id").agg(count(lit(1)).as("n_returned"))
+      .join(
+        ivf.join(exact20, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_in_top20")),
+        Seq("query_id"))
+      .orderBy("query_id")
+  }
+
+  /** Index DELETION ([[graft.operators.VectorIndex.deleteFromIvfIndex]] —
+    * the takedown/opt-out maintenance path): after deleting a block of
+    * ids, (a) no deleted id is ever returned, (b) the containment
+    * contract re-anchors to the REMAINING corpus — every returned
+    * neighbor sits in the exact top-20 over what is still indexed, (c)
+    * result width is still k. Replays in DuckDB as constants over the
+    * query ids, like the other containment gates.
+    */
+  private def qNAnnIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("gate_anndel").toString + "/idx"
+    graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16)
+    graft.operators.VectorIndex.deleteFromIvfIndex(s, idx,
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 40))
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = graft.operators.VectorIndex.ivfTopKIndexed(queries, idx, k = 5, nprobe = 8)
+    val remaining = emb.filter(col("vec_id") < 20 || col("vec_id") >= 40)
+    val exact20 = VectorOps.bruteForceTopK(queries, remaining, k = 20)
+      .select("query_id", "neighbor_id")
+    ivf.groupBy("query_id").agg(
+        count(lit(1)).as("n_returned"),
+        sum(when(col("neighbor_id").between(20, 39), 1L).otherwise(0L))
+          .as("n_deleted_returned"))
+      .join(
+        ivf.join(exact20, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_in_top20")),
+        Seq("query_id"))
+      .orderBy("query_id")
+  }
+
   /** The normalized layout (`normalize = true` — the documented cosine
     * operating point, SCALING.md's 1M characterization): the corpus is
     * unit-normalized for routing and storage, queries auto-normalize via
@@ -2347,6 +2405,8 @@ object SparkEntry {
     "q_n_ann_ivf"        -> (qNAnnIvf _),
     "q_n_ann_ivf_indexed" -> (qNAnnIvfIndexed _),
     "q_n_ann_ivf_indexed_norm" -> (qNAnnIvfIndexedNorm _),
+    "q_n_ann_index_spec" -> (qNAnnIndexSpec _),
+    "q_n_ann_index_delete" -> (qNAnnIndexDelete _),
     "q_n_ann_ivf_indexed_int8" -> (qNAnnIvfIndexedInt8 _),
     "q_n_ann_ivf_int8"   -> (qNAnnIvfInt8 _),
     "q_n_vector_stats"   -> (qNVectorStats _),
@@ -3848,6 +3908,19 @@ object SparkEntry {
     // so the same containment invariant must hold under unit routing
     "q_n_ann_ivf_indexed_norm" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+                CAST(5 AS BIGINT) AS n_in_top20
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // the annQuery SPEC node (JSON round-trip → compile): the spec path
+    // must not change what the indexed query computes
+    "q_n_ann_index_spec" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+                CAST(5 AS BIGINT) AS n_in_top20
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // index deletion: nothing deleted returns; containment re-anchors to
+    // the remaining corpus; width is still k
+    "q_n_ann_index_delete" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+                CAST(0 AS BIGINT) AS n_deleted_returned,
                 CAST(5 AS BIGINT) AS n_in_top20
          FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
     // the persisted index under the int8 codec: same containment invariant

@@ -226,6 +226,32 @@ object VectorIndex {
         .write.partitionBy("cell").parquet(out)
     }
 
+  /** Remove vectors by id — the takedown/opt-out maintenance path a
+    * production index needs (a source document is deleted upstream; its
+    * embedding must stop being retrievable). An anti-join rewrite under
+    * the same tmp/old rename-swap protocol as compaction, so a crash
+    * mid-delete heals through `recoverStore` like every other store, and
+    * the partitioned layout (and codec, and normalization marker) are
+    * preserved. The delete set is size-gate broadcast — a takedown batch
+    * is small by nature, but a mis-sized one degrades to a shuffle join
+    * instead of OOMing. Returns (rows before, rows after).
+    *
+    * Deleted ids may be RE-indexed by a later [[appendToIvfIndex]] if the
+    * id reappears in a delta (the store no longer holds it, so the
+    * known-ids anti-join passes it) — deletion removes data, it is not a
+    * tombstone. Callers needing never-again semantics filter at the
+    * ingest source.
+    */
+  def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
+                         idCol: String = "vec_id"): (Long, Long) = {
+    val del = ids.select(col(idCol).as("id")).distinct()
+    Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
+      df.join(Joins.maybeBroadcast(del), Seq("id"), "left_anti")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(out)
+    }
+  }
+
   /** Top-k cosine neighbors against the persisted index. Same output
     * contract as [[graft.functions.VectorOps.ivfTopK]]:
     * `(query_id, neighbor_id, cos_sim, rank)`, self-matches excluded.

@@ -169,6 +169,19 @@ case class PackNodeSpec(input: OpSpec, idCol: String, textCol: String,
   * count for HLL (monitoring heartbeat vs accounting artifact). */
 case class ReportNodeSpec(input: OpSpec, textCol: String, groupCol: String,
                           exactDistinct: Boolean = true) extends OpSpec
+/** Top-k cosine retrieval against a PERSISTED IVF index
+  * ([[graft.operators.VectorIndex.ivfTopKIndexed]]): for each input row,
+  * the `k` nearest indexed vectors → `(query_id, neighbor_id, cos_sim,
+  * rank)`. `indexDir` is the layout the `vectorIndex` INGEST spec
+  * maintains (or `VectorIndex.buildIvfIndex` wrote) — this node closes
+  * the loop: a RunSpec user builds/maintains the index from one JSON file
+  * and queries it from another, no Scala. Codec and normalization are
+  * read from the self-describing layout; the scan is partition-pruned to
+  * the probed cells; top-k runs as the bounded aggregate.
+  */
+case class AnnQuerySpec(input: OpSpec, indexDir: String, k: Int,
+                        nprobe: Int = 3, idCol: String = "vec_id",
+                        vecCol: String = "embedding") extends OpSpec
 /** Clustered-layout materialization barrier: write the input with a named
   * physical layout, yield the read-back relation — downstream nodes scan
   * the laid-out files (footer-stat pruning; zero-shuffle bucketed joins).
@@ -421,6 +434,9 @@ object PipelineCompiler {
         graft.operators.Packing.packSequences(build(in), sub(id), sub(text), budget, shards)
       case ReportNodeSpec(in, text, group, exact) =>
         graft.operators.CorpusStats.corpusReport(build(in), sub(text), sub(group), exact)
+      case AnnQuerySpec(in, indexDir, k, nprobe, id, vec) =>
+        graft.operators.VectorIndex.ivfTopKIndexed(build(in), sub(indexDir), k,
+          nprobe, sub(id), sub(vec))
       case LayoutNodeSpec(in, layout, path, cols, files, bits) =>
         val df = build(in)
         val p = sub(path)
@@ -483,6 +499,7 @@ object PipelineCompiler {
     case DecontamNodeSpec(in, b, _, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
     case ReportNodeSpec(in, _, _, _)    => refsOf(in)
+    case AnnQuerySpec(in, _, _, _, _, _) => refsOf(in)
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case CompactStoreSpec(_, _)            => Set.empty
     case CacheSpec(in)                  => refsOf(in)

@@ -107,6 +107,11 @@ object SpecJson {
         pairs(n, "op" -> "report", "textCol" -> text, "groupCol" -> group)
         n.put("exactDistinct", exact)
         n.set[JsonNode]("input", opNode(in))
+      case AnnQuerySpec(in, indexDir, k, nprobe, id, vec) =>
+        pairs(n, "op" -> "annQuery", "indexDir" -> indexDir,
+          "idCol" -> id, "vecCol" -> vec)
+        n.put("k", k); n.put("nprobe", nprobe)
+        n.set[JsonNode]("input", opNode(in))
       case LayoutNodeSpec(in, layout, path, cols, files, bits) =>
         pairs(n, "op" -> "layout", "layout" -> layout, "path" -> path)
         val c = n.putArray("cols"); cols.foreach(c.add)
@@ -204,6 +209,11 @@ object SpecJson {
     case "report"  => ReportNodeSpec(parseOp(n.get("input")), str(n, "textCol"),
                         str(n, "groupCol"),
                         Option(n.get("exactDistinct")).forall(_.asBoolean))
+    case "annQuery" => AnnQuerySpec(parseOp(n.get("input")), str(n, "indexDir"),
+                        n.get("k").asInt,
+                        Option(n.get("nprobe")).map(_.asInt).getOrElse(3),
+                        Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"),
+                        Option(n.get("vecCol")).map(_.asText).getOrElse("embedding"))
     case "layout"  => LayoutNodeSpec(parseOp(n.get("input")), str(n, "layout"), str(n, "path"),
                         strs(n, "cols"),
                         Option(n.get("files")).map(_.asInt).getOrElse(64),
@@ -518,6 +528,7 @@ object SpecJson {
         case DecontamNodeSpec(in, b, _, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)
         case ReportNodeSpec(in, _, _, _) => link(in)
+        case AnnQuerySpec(in, _, _, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
         case CompactStoreSpec(_, _) =>
         case CacheSpec(in) => link(in)

@@ -52,6 +52,7 @@ class SpecJsonSpec extends SparkSpec {
         hashKeys = true)
       case _: PackNodeSpec => PackNodeSpec(in, "id", "txt", 2048L, 64)
       case _: ReportNodeSpec => ReportNodeSpec(in, "txt", "src", exactDistinct = false)
+      case _: AnnQuerySpec => AnnQuerySpec(in, "{%root%}/idx", 12, 6, "doc_id", "vec")
       case _: LayoutNodeSpec => LayoutNodeSpec(in, "zorder", "/data/z", Seq("a", "b"), 32, 8)
       case _: CompactStoreSpec => CompactStoreSpec("/data/store", Seq("fp", "id"))
       case _: CacheSpec => CacheSpec(FilterSpec(in, "x > 0"))
@@ -69,6 +70,7 @@ class SpecJsonSpec extends SparkSpec {
       MixNodeSpec(in, "i", "s", Map.empty), DsirNodeSpec(in, in, "i", "t", 1),
       QualityScoreNodeSpec(in, "t", Nil), DecontamNodeSpec(in, in, "i", "t"),
       PackNodeSpec(in, "i", "t", 1L), ReportNodeSpec(in, "t", "g"),
+      AnnQuerySpec(in, "p", 5),
       LayoutNodeSpec(in, "sorted", "p", Nil),
       CompactStoreSpec("p", Seq("fp")), CacheSpec(in))
     shapes.foreach { shape =>

@@ -168,6 +168,33 @@ class VectorIndexSpec extends SparkSpec {
       "pruning must survive compaction")
   }
 
+  test("deleteFromIvfIndex removes exactly the ids, preserves layout, marker and re-appendability") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_del").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb, dir, nlist = 8, normalize = true)
+    val n0 = spark.read.parquet(s"$dir/cells").count()
+    val victims = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    // normalize = true may have excluded zero-norm victims from the index;
+    // deletion removes exactly the victims that were IN the store
+    val indexedVictims = spark.read.parquet(s"$dir/cells")
+      .filter(col("id") >= 100 && col("id") < 150).count()
+    val (before, after) = VectorIndex.deleteFromIvfIndex(spark, dir, victims)
+    assert(before == n0)
+    assert(before - after == indexedVictims && indexedVictims > 0)
+    val left = spark.read.parquet(s"$dir/cells")
+      .filter(col("id") >= 100 && col("id") < 150).count()
+    assert(left == 0, "no victim id survives deletion")
+    // layout, partition pruning and the normalization marker all survive
+    assert(spark.read.parquet(s"$dir/cells").columns.contains("cell"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val res = VectorIndex.ivfTopKIndexed(queries, dir, k = 3, nprobe = 8)
+    assert(res.filter(col("neighbor_id").between(100, 149)).count() == 0,
+      "deleted vectors must not be retrievable")
+    assert(res.groupBy("query_id").count().filter(col("count") =!= 3).count() == 0)
+    // deletion is not a tombstone: the same ids re-append organically
+    val re = VectorIndex.appendToIvfIndex(victims, dir)
+    assert(re > 0 && re <= 50, s"victims re-append after deletion (got $re)")
+  }
+
   test("streaming maintenance: batches index once each, crash window heals via compaction") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
