@@ -237,9 +237,21 @@ object VectorOps {
         struct(s.as("scale"), q.as("q"), dotInt8(q, q).as("norm2"))), 1)), 1)
   }
 
-  /** Exact integer dot product of two int8 code arrays. */
-  def dotInt8(qa: Column, qb: Column): Column =
+  /** Exact integer dot product of two int8 code arrays — the HOF
+    * formulation, kept as the readable reference semantics and the
+    * cross-check target for the native kernel (VectorOpsSpec).
+    */
+  def dotInt8Hof(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer dot product of two int8 code arrays, via the native
+    * one-pass kernel ([[DotProductInt8]]): same integer arithmetic and
+    * null convention as [[dotInt8Hof]], but codegen'd — the int8 ANN
+    * tiers evaluate this per candidate PAIR, where the interpreted
+    * zip_with pipeline (a zipped allocation + two lambdas per element)
+    * cost more than the float path it was supposed to undercut.
+    */
+  def dotInt8(qa: Column, qb: Column): Column = VectorMath.dotProductInt8(qa, qb)
 
   /** Int8 cosine from a precomputed cross dot and the two precomputed
     * self-norms: NULL when either norm is zero — the native float

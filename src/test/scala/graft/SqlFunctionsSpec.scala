@@ -58,6 +58,25 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(edges.filter(col("native").isNull).count() == 2)
   }
 
+  test("native int8 dot kernel is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((Array.fill(64)(rnd.nextInt(255) - 127),
+                              Array.fill(64)(rnd.nextInt(255) - 127)))
+    val df = rows.toDF("a", "b")
+      .select(VectorOps.dotInt8(col("a"), col("b")).as("native"),
+              VectorOps.dotInt8Hof(col("a"), col("b")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof") || col("native").isNull).count() == 0)
+    // length mismatch and a null element both yield null, like zip_with
+    val edges = Seq((Array(1, 2), Array(1, 2, 3)))
+      .toDF("a", "b")
+      .select(VectorOps.dotInt8(col("a"), col("b")).as("native"))
+      .union(Seq(1).toDF("x").select(VectorOps.dotInt8(
+        array(lit(1), lit(null).cast("int")), array(lit(1), lit(2))).as("native")))
+    assert(edges.filter(col("native").isNull).count() == 2)
+  }
+
   test("int8 quantization: codes clamp to ±127, max-abs hits 127, cosine tracks float") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps
