@@ -178,6 +178,12 @@ case class ReportNodeSpec(input: OpSpec, textCol: String, groupCol: String,
   * and queries it from another, no Scala. Codec and normalization are
   * read from the self-describing layout; the scan is partition-pruned to
   * the probed cells; top-k runs as the bounded aggregate.
+  *
+  * Compiling this node is partially EAGER (like `layout`): the query
+  * side's probe routing materializes and the probed-cell set is
+  * collected at compile time — that collect IS the static partition
+  * pruning. `--explain`/`--stages` on a spec containing this node will
+  * run that routing.
   */
 case class AnnQuerySpec(input: OpSpec, indexDir: String, k: Int,
                         nprobe: Int = 3, idCol: String = "vec_id",
