@@ -437,6 +437,26 @@ object SparkEntry {
       .orderBy("o_custkey", "rn")
   }
 
+  /** `q_x_window_topn`'s semantics through the BOUNDED AGGREGATE instead
+    * of the window — `top_k_pairs(score, id, k)` in a plain GROUP BY (the
+    * SQL registration, so a spec `agg` node can author it). The partial
+    * pass keeps ≤k rows per group per map partition where the window form
+    * ships-and-sorts every row; both must produce the identical relation,
+    * which this gate pins against the same row_number() oracle.
+    */
+  private def qXTopNAgg(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    t(s, dir, "orders").createOrReplaceTempView("__orders_topn")
+    s.sql(
+      """SELECT o_custkey, e.id AS o_orderkey, e.score AS o_totalprice,
+                CAST(pos + 1 AS INT) AS rn
+         FROM (SELECT o_custkey,
+                      top_k_pairs(o_totalprice, o_orderkey, 3) AS top
+               FROM __orders_topn GROUP BY o_custkey)
+         LATERAL VIEW posexplode(top) t AS pos, e
+         ORDER BY o_custkey, rn""")
+  }
+
   /** Frame-based window: per-customer running order total (cents) in date
     * order — the cumulative-aggregation idiom (frame = unbounded preceding
     * to current row, with orderkey tiebreak for determinism).
@@ -2340,6 +2360,7 @@ object SparkEntry {
     "q_w1_json_array"    -> (qW1JsonArray _),
     "q_w3_tree_rebuild"  -> (qW3TreeRebuild _),
     "q_x_window_topn"    -> (qXWindowTopN _),
+    "q_x_topn_agg"       -> (qXTopNAgg _),
     "q_x_window_topn_spec" -> (qXWindowTopNSpec _),
     "q_x_running_spec"   -> (qXRunningSpec _),
     "q_x_anti_join"      -> (qXAntiJoin _),
@@ -3244,6 +3265,14 @@ object SparkEntry {
       """SELECT 'root' AS id,
                 '{"id":"root","name":"All","children":[{"id":"a","name":"A","children":[{"id":"a1","name":"A1"},{"id":"a2","name":"A2"}]},{"id":"b","name":"B","children":[{"id":"b1","name":"B1"}]}]}' AS json""",
     "q_x_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // the same analytic as a BOUNDED AGGREGATE (top_k_pairs in a GROUP
+    // BY) — must equal the window form row-for-row
+    "q_x_topn_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey

@@ -37,6 +37,15 @@ object GraftFunctions {
     },
     "minhash_sig" -> { exprs =>
       MinHashSig(exprs.head, intLit(exprs, 1, "minhash_sig"), 42L)
+    },
+    fn2("dot_int8", VectorOps.dotInt8),
+    // bounded per-group top-k AS AN AGGREGATE: `top_k_pairs(score, id, k)`
+    // inside any GROUP BY (incl. a spec `agg` node) returns the k best
+    // (id, score) structs in rank order — the scale-correct form of the
+    // row_number window idiom (the analyzer wraps the bare
+    // AggregateFunction in an AggregateExpression, like built-in sum)
+    "top_k_pairs" -> { exprs =>
+      TopKPairs(exprs(0), exprs(1), intLit(exprs, 2, "top_k_pairs"))
     })
 
   /** Size-style arguments must be literal integers (they shape the plan). */
