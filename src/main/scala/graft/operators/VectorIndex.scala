@@ -76,7 +76,12 @@ object VectorIndex {
 
   /** Train the coarse quantizer and materialize the index. The corpus
     * crosses exactly one exchange (repartition by cell → one file per
-    * cell); at real scale add `maxRecordsPerFile` / salt wide cells.
+    * cell). A skewed cell (boilerplate embeddings collapsing to one
+    * region) would otherwise become one giant file = one read task per
+    * query: set the SESSION conf `spark.sql.files.maxRecordsPerFile`
+    * before building — it applies to this write, to appends, and to the
+    * compaction/deletion rewrites alike, splitting hot cells into
+    * parallel-readable files without touching the pruning layout.
     */
   /** Payload columns per codec. `float` stores the raw vector; `int8`
     * stores ONLY the quantized codes + precomputed norm

@@ -31,6 +31,41 @@ class InvariantPropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKBuffer equals sort-take-k for arbitrary insert orders, sizes and merges") {
+    import org.apache.spark.sql.catalyst.util.{SQLOrderingUtil, TypeUtils}
+    val idOrd = TypeUtils.getInterpretedOrdering(org.apache.spark.sql.types.LongType)
+    def reference(entries: Seq[(java.lang.Double, Long)], k: Int) =
+      entries.sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = if (s1 == null && s2 == null) 0
+          else if (s1 == null) 1 else if (s2 == null) -1
+          else -SQLOrderingUtil.compareDoubles(s1, s2)
+        if (c != 0) c < 0 else i1 < i2
+      }.take(k)
+    (1 to 20).foreach { _ =>
+      val n = rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(12)
+      // coarse scores force ties; ~10% nulls exercise the nulls-last leg
+      val entries = Seq.fill(n)((
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(rnd.nextInt(8) / 4.0),
+        rnd.nextLong(1000)))
+      val buf = new graft.functions.TopKBuffer(k, idOrd)
+      entries.foreach { case (s, i) => buf.insert(s, i) }
+      val got = (0 until buf.n).map(j => (buf.scores(j), buf.ids(j).asInstanceOf[Long]))
+      assert(got == reference(entries, k), s"n=$n k=$k diverged from sort-take")
+      // merge in random split points must equal one-shot insertion
+      val cut = if (n == 0) 0 else rnd.nextInt(n + 1)
+      val (l, r) = entries.splitAt(cut)
+      val bl = new graft.functions.TopKBuffer(k, idOrd)
+      val br = new graft.functions.TopKBuffer(k, idOrd)
+      l.foreach { case (s, i) => bl.insert(s, i) }
+      r.foreach { case (s, i) => br.insert(s, i) }
+      (0 until br.n).foreach(j => bl.insert(br.scores(j), br.ids(j)))
+      val merged = (0 until bl.n).map(j => (bl.scores(j), bl.ids(j).asInstanceOf[Long]))
+      assert(merged == reference(entries, k), s"n=$n k=$k cut=$cut merge diverged")
+    }
+  }
+
   test("hashSample counts are monotone and nested in the rate") {
     val fracs = Seq.fill(4)(rnd.nextDouble()).sorted
     val kept = fracs.map(f =>
