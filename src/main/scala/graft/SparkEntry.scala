@@ -1678,6 +1678,41 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** The FULL index lifecycle from ONE persisted spec: a `deleteIndex`
+    * maintenance node (eager, declared first) purges the takedown ids,
+    * then an `annQuery` node retrieves against the purged store — the
+    * RunSpec persona's delete-then-serve story in a single JSON file.
+    * Same oracle as `q_n_ann_index_delete`; the spec path must not change
+    * what the composition computes. Round-trips through JSON on the gate
+    * path (serialize → parse → compile).
+    */
+  private def qNAnnIndexDeleteSpec(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("gate_anndelspec").toString + "/idx"
+    graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16)
+    val spec = PipelineSpec(Seq(
+      "emb"     -> SourceSpec("parquet", "{%dir%}/embeddings.parquet"),
+      "victims" -> FilterSpec(RefSpec("emb"), "vec_id >= 20 and vec_id < 40"),
+      "purged"  -> DeleteIndexSpec("{%index%}", RefSpec("victims")),
+      "queries" -> FilterSpec(RefSpec("emb"), "vec_id < 20"),
+      "knn"     -> AnnQuerySpec(RefSpec("queries"), "{%index%}", k = 5, nprobe = 8)),
+      out = "knn")
+    val ivf = PipelineCompiler.compile(SpecJson.fromJson(SpecJson.toJson(spec)), s,
+      Map("dir" -> dir, "index" -> idx))
+    val remaining = emb.filter(col("vec_id") < 20 || col("vec_id") >= 40)
+    val exact20 = VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 20), remaining, k = 20)
+      .select("query_id", "neighbor_id")
+    ivf.groupBy("query_id").agg(
+        count(lit(1)).as("n_returned"),
+        sum(when(col("neighbor_id").between(20, 39), 1L).otherwise(0L))
+          .as("n_deleted_returned"))
+      .join(
+        ivf.join(exact20, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_in_top20")),
+        Seq("query_id"))
+      .orderBy("query_id")
+  }
+
   /** The normalized layout (`normalize = true` — the documented cosine
     * operating point, SCALING.md's 1M characterization): the corpus is
     * unit-normalized for routing and storage, queries auto-normalize via
@@ -2428,6 +2463,7 @@ object SparkEntry {
     "q_n_ann_ivf_indexed_norm" -> (qNAnnIvfIndexedNorm _),
     "q_n_ann_index_spec" -> (qNAnnIndexSpec _),
     "q_n_ann_index_delete" -> (qNAnnIndexDelete _),
+    "q_n_ann_index_delete_spec" -> (qNAnnIndexDeleteSpec _),
     "q_n_ann_ivf_indexed_int8" -> (qNAnnIvfIndexedInt8 _),
     "q_n_ann_ivf_int8"   -> (qNAnnIvfInt8 _),
     "q_n_vector_stats"   -> (qNVectorStats _),
@@ -3948,6 +3984,13 @@ object SparkEntry {
     // index deletion: nothing deleted returns; containment re-anchors to
     // the remaining corpus; width is still k
     "q_n_ann_index_delete" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+                CAST(0 AS BIGINT) AS n_deleted_returned,
+                CAST(5 AS BIGINT) AS n_in_top20
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    // the delete-then-serve composition from ONE persisted spec
+    // (deleteIndex + annQuery nodes): identical oracle to the Scala path
+    "q_n_ann_index_delete_spec" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
                 CAST(0 AS BIGINT) AS n_deleted_returned,
                 CAST(5 AS BIGINT) AS n_in_top20

@@ -209,6 +209,17 @@ case class LayoutNodeSpec(input: OpSpec, layout: String, path: String,
   * compiling this node is EAGER — maintenance is a run-once asset.
   */
 case class CompactStoreSpec(path: String, keys: Seq[String]) extends OpSpec
+/** Persisted-vector-index deletion
+  * ([[graft.operators.VectorIndex.deleteFromIvfIndex]] — the
+  * takedown/opt-out maintenance path): remove the `ids` node's `idCol`
+  * values from the index at `indexDir`, yield the post-delete cells
+  * relation. EAGER like [[CompactStoreSpec]] (maintenance is a run-once
+  * asset), and nodes compile in declaration order — declare the delete
+  * BEFORE an [[AnnQuerySpec]] on the same index and the query sees the
+  * purged store.
+  */
+case class DeleteIndexSpec(indexDir: String, ids: OpSpec,
+                           idCol: String = "vec_id") extends OpSpec
 /** Lazy persistence barrier (`MEMORY_AND_DISK`): mark a node whose result
   * several downstream branches (or an eager model build PLUS the final
   * plan — the [[DsirNodeSpec]] shape) will scan, so the upstream chain
@@ -461,6 +472,10 @@ object PipelineCompiler {
         val p = sub(path)
         graft.operators.Dedup.compactStore(spark, p, keys.map(sub))
         spark.read.parquet(p)
+      case DeleteIndexSpec(dir0, ids, idCol) =>
+        val p = sub(dir0)
+        graft.operators.VectorIndex.deleteFromIvfIndex(spark, p, build(ids), sub(idCol))
+        spark.read.parquet(s"$p/cells")
       case CacheSpec(in) =>
         val df = build(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         compiledCaches.synchronized { compiledCaches += df }
@@ -508,6 +523,7 @@ object PipelineCompiler {
     case AnnQuerySpec(in, _, _, _, _, _) => refsOf(in)
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case CompactStoreSpec(_, _)            => Set.empty
+    case DeleteIndexSpec(_, ids, _)        => refsOf(ids)
     case CacheSpec(in)                  => refsOf(in)
   }
 

@@ -120,6 +120,9 @@ object SpecJson {
       case CompactStoreSpec(path, keys) =>
         pairs(n, "op" -> "compactStore", "path" -> path)
         val k = n.putArray("keys"); keys.foreach(k.add)
+      case DeleteIndexSpec(dir, ids, idCol) =>
+        pairs(n, "op" -> "deleteIndex", "indexDir" -> dir, "idCol" -> idCol)
+        n.set[JsonNode]("ids", opNode(ids))
       case CacheSpec(in) =>
         n.put("op", "cache"); n.set[JsonNode]("input", opNode(in))
     }
@@ -219,6 +222,8 @@ object SpecJson {
                         Option(n.get("files")).map(_.asInt).getOrElse(64),
                         Option(n.get("bits")).map(_.asInt).getOrElse(10))
     case "compactStore" => CompactStoreSpec(str(n, "path"), strs(n, "keys"))
+    case "deleteIndex" => DeleteIndexSpec(str(n, "indexDir"), parseOp(n.get("ids")),
+                        Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"))
     case "cache"   => CacheSpec(parseOp(n.get("input")))
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
@@ -530,6 +535,7 @@ object SpecJson {
         case ReportNodeSpec(in, _, _, _) => link(in)
         case AnnQuerySpec(in, _, _, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
+        case DeleteIndexSpec(_, ids, _) => link(ids)
         case CompactStoreSpec(_, _) =>
         case CacheSpec(in) => link(in)
       }

@@ -55,6 +55,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: AnnQuerySpec => AnnQuerySpec(in, "{%root%}/idx", 12, 6, "doc_id", "vec")
       case _: LayoutNodeSpec => LayoutNodeSpec(in, "zorder", "/data/z", Seq("a", "b"), 32, 8)
       case _: CompactStoreSpec => CompactStoreSpec("/data/store", Seq("fp", "id"))
+      case _: DeleteIndexSpec => DeleteIndexSpec("{%root%}/idx", RefSpec("victims"), "doc_id")
       case _: CacheSpec => CacheSpec(FilterSpec(in, "x > 0"))
     }
     val shapes: Seq[OpSpec] = Seq(
@@ -72,7 +73,7 @@ class SpecJsonSpec extends SparkSpec {
       PackNodeSpec(in, "i", "t", 1L), ReportNodeSpec(in, "t", "g"),
       AnnQuerySpec(in, "p", 5),
       LayoutNodeSpec(in, "sorted", "p", Nil),
-      CompactStoreSpec("p", Seq("fp")), CacheSpec(in))
+      CompactStoreSpec("p", Seq("fp")), DeleteIndexSpec("p", in), CacheSpec(in))
     shapes.foreach { shape =>
       val op = exemplar(shape)
       val ps = PipelineSpec(Seq("n" -> op), "n")
