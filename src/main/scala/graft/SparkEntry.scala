@@ -1683,21 +1683,30 @@ object SparkEntry {
     * then an `annQuery` node retrieves against the purged store — the
     * RunSpec persona's delete-then-serve story in a single JSON file.
     * Same oracle as `q_n_ann_index_delete`; the spec path must not change
-    * what the composition computes. Round-trips through JSON on the gate
-    * path (serialize → parse → compile).
+    * what the composition computes. The SOURCE of the checked-in asset
+    * `src/main/resources/specs/ann_lifecycle.json`; the gate compiles
+    * FROM the file.
     */
-  private def qNAnnIndexDeleteSpec(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val idx = java.nio.file.Files.createTempDirectory("gate_anndelspec").toString + "/idx"
-    graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16)
-    val spec = PipelineSpec(Seq(
+  private[graft] def annLifecycleSpec: PipelineSpec =
+    PipelineSpec(Seq(
       "emb"     -> SourceSpec("parquet", "{%dir%}/embeddings.parquet"),
       "victims" -> FilterSpec(RefSpec("emb"), "vec_id >= 20 and vec_id < 40"),
       "purged"  -> DeleteIndexSpec("{%index%}", RefSpec("victims")),
       "queries" -> FilterSpec(RefSpec("emb"), "vec_id < 20"),
       "knn"     -> AnnQuerySpec(RefSpec("queries"), "{%index%}", k = 5, nprobe = 8)),
       out = "knn")
-    val ivf = PipelineCompiler.compile(SpecJson.fromJson(SpecJson.toJson(spec)), s,
+
+  /** The checked-in JSON form of [[annLifecycleSpec]] (exported by
+    * `tools.SpecExport`, equality-pinned in SpecJsonSpec).
+    */
+  private[graft] def annLifecycleJson: String =
+    resourceString("/specs/ann_lifecycle.json")
+
+  private def qNAnnIndexDeleteSpec(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("gate_anndelspec").toString + "/idx"
+    graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16)
+    val ivf = PipelineCompiler.compile(SpecJson.fromJson(annLifecycleJson), s,
       Map("dir" -> dir, "index" -> idx))
     val remaining = emb.filter(col("vec_id") < 20 || col("vec_id") >= 40)
     val exact20 = VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 20), remaining, k = 20)

@@ -125,6 +125,60 @@ case class DotProductInt8(left: Expression, right: Expression) extends BinaryExp
     copy(left = l, right = r)
 }
 
+/** `normalizeVector(a)` — `a / ||a||` as `array<double>`, one codegen'd
+  * pass. The Column formulation ([[graft.functions.VectorOps.normalizedHof]])
+  * is `when(l2 === 0, null).otherwise(transform(cast, _ / l2))` — FOUR
+  * interpreted HOF passes per row (dot's zip_with+aggregate inside the
+  * norm, the cast transform, the divide transform), which made
+  * `buildIvfIndex(normalize = true)` at 1M vectors cost 301 s where the
+  * same build over a pre-normalized corpus cost 21 s (VectorIndexLadder,
+  * r14). Semantics are BIT-identical to the HOF form, element for
+  * element:
+  *
+  *  - norm = sqrt of the index-order sum of squared double-cast elements
+  *    (the [[VectorMath.cosine]] accumulation), each output element =
+  *    `element.toDouble / norm` — same IEEE ops, same order;
+  *  - zero norm → NULL result (the `when` guard; zero-norm vectors can
+  *    never clear a cosine bar);
+  *  - an array CONTAINING a null element: the HOF's norm is null, its
+  *    `when(null === 0)` falls to otherwise, and the divide maps every
+  *    element to null — an all-null array of the input's length, which
+  *    this kernel reproduces;
+  *  - null input → null (nullSafeEval); empty array → norm 0 → null.
+  */
+case class NormalizeVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.normalize(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultTerm = ctx.freshName("normResult")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $resultTerm =
+        graft.functions.VectorMath.normalize($a, $isFloat);
+      if ($resultTerm == null) { ${ev.isNull} = true; } else { ${ev.value} = $resultTerm; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NormalizeVector =
+    copy(child = c)
+  override def prettyName: String = "normalize_vector"
+}
+
 /** `nearestCells(vec)` — the IVF coarse-routing kernel: the `n` cell ids
   * whose pinned centroids sit at the smallest squared-L2 distance from the
   * row's vector, ascending by `(distance, cell)`. ONE expression
@@ -255,6 +309,9 @@ object VectorMath {
   def dotProductInt8(a: Column, b: Column): Column =
     Bridge.column(DotProductInt8(Bridge.expression(a), Bridge.expression(b)))
 
+  def normalizeVector(a: Column): Column =
+    Bridge.column(NormalizeVector(Bridge.expression(a)))
+
   /** [[NearestCells]] over a pinned `(cell, centroid)` model. */
   def nearestCellsCol(vec: Column, centroids: Seq[(Int, Seq[Double])], n: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(vec),
@@ -272,6 +329,27 @@ object VectorMath {
     var i = 0
     while (i < n) { if (v.isNullAt(i)) return true; i += 1 }
     false
+  }
+
+  /** [[NormalizeVector]]'s kernel — see its scaladoc for the exact HOF
+    * semantics it reproduces (incl. the all-null-array case).
+    */
+  def normalize(a: ArrayData, aFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    if (hasNullElement(a, n)) {
+      // the HOF form maps every element to null when the norm is null
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](n))
+    }
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = elem(a, i, aFloat); acc += x * x; i += 1 }
+    val norm = math.sqrt(acc)
+    if (norm == 0.0) return null
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = elem(a, i, aFloat) / norm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** [[DotProductInt8]]'s kernel — exact long sum of int products. */

@@ -52,11 +52,20 @@ object VectorOps {
     * `dot(normalized(a), normalized(b))` and `cosine(a, b)` stay
     * null-equivalent row-for-row.
     */
-  def normalized(a: Column): Column = {
+  def normalizedHof(a: Column): Column = {
     val n = l2Norm(a)
     when(n === lit(0.0), lit(null).cast("array<double>"))
       .otherwise(transform(d(a), x => x / n))
   }
+
+  /** [[normalizedHof]] via the native one-pass kernel
+    * ([[NormalizeVector]]): same IEEE ops, same accumulation order, same
+    * null conventions (zero norm → null; null element → all-null array) —
+    * but codegen'd. The HOF form's four interpreted passes per row made
+    * `buildIvfIndex(normalize = true)` scan-bound on normalization itself
+    * (301 s vs 21 s at 1M vectors, SCALING.md r14).
+    */
+  def normalized(a: Column): Column = VectorMath.normalizeVector(a)
 
   /** Per-query top-k over a `(query_id, neighbor_id, cos_sim)` scored
     * relation — shared by every ANN tier. Runs as the bounded

@@ -32,5 +32,7 @@ object SpecExport {
       graft.plans.SpecJson.ingestToJson(graft.SparkEntry.pretrainIngestSpec))
     write("window_topn.json",
       graft.plans.SpecJson.toJson(graft.SparkEntry.windowTopNSpec))
+    write("ann_lifecycle.json",
+      graft.plans.SpecJson.toJson(graft.SparkEntry.annLifecycleSpec))
   }
 }

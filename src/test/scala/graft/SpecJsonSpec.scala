@@ -288,6 +288,9 @@ class SpecJsonSpec extends SparkSpec {
     assert(graft.SparkEntry.windowTopNJson ==
       SpecJson.toJson(graft.SparkEntry.windowTopNSpec),
       "re-run `runMain graft.tools.SpecExport` after editing windowTopNSpec")
+    assert(graft.SparkEntry.annLifecycleJson ==
+      SpecJson.toJson(graft.SparkEntry.annLifecycleSpec),
+      "re-run `runMain graft.tools.SpecExport` after editing annLifecycleSpec")
   }
 
   test("window node: top-N per key, running sum frame, and default frame compile") {

@@ -58,6 +58,32 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(edges.filter(col("native").isNull).count() == 2)
   }
 
+  test("native normalize kernel is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(200)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = rows.toDF("a")
+      .select(VectorOps.normalized(col("a")).as("native"),
+              VectorOps.normalizedHof(col("a")).as("hof"))
+    // element-for-element bit equality (null-safe: both null or both equal)
+    assert(df.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // zero norm -> null; empty -> null; null element -> ALL-null array of
+    // the input's length (the HOF convention the kernel must reproduce)
+    val zero = Seq(Array.fill(8)(0.0f)).toDF("a")
+      .select(VectorOps.normalized(col("a")).as("n"))
+    assert(zero.filter(col("n").isNull).count() == 1)
+    val empty = Seq(Seq.empty[Float]).toDF("a")
+      .select(VectorOps.normalized(col("a")).as("n"))
+    assert(empty.filter(col("n").isNull).count() == 1)
+    val withNull = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a")
+      .select(VectorOps.normalized(col("a")).as("native"),
+              VectorOps.normalizedHof(col("a")).as("hof"))
+    val r = withNull.head()
+    assert(r.getSeq[Any](0) == Seq(null, null) && r.getSeq[Any](0) == r.getSeq[Any](1))
+  }
+
   test("native int8 dot kernel is bit-identical to the HOF formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps
