@@ -2045,7 +2045,8 @@ object SparkEntry {
       in.addData(rows.filter(_._1 % 2 == 1).toIndexedSeq: _*)
       q.processAllAvailable()
     } finally q.stop()
-    s.read.parquet(s"$work/idx/cells")
+    // the canonical full view: partitioned cells + the un-folded LSM delta
+    graft.operators.VectorIndex.readIvfCells(s, s"$work/idx")
       .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"))
       .orderBy("vec_id")
   }

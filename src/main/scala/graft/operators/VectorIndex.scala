@@ -28,13 +28,16 @@ import org.apache.spark.sql.functions._
   *
   * Append (streaming ingest): deltas assign cells through the SAME
   * literal-centroid expression the build used (bit-identical routing — no
-  * dependency on the ML model object after build), anti-join the store's
+  * dependency on the ML model object after build), anti-join the index's
   * ids (column-pruned scan) so an id is indexed at most once organically,
-  * and append into the partitioned layout. A crash between the append and
-  * the checkpoint commit replays byte-identical rows; [[compactIvfIndex]]
-  * (the every-N-batches policy of the other stores) purges them
-  * keyed-distinct under [[Dedup.rewriteStore]]'s tmp/old rename-swap
-  * protocol, preserving the partitioned layout.
+  * and land in the LSM-style `delta/` tier — a few unpartitioned files
+  * per batch regardless of nlist (see the delta-tier section below for
+  * why appending into the partitioned layout was the file-count
+  * pathology). A crash between the append and the checkpoint commit
+  * replays the batch; the ids anti-join drops it. [[compactIvfIndex]]
+  * (the every-N-batches policy of the other stores) folds the delta into
+  * the partitioned layout under [[Dedup.rewriteStore]]'s tmp/old
+  * rename-swap protocol.
   *
   * Degenerate vectors follow the ANN-tier policy (EdgeCaseSpec): null and
   * empty embeddings are excluded from the index and from query routing;
@@ -190,10 +193,63 @@ object VectorIndex {
       .select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
-  /** Index a delta: route through the pinned centroids, drop ids the index
-    * already holds (ids-only column-pruned scan — the delta-bound cost
-    * pattern of the other stores), append into the partitioned layout.
-    * Returns the number of newly indexed vectors.
+  // ---- LSM delta tier ------------------------------------------------
+  //
+  // Appends do NOT write into the partitioned cells layout: an append
+  // into `partitionBy("cell")` necessarily creates one file per touched
+  // cell — at nlist=1000 a 50k-vector batch wrote ~1000 files and spent
+  // ~12.7 s of its 17.4 s wall committing them (tools.AppendProbe), and
+  // frequent small batches made compaction (a FULL store rewrite) the
+  // file-count bound. Instead, appends land in `$dir/delta/` — plain
+  // unpartitioned parquet with `cell` as a data column, a handful of
+  // files per batch regardless of nlist. Queries read the pruned cells
+  // scan UNION the (small) delta filtered on the same probed cells
+  // (min/max footer stats prune delta files too); compaction FOLDS the
+  // delta into the partitioned layout and removes it. The delta is
+  // bounded by compactEvery × batch size — size the cadence to the batch
+  // rate, exactly like the other stores' compaction policy.
+
+  private def deltaPath(dir: String) = s"$dir/delta"
+
+  /** The delta tier, or None when absent/empty (never built, or folded by
+    * the last compaction).
+    */
+  private def readDeltaOpt(spark: SparkSession, dir: String)
+      : Option[DataFrame] = {
+    Dedup.recoverStore(spark, deltaPath(dir)) // heal a crashed delta rewrite
+    val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.getPath.getName.endsWith(".parquet") || st.isDirectory
+    }
+    if (hasData) Some(spark.read.parquet(deltaPath(dir))) else None
+  }
+
+  /** The canonical full view of the index content: the partitioned cells
+    * store plus the un-folded delta tier, duplicate-safe (a crash between
+    * compaction's cells swap and its delta removal can leave an id in
+    * both — the delta-side anti-join hides the stale copy; payloads are
+    * identical either way). Columns: `(id, <codec payload>, cell)`.
+    */
+  def readIvfCells(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.recoverStore(spark, s"$dir/cells")
+    val cells = spark.read.parquet(s"$dir/cells")
+    readDeltaOpt(spark, dir) match {
+      case None => cells
+      case Some(delta) =>
+        val cols = cells.columns.map(col).toIndexedSeq
+        cells.select(cols: _*).unionByName(
+          delta.dropDuplicates("id")
+            .join(cells.select("id"), Seq("id"), "left_anti")
+            .select(cols: _*))
+    }
+  }
+
+  /** Index a delta batch: route through the pinned centroids, drop ids the
+    * index already holds (ids-only column-pruned scan over cells + delta —
+    * the delta-bound cost pattern of the other stores), land in the delta
+    * tier (a few files, nlist-independent). Returns the number of newly
+    * indexed vectors.
     */
   def appendToIvfIndex(delta: DataFrame, dir: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
@@ -202,7 +258,10 @@ object VectorIndex {
     val centroids = readCentroids(spark, dir)
     val cells = spark.read.parquet(s"$dir/cells")
     val codec = codecOf(cells) // self-describing store — append matches it
-    val known = cells.select("id")
+    val known = readDeltaOpt(spark, dir) match {
+      case None => cells.select("id")
+      case Some(d) => cells.select("id").unionByName(d.select("id"))
+    }
     val fresh = payloadOf(
         vecSide(delta, idCol, vecCol, isNormalized(spark, dir))
           // WITHIN-batch dedup too: an at-least-once source can re-deliver
@@ -216,20 +275,35 @@ object VectorIndex {
       .localCheckpoint(true) // sever from the store scan before writing to it
     val n = fresh.count()
     if (n > 0)
-      fresh.repartition(col("cell"))
-        .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+      fresh.coalesce(8) // a batch is a few files, however many cells it touches
+        .write.mode("append").parquet(deltaPath(dir))
     n
   }
 
-  /** Keyed-distinct rewrite of the cells store (crash-replay twins carry
-    * identical payloads, so keep-any is exact), preserving the partitioned
-    * layout under the tmp/old rename-swap protocol.
+  /** Fold the delta tier into the partitioned cells layout and rewrite it
+    * keyed-distinct (crash-replay twins carry identical payloads, so
+    * keep-any is exact), under the tmp/old rename-swap protocol; the delta
+    * directory is removed after the swap. A crash between the swap and the
+    * removal leaves folded ids visible in both tiers — readers hide the
+    * stale delta copy ([[readIvfCells]]/query anti-join) and the next
+    * compaction purges it.
     */
-  def compactIvfIndex(spark: SparkSession, dir: String): (Long, Long) =
-    Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
-      df.dropDuplicates("id").repartition(col("cell"))
+  def compactIvfIndex(spark: SparkSession, dir: String): (Long, Long) = {
+    val deltaSnapshot = readDeltaOpt(spark, dir)
+    val res = Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
+      val all = deltaSnapshot match {
+        case None => df
+        case Some(d) => df.unionByName(d.select(df.columns.map(col).toIndexedSeq: _*))
+      }
+      all.dropDuplicates("id").repartition(col("cell"))
         .write.partitionBy("cell").parquet(out)
     }
+    if (deltaSnapshot.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    res
+  }
 
   /** Remove vectors by id — the takedown/opt-out maintenance path a
     * production index needs (a source document is deleted upstream; its
@@ -250,6 +324,17 @@ object VectorIndex {
   def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
                          idCol: String = "vec_id"): (Long, Long) = {
     val del = ids.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true) // both rewrites scan it; sever from its source
+    // the delta tier FIRST (small, fast): a crash between the two rewrites
+    // then leaves victims only in cells, where the retried delete still
+    // finds them — the reverse order could resurrect a deleted id from a
+    // surviving delta copy
+    readDeltaOpt(spark, dir).foreach { _ =>
+      Dedup.rewriteStore(spark, deltaPath(dir)) { (df, out) =>
+        df.join(Joins.maybeBroadcast(del), Seq("id"), "left_anti")
+          .coalesce(8).write.parquet(out)
+      }
+    }
     Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
       df.join(Joins.maybeBroadcast(del), Seq("id"), "left_anti")
         .repartition(col("cell"))
@@ -303,7 +388,21 @@ object VectorIndex {
     // static partition pruning: the union of probed cells is at most nlist
     // ints — collect it and push `cell IN (...)` into the partitioned scan
     val wanted = probed.select("cell").distinct().collect().map(_.getInt(0))
-    val store = raw.filter(col("cell").isin(wanted.toIndexedSeq: _*))
+    val pruned = raw.filter(col("cell").isin(wanted.toIndexedSeq: _*))
+    // the un-folded delta tier joins the candidate set, pruned on the same
+    // cells (a data-column filter with footer-stat pruning — the delta is
+    // compactEvery×batch bounded); the ids-only anti-join hides a stale
+    // delta copy from the compaction crash window
+    val store = readDeltaOpt(spark, dir) match {
+      case None => pruned
+      case Some(d) =>
+        val cols = raw.columns.map(col).toIndexedSeq
+        pruned.select(cols: _*).unionByName(
+          d.filter(col("cell").isin(wanted.toIndexedSeq: _*))
+            .dropDuplicates("id")
+            .join(pruned.select("id"), Seq("id"), "left_anti")
+            .select(cols: _*))
+    }
     // size-GATED broadcast (not a forced hint): a mis-sized query batch
     // falls back to a shuffle join instead of OOMing the executors
     val probeSide = Joins.maybeBroadcast(probed)

@@ -67,13 +67,14 @@ object VectorIndexLadder {
         in.addData(rows: _*)
         q.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
-        val stored = spark.read.parquet(s"$work/idx/cells").count()
+        val stored = graft.operators.VectorIndex.readIvfCells(spark, s"$work/idx").count()
         println(f"VIXLADDER batch=$b%2d rows=$batchRows $secs%6.2f s " +
-          f"storeRows=$stored%9d cellsFiles=${files(s"$work/idx/cells")}%5d")
+          f"storeRows=$stored%9d cellsFiles=${files(s"$work/idx/cells")}%5d " +
+          f"deltaFiles=${files(s"$work/idx/delta")}%4d")
       }
     } finally q.stop()
     // post-ladder sanity: replayed ids indexed once; queries still pruned
-    val dup = spark.read.parquet(s"$work/idx/cells")
+    val dup = graft.operators.VectorIndex.readIvfCells(spark, s"$work/idx")
       .groupBy("id").count().filter(col("count") > 1).count()
     println(s"VIXLADDER duplicate_ids=$dup (expect 0)")
     spark.stop(); sys.exit(0)

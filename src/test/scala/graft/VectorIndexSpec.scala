@@ -146,20 +146,38 @@ class VectorIndexSpec extends SparkSpec {
     // vector if one exists — weaker but sufficient: top-1 self-consistency
     val got = VectorIndex.ivfTopKIndexed(delta.limit(5), dir, k = 3, nprobe = 8)
     assert(got.count() == 15, "appended vectors are queryable")
-    // crash replay: blind duplicate append (bypassing the anti-join) through
-    // the SAME partitioned layout a replayed appendToIvfIndex would use,
-    // then layout-preserving compaction purges twins and keeps partitioning
+    // the appended batch lives in the LSM delta tier (a few unpartitioned
+    // files), NOT as per-cell files in the partitioned layout; the full
+    // view unions the tiers duplicate-safe
+    assert(spark.read.parquet(s"$dir/delta").count() == 50)
+    assert(VectorIndex.readIvfCells(spark, dir).count() == base.count() + 50)
+    // worst-case twins: blind duplicates in BOTH tiers (bypassing the
+    // anti-join — the pre-LSM replay shape in cells, a stale copy in
+    // delta); the read view hides them and compaction purges them
     val twins = spark.read.parquet(s"$dir/cells")
       .select("id", "vec", "cell").limit(50).collect().toIndexedSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(twins, 2),
-        spark.read.parquet(s"$dir/cells").select("id", "vec", "cell").schema)
-      .repartition(col("cell"))
+    val twinDf = spark.createDataFrame(spark.sparkContext.parallelize(twins, 2),
+      spark.read.parquet(s"$dir/cells").select("id", "vec", "cell").schema)
+    twinDf.repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    twinDf.write.mode("append").parquet(s"$dir/delta")
     val dupes = spark.read.parquet(s"$dir/cells").groupBy("id")
       .count().filter(col("count") > 1).count()
-    assert(dupes == 50, "fixture: store must carry replay twins")
-    val (before, after) = VectorIndex.compactIvfIndex(spark, dir)
-    assert(before - after == 50, s"compaction must drop exactly the twins ($before -> $after)")
+    assert(dupes == 50, "fixture: cells must carry replay twins")
+    // the view hides the STALE DELTA copies (an id present in cells never
+    // surfaces from delta — the compaction crash window), so no id appears
+    // more than its cells multiplicity; cells-internal twins cannot arise
+    // organically under the LSM layout (appends never write cells) and
+    // remain visible until compaction purges them
+    val viewCounts = VectorIndex.readIvfCells(spark, dir).groupBy("id").count()
+    assert(viewCounts.filter(col("count") > 2).count() == 0,
+      "a stale delta copy leaked through the read view")
+    assert(viewCounts.filter(col("count") === 2).count() == 50)
+    val (_, after) = VectorIndex.compactIvfIndex(spark, dir)
+    assert(after == base.count() + 50,
+      s"fold must purge twins and absorb the delta (after=$after)")
+    assert(!new java.io.File(s"$dir/delta").exists,
+      "compaction must remove the folded delta tier")
     val rereadCols = spark.read.parquet(s"$dir/cells").columns.toSet
     assert(rereadCols.contains("cell"), "partitioned layout must survive compaction")
     val prunedStill = cellScansOf(
@@ -221,9 +239,12 @@ class VectorIndexSpec extends SparkSpec {
     in.addData(rows.drop(30).toIndexedSeq: _*)
     q2.processAllAvailable()
     q2.stop()
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = VectorIndex.readIvfCells(spark, dir)
     assert(cells.count() == n0 + 60, s"got ${cells.count()}")
     assert(cells.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    // compactEvery=2 fired on the second batch: the delta is folded
+    assert(!new java.io.File(s"$dir/delta").exists,
+      "scheduled compaction must fold the delta tier")
     // everything streamed in is queryable through the pruned path
     val got = VectorIndex.ivfTopKIndexed(
       Seq(rows.head, rows.last).toDF("vec_id", "embedding"), dir, k = 3, nprobe = 8)
