@@ -280,13 +280,42 @@ object VectorIndex {
     n
   }
 
-  /** Fold the delta tier into the partitioned cells layout and rewrite it
-    * keyed-distinct (crash-replay twins carry identical payloads, so
-    * keep-any is exact), under the tmp/old rename-swap protocol; the delta
-    * directory is removed after the swap. A crash between the swap and the
-    * removal leaves folded ids visible in both tiers — readers hide the
-    * stale delta copy ([[readIvfCells]]/query anti-join) and the next
-    * compaction purges it.
+  /** Fold the delta tier into the partitioned layout WITHOUT rewriting
+    * the store: anti-join the delta against the cells ids (a crash after
+    * a previous fold's append left its rows in both tiers — they drop
+    * here, so the fold is idempotent), append the remainder as per-cell
+    * files, then remove the delta. O(delta + one cells-IDS scan), not
+    * O(store) — the scheduled maintenance a 100 TB index can afford;
+    * [[compactIvfIndex]]'s full rewrite remains for RARE layout health
+    * (per-cell file counts, legacy twin purge). Returns rows folded.
+    */
+  def foldIvfDelta(spark: SparkSession, dir: String): Long = {
+    Dedup.recoverStore(spark, s"$dir/cells")
+    readDeltaOpt(spark, dir) match {
+      case None => 0L
+      case Some(d) =>
+        val cells = spark.read.parquet(s"$dir/cells")
+        val fresh = d.dropDuplicates("id")
+          .join(cells.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(true) // sever from both stores before mutating them
+        val n = fresh.count()
+        if (n > 0)
+          fresh.repartition(col("cell"))
+            .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+        val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        n
+    }
+  }
+
+  /** Full keyed-distinct rewrite of the index (delta folded in, legacy
+    * twins purged, per-cell file counts reset to one), under the tmp/old
+    * rename-swap protocol; the delta directory is removed after the swap.
+    * O(store) — use [[foldIvfDelta]] for scheduled maintenance and keep
+    * this as the rare layout-health pass. A crash between the swap and
+    * the delta removal leaves folded ids visible in both tiers — readers
+    * hide the stale delta copy ([[readIvfCells]]/query anti-join) and the
+    * next fold or compaction purges it.
     */
   def compactIvfIndex(spark: SparkSession, dir: String): (Long, Long) = {
     val deltaSnapshot = readDeltaOpt(spark, dir)

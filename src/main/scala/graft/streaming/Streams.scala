@@ -430,13 +430,16 @@ object Streams {
         }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           // same exists/recover guard as maybeCompact: if the cells store
-          // is absent (index never built, or every batch so far empty) the
-          // rewrite's read would throw and kill the streaming query
+          // is absent (index never built, or every batch so far empty)
+          // there is nothing to fold and the read would throw, killing
+          // the streaming query. The scheduled maintenance is the
+          // O(delta) FOLD, not the O(store) full rewrite — run
+          // compactIvfIndex offline when per-cell file counts warrant it
           val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells")
           val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(cells) ||
               graft.operators.Dedup.recoverStore(spark, s"$indexDir/cells"))
-            graft.operators.VectorIndex.compactIvfIndex(spark, indexDir)
+            graft.operators.VectorIndex.foldIvfDelta(spark, indexDir)
         }
         ()
       }

@@ -186,6 +186,32 @@ class VectorIndexSpec extends SparkSpec {
       "pruning must survive compaction")
   }
 
+  test("foldIvfDelta is O(delta), idempotent across its crash window, and empties the tier") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_fold").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 300), dir, nlist = 8)
+    val n0 = spark.read.parquet(s"$dir/cells").count()
+    val delta = emb.filter(col("vec_id") >= 300 && col("vec_id") < 360)
+    assert(VectorIndex.appendToIvfIndex(delta, dir) == 60)
+    // simulate the fold's crash window: its per-cell append LANDED but the
+    // delta removal didn't — rows sit in both tiers
+    val deltaRows = spark.read.parquet(s"$dir/delta")
+    deltaRows.repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    // the retried fold drops every already-folded row (anti-join) and
+    // clears the tier — no twins ever reach cells
+    assert(VectorIndex.foldIvfDelta(spark, dir) == 0L)
+    assert(!new java.io.File(s"$dir/delta").exists)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == n0 + 60)
+    assert(cells.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    // the normal (no-crash) path: fresh delta folds fully, partitioning kept
+    assert(VectorIndex.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 360 && col("vec_id") < 400), dir) == 40)
+    assert(VectorIndex.foldIvfDelta(spark, dir) == 40L)
+    assert(spark.read.parquet(s"$dir/cells").count() == n0 + 100)
+    assert(VectorIndex.ivfTopKIndexed(delta.limit(3), dir, k = 2, nprobe = 8).count() == 6)
+  }
+
   test("deleteFromIvfIndex removes exactly the ids, preserves layout, marker and re-appendability") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_del").toString + "/idx"
     VectorIndex.buildIvfIndex(emb, dir, nlist = 8, normalize = true)
