@@ -145,9 +145,28 @@ object SpecJson {
     Option(n.get(f)).map(_.asText).getOrElse(default)
   private def strs(n: JsonNode, f: String): Seq[String] =
     Option(n.get(f)).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+
+  /** Required field of a batch node — fail the PARSE naming op and field
+    * (the ingest-side strict-parse discipline; JSON null = missing). The
+    * raw `n.get(f).asInt` form NPE'd with no context on a hand-authored
+    * spec missing `n`/`k`/`input`, which is the RunSpec persona's most
+    * likely typo.
+    */
+  private def req(n: JsonNode, op: String, f: String): JsonNode = {
+    val v = n.get(f)
+    if (v == null || v.isNull) throw new IllegalArgumentException(
+      s"$op node: missing required field '$f'")
+    v
+  }
   private def namedExprs(n: JsonNode, f: String): Seq[(String, String)] =
     Option(n.get(f)).map(_.elements().asScala.map(e =>
       str(e, "name") -> str(e, "expr")).toSeq).getOrElse(Nil)
+
+  /** Required CHILD node of a batch node, parse-failing with the op and
+    * field name when absent (a bare `parseOp(n.get("input"))` NPE'd).
+    */
+  private def child(n: JsonNode, op: String, f: String): OpSpec =
+    parseOp(req(n, op, f))
 
   private def parseOp(n: JsonNode): OpSpec = str(n, "op") match {
     case "source" =>
@@ -155,76 +174,80 @@ object SpecJson {
         o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
       SourceSpec(str(n, "format"), str(n, "path"), opts, str(n, "rootNode"))
     case "ref"     => RefSpec(str(n, "name"))
-    case "filter"  => FilterSpec(parseOp(n.get("input")), str(n, "predicate"))
-    case "map"     => MapSpec(parseOp(n.get("input")), namedExprs(n, "projections"))
-    case "withColumns" => WithColumnsSpec(parseOp(n.get("input")), namedExprs(n, "columns"))
-    case "explode" => ExplodeSpec(parseOp(n.get("input")), str(n, "arrayExpr"), str(n, "as"))
-    case "agg"     => AggSpec(parseOp(n.get("input")), strs(n, "keys"), namedExprs(n, "aggs"))
-    case "sort"    => SortSpec(parseOp(n.get("input")), strs(n, "keys"))
-    case "window"  => WindowNodeSpec(parseOp(n.get("input")), str(n, "function"),
+    case "filter"  => FilterSpec(child(n, "filter", "input"), str(n, "predicate"))
+    case "map"     => MapSpec(child(n, "map", "input"), namedExprs(n, "projections"))
+    case "withColumns" => WithColumnsSpec(child(n, "withColumns", "input"), namedExprs(n, "columns"))
+    case "explode" => ExplodeSpec(child(n, "explode", "input"), str(n, "arrayExpr"), str(n, "as"))
+    case "agg"     => AggSpec(child(n, "agg", "input"), strs(n, "keys"), namedExprs(n, "aggs"))
+    case "sort"    => SortSpec(child(n, "sort", "input"), strs(n, "keys"))
+    case "window"  => WindowNodeSpec(child(n, "window", "input"), str(n, "function"),
                         str(n, "as"), strs(n, "partitionBy"), strs(n, "orderBy"),
                         str(n, "frame"))
-    case "distinct" => DistinctSpec(parseOp(n.get("input")), strs(n, "keys"), strs(n, "order"))
-    case "limit"   => LimitSpec(parseOp(n.get("input")), n.get("n").asInt)
-    case "join"    => JoinSpec(parseOp(n.get("input")), parseOp(n.get("vocab")),
+    case "distinct" => DistinctSpec(child(n, "distinct", "input"), strs(n, "keys"), strs(n, "order"))
+    case "limit"   => LimitSpec(child(n, "limit", "input"), req(n, "limit", "n").asInt)
+    case "join"    => JoinSpec(child(n, "join", "input"), child(n, "join", "vocab"),
                         str(n, "leftKey"), str(n, "rightKey"), str(n, "joinType", "left"),
                         Option(n.get("broadcastVocab")).forall(_.asBoolean))
-    case "joinDetail" => JoinDetailSpec(parseOp(n.get("master")), parseOp(n.get("detail")),
+    case "joinDetail" => JoinDetailSpec(child(n, "joinDetail", "master"),
+                        child(n, "joinDetail", "detail"),
                         str(n, "masterKey"), str(n, "detailKey"), str(n, "as", "details"),
                         strs(n, "detailCols"))
-    case "union"   => UnionSpec(n.get("inputs").elements().asScala.map(parseOp).toSeq)
-    case "dedup"   => DedupNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "textCol"),
+    case "union"   => UnionSpec(req(n, "union", "inputs").elements().asScala.map(parseOp).toSeq)
+    case "dedup"   => DedupNodeSpec(child(n, "dedup", "input"), str(n, "idCol"), str(n, "textCol"),
                         str(n, "mode", "near"),
                         Option(n.get("threshold")).map(_.asDouble).getOrElse(0.8))
-    case "spanDedup" => SpanDedupNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
+    case "spanDedup" => SpanDedupNodeSpec(child(n, "spanDedup", "input"), str(n, "idCol"),
                         str(n, "textCol"),
                         Option(n.get("k")).map(_.asInt).getOrElse(16))
-    case "semanticDedup" => SemanticDedupNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
-                        str(n, "vecCol"),
+    case "semanticDedup" => SemanticDedupNodeSpec(child(n, "semanticDedup", "input"),
+                        str(n, "idCol"), str(n, "vecCol"),
                         Option(n.get("k")).map(_.asInt).getOrElse(256),
                         Option(n.get("threshold")).map(_.asDouble).getOrElse(0.95),
                         Option(n.get("maxClusterSize")).map(_.asInt).getOrElse(10000),
                         str(n, "centroids", "kmeans"))
-    case "split"   => SplitNodeSpec(parseOp(n.get("input")), str(n, "idCol"),
+    case "split"   => SplitNodeSpec(child(n, "split", "input"), str(n, "idCol"),
                         Option(n.get("splits")).map(_.elements().asScala.map(e =>
-                          str(e, "name") -> e.get("weight").asDouble).toSeq).getOrElse(Nil))
-    case "mix"     => MixNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "stratumCol"),
+                          str(e, "name") -> req(e, "split.splits", "weight").asDouble)
+                          .toSeq).getOrElse(Nil))
+    case "mix"     => MixNodeSpec(child(n, "mix", "input"), str(n, "idCol"), str(n, "stratumCol"),
                         Option(n.get("weights")).map(o =>
                           o.properties().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap)
                           .getOrElse(Map.empty),
                         Option(n.get("defaultWeight")).map(_.asDouble).getOrElse(1.0))
-    case "dsir"    => DsirNodeSpec(parseOp(n.get("input")), parseOp(n.get("target")),
-                        str(n, "idCol"), str(n, "textCol"), n.get("k").asInt,
+    case "dsir"    => DsirNodeSpec(child(n, "dsir", "input"), child(n, "dsir", "target"),
+                        str(n, "idCol"), str(n, "textCol"), req(n, "dsir", "k").asInt,
                         Option(n.get("hexLen")).map(_.asInt).getOrElse(4),
                         Option(n.get("alpha")).map(_.asDouble).getOrElse(0.5),
                         str(n, "salt", "dsir"))
-    case "qualityScore" => QualityScoreNodeSpec(parseOp(n.get("input")), str(n, "textCol"),
+    case "qualityScore" => QualityScoreNodeSpec(child(n, "qualityScore", "input"),
+                        str(n, "textCol"),
                         Option(n.get("weights")).map(_.elements().asScala.map(_.asDouble).toSeq)
                           .getOrElse(Nil))
-    case "decontaminate" => DecontamNodeSpec(parseOp(n.get("input")), parseOp(n.get("bench")),
+    case "decontaminate" => DecontamNodeSpec(child(n, "decontaminate", "input"),
+                        child(n, "decontaminate", "bench"),
                         str(n, "idCol"), str(n, "textCol"),
                         Option(n.get("n")).map(_.asInt).getOrElse(8),
                         Option(n.get("minHits")).map(_.asInt).getOrElse(1),
                         Option(n.get("hashKeys")).exists(_.asBoolean))
-    case "pack"    => PackNodeSpec(parseOp(n.get("input")), str(n, "idCol"), str(n, "textCol"),
-                        n.get("budgetTokens").asLong,
+    case "pack"    => PackNodeSpec(child(n, "pack", "input"), str(n, "idCol"), str(n, "textCol"),
+                        req(n, "pack", "budgetTokens").asLong,
                         Option(n.get("shards")).map(_.asInt).getOrElse(256))
-    case "report"  => ReportNodeSpec(parseOp(n.get("input")), str(n, "textCol"),
+    case "report"  => ReportNodeSpec(child(n, "report", "input"), str(n, "textCol"),
                         str(n, "groupCol"),
                         Option(n.get("exactDistinct")).forall(_.asBoolean))
-    case "annQuery" => AnnQuerySpec(parseOp(n.get("input")), str(n, "indexDir"),
-                        n.get("k").asInt,
+    case "annQuery" => AnnQuerySpec(child(n, "annQuery", "input"), str(n, "indexDir"),
+                        req(n, "annQuery", "k").asInt,
                         Option(n.get("nprobe")).map(_.asInt).getOrElse(3),
                         Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"),
                         Option(n.get("vecCol")).map(_.asText).getOrElse("embedding"))
-    case "layout"  => LayoutNodeSpec(parseOp(n.get("input")), str(n, "layout"), str(n, "path"),
+    case "layout"  => LayoutNodeSpec(child(n, "layout", "input"), str(n, "layout"), str(n, "path"),
                         strs(n, "cols"),
                         Option(n.get("files")).map(_.asInt).getOrElse(64),
                         Option(n.get("bits")).map(_.asInt).getOrElse(10))
     case "compactStore" => CompactStoreSpec(str(n, "path"), strs(n, "keys"))
-    case "deleteIndex" => DeleteIndexSpec(str(n, "indexDir"), parseOp(n.get("ids")),
+    case "deleteIndex" => DeleteIndexSpec(str(n, "indexDir"), child(n, "deleteIndex", "ids"),
                         Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"))
-    case "cache"   => CacheSpec(parseOp(n.get("input")))
+    case "cache"   => CacheSpec(child(n, "cache", "input"))
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
 
@@ -280,8 +303,8 @@ object SpecJson {
 
   def fromJson(json: String): PipelineSpec = {
     val root = M.readTree(json)
-    val nodes = root.get("nodes").elements().asScala.map { n =>
-      str(n, "name") -> parseOp(n.get("spec"))
+    val nodes = req(root, "pipeline", "nodes").elements().asScala.map { n =>
+      str(n, "name") -> parseOp(req(n, s"node '${str(n, "name")}'", "spec"))
     }.toSeq
     PipelineSpec(nodes, str(root, "out"))
   }

@@ -157,6 +157,35 @@ class SpecJsonSpec extends SparkSpec {
     assert(SpecJson.dag(spec).contains("layoutnode"))
   }
 
+  test("missing REQUIRED batch-node fields fail the parse naming op and field, never NPE") {
+    // the ingest-side strict-parse discipline applied to batch specs: a
+    // hand-authored spec with a missing child/numeric field must name the
+    // problem (a bare .get(...).asInt NPE'd with no context)
+    def spec(nodeJson: String) =
+      s"""{"nodes": [{"name": "x", "spec": $nodeJson}], "out": "x"}"""
+    val broken = Seq(
+      spec("""{"op": "limit", "input": {"op": "ref", "name": "p"}}""") -> "'n'",
+      spec("""{"op": "limit", "n": 3}""") -> "'input'",
+      spec("""{"op": "filter", "predicate": "1=1"}""") -> "'input'",
+      spec("""{"op": "join", "input": {"op": "ref", "name": "p"}}""") -> "'vocab'",
+      spec("""{"op": "union"}""") -> "'inputs'",
+      spec("""{"op": "dsir", "input": {"op": "ref", "name": "p"},
+               "target": {"op": "ref", "name": "p"}}""") -> "'k'",
+      spec("""{"op": "pack", "input": {"op": "ref", "name": "p"}}""") -> "'budgetTokens'",
+      spec("""{"op": "annQuery", "input": {"op": "ref", "name": "p"},
+               "indexDir": "/i"}""") -> "'k'",
+      spec("""{"op": "deleteIndex", "indexDir": "/i"}""") -> "'ids'",
+      // JSON null counts as missing, like the ingest parser
+      spec("""{"op": "limit", "n": null, "input": {"op": "ref", "name": "p"}}""") -> "'n'",
+      """{"out": "x"}""" -> "'nodes'",
+      """{"nodes": [{"name": "x"}], "out": "x"}""" -> "'spec'")
+    broken.foreach { case (json, field) =>
+      val e = intercept[IllegalArgumentException](SpecJson.fromJson(json))
+      assert(e.getMessage.contains(field),
+        s"expected $field named in: ${e.getMessage}")
+    }
+  }
+
   test("unknown op discriminator fails loudly") {
     val e = intercept[IllegalArgumentException] {
       SpecJson.fromJson("""{"nodes":[{"name":"x","spec":{"op":"warp"}}],"out":"x"}""")
