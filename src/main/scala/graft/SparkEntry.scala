@@ -1690,6 +1690,10 @@ object SparkEntry {
   private[graft] def annLifecycleSpec: PipelineSpec =
     PipelineSpec(Seq(
       "emb"     -> SourceSpec("parquet", "{%dir%}/embeddings.parquet"),
+      // the WHOLE lifecycle from one JSON file: build the index, purge the
+      // takedown ids, retrieve against the purged store (nodes compile in
+      // declaration order, so build precedes delete precedes query)
+      "built"   -> BuildIndexSpec(RefSpec("emb"), "{%index%}", nlist = 16),
       "victims" -> FilterSpec(RefSpec("emb"), "vec_id >= 20 and vec_id < 40"),
       "purged"  -> DeleteIndexSpec("{%index%}", RefSpec("victims")),
       "queries" -> FilterSpec(RefSpec("emb"), "vec_id < 20"),
@@ -1705,7 +1709,6 @@ object SparkEntry {
   private def qNAnnIndexDeleteSpec(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val idx = java.nio.file.Files.createTempDirectory("gate_anndelspec").toString + "/idx"
-    graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16)
     val ivf = PipelineCompiler.compile(SpecJson.fromJson(annLifecycleJson), s,
       Map("dir" -> dir, "index" -> idx))
     val remaining = emb.filter(col("vec_id") < 20 || col("vec_id") >= 40)

@@ -220,6 +220,20 @@ case class CompactStoreSpec(path: String, keys: Seq[String]) extends OpSpec
   */
 case class DeleteIndexSpec(indexDir: String, ids: OpSpec,
                            idCol: String = "vec_id") extends OpSpec
+/** Persisted-vector-index BUILD
+  * ([[graft.operators.VectorIndex.buildIvfIndex]]): train the coarse
+  * quantizer on the input node's vectors and materialize the partitioned
+  * layout at `indexDir`, yield the cells relation. EAGER like
+  * [[LayoutNodeSpec]] (the build is the one deliberate materialization),
+  * completing the all-JSON index lifecycle: `buildIndex` →
+  * (`vectorIndex` ingest keeps it fresh) → `annQuery` → `deleteIndex`.
+  * `normalize = true` is the documented cosine operating point
+  * (SCALING.md's 1M characterization).
+  */
+case class BuildIndexSpec(input: OpSpec, indexDir: String, nlist: Int = 16,
+                          codec: String = "float", normalize: Boolean = false,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding") extends OpSpec
 /** Lazy persistence barrier (`MEMORY_AND_DISK`): mark a node whose result
   * several downstream branches (or an eager model build PLUS the final
   * plan — the [[DsirNodeSpec]] shape) will scan, so the upstream chain
@@ -476,6 +490,11 @@ object PipelineCompiler {
         val p = sub(dir0)
         graft.operators.VectorIndex.deleteFromIvfIndex(spark, p, build(ids), sub(idCol))
         spark.read.parquet(s"$p/cells")
+      case BuildIndexSpec(in, dir0, nlist, codec, normalize, idCol, vecCol) =>
+        val p = sub(dir0)
+        graft.operators.VectorIndex.buildIvfIndex(build(in), p, nlist,
+          sub(idCol), sub(vecCol), codec = sub(codec), normalize = normalize)
+        spark.read.parquet(s"$p/cells")
       case CacheSpec(in) =>
         val df = build(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         compiledCaches.synchronized { compiledCaches += df }
@@ -524,6 +543,7 @@ object PipelineCompiler {
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case CompactStoreSpec(_, _)            => Set.empty
     case DeleteIndexSpec(_, ids, _)        => refsOf(ids)
+    case BuildIndexSpec(in, _, _, _, _, _, _) => refsOf(in)
     case CacheSpec(in)                  => refsOf(in)
   }
 

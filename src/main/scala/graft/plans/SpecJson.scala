@@ -123,6 +123,11 @@ object SpecJson {
       case DeleteIndexSpec(dir, ids, idCol) =>
         pairs(n, "op" -> "deleteIndex", "indexDir" -> dir, "idCol" -> idCol)
         n.set[JsonNode]("ids", opNode(ids))
+      case BuildIndexSpec(in, dir, nlist, codec, normalize, idCol, vecCol) =>
+        pairs(n, "op" -> "buildIndex", "indexDir" -> dir, "codec" -> codec,
+          "idCol" -> idCol, "vecCol" -> vecCol)
+        n.put("nlist", nlist); n.put("normalize", normalize)
+        n.set[JsonNode]("input", opNode(in))
       case CacheSpec(in) =>
         n.put("op", "cache"); n.set[JsonNode]("input", opNode(in))
     }
@@ -247,6 +252,13 @@ object SpecJson {
     case "compactStore" => CompactStoreSpec(str(n, "path"), strs(n, "keys"))
     case "deleteIndex" => DeleteIndexSpec(str(n, "indexDir"), child(n, "deleteIndex", "ids"),
                         Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"))
+    case "buildIndex" => BuildIndexSpec(child(n, "buildIndex", "input"),
+                        str(n, "indexDir"),
+                        Option(n.get("nlist")).map(_.asInt).getOrElse(16),
+                        str(n, "codec", "float"),
+                        Option(n.get("normalize")).exists(_.asBoolean),
+                        Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"),
+                        Option(n.get("vecCol")).map(_.asText).getOrElse("embedding"))
     case "cache"   => CacheSpec(child(n, "cache", "input"))
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
@@ -559,6 +571,7 @@ object SpecJson {
         case AnnQuerySpec(in, _, _, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
         case DeleteIndexSpec(_, ids, _) => link(ids)
+        case BuildIndexSpec(in, _, _, _, _, _, _) => link(in)
         case CompactStoreSpec(_, _) =>
         case CacheSpec(in) => link(in)
       }

@@ -56,6 +56,8 @@ class SpecJsonSpec extends SparkSpec {
       case _: LayoutNodeSpec => LayoutNodeSpec(in, "zorder", "/data/z", Seq("a", "b"), 32, 8)
       case _: CompactStoreSpec => CompactStoreSpec("/data/store", Seq("fp", "id"))
       case _: DeleteIndexSpec => DeleteIndexSpec("{%root%}/idx", RefSpec("victims"), "doc_id")
+      case _: BuildIndexSpec => BuildIndexSpec(in, "{%root%}/idx", 64, "int8",
+        normalize = true, "doc_id", "vec")
       case _: CacheSpec => CacheSpec(FilterSpec(in, "x > 0"))
     }
     val shapes: Seq[OpSpec] = Seq(
@@ -73,7 +75,8 @@ class SpecJsonSpec extends SparkSpec {
       PackNodeSpec(in, "i", "t", 1L), ReportNodeSpec(in, "t", "g"),
       AnnQuerySpec(in, "p", 5),
       LayoutNodeSpec(in, "sorted", "p", Nil),
-      CompactStoreSpec("p", Seq("fp")), DeleteIndexSpec("p", in), CacheSpec(in))
+      CompactStoreSpec("p", Seq("fp")), DeleteIndexSpec("p", in),
+      BuildIndexSpec(in, "p"), CacheSpec(in))
     shapes.foreach { shape =>
       val op = exemplar(shape)
       val ps = PipelineSpec(Seq("n" -> op), "n")
