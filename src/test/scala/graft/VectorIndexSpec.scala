@@ -186,6 +186,20 @@ class VectorIndexSpec extends SparkSpec {
       "pruning must survive compaction")
   }
 
+  test("empty query side yields an empty result (delta present or not), no throw") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_emptyq").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 200), dir, nlist = 8)
+    val none = emb.filter(col("vec_id") < 0)
+    assert(VectorIndex.ivfTopKIndexed(none, dir, k = 3, nprobe = 4).count() == 0)
+    // with an un-folded delta tier in place, same contract
+    VectorIndex.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 220), dir)
+    assert(VectorIndex.ivfTopKIndexed(none, dir, k = 3, nprobe = 4).count() == 0)
+    // and a delta-tier neighbor IS retrievable before any fold
+    val q = emb.filter(col("vec_id") === 205)
+    assert(VectorIndex.ivfTopKIndexed(q, dir, k = 3, nprobe = 8).count() == 3)
+  }
+
   test("foldIvfDelta is O(delta), idempotent across its crash window, and empties the tier") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_fold").toString + "/idx"
     VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 300), dir, nlist = 8)
