@@ -219,8 +219,12 @@ object VectorIndex {
     Dedup.recoverStore(spark, deltaPath(dir)) // heal a crashed delta rewrite
     val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed FIRST append can leave only _temporary under delta/ —
+    // committer metadata is not data, and reading it would throw
     val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-      st.getPath.getName.endsWith(".parquet") || st.isDirectory
+      val name = st.getPath.getName
+      !name.startsWith("_") && !name.startsWith(".") &&
+        (st.isDirectory || name.endsWith(".parquet"))
     }
     if (hasData) Some(spark.read.parquet(deltaPath(dir))) else None
   }

@@ -200,6 +200,17 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.ivfTopKIndexed(q, dir, k = 3, nprobe = 8).count() == 3)
   }
 
+  test("a delta dir holding only committer metadata reads as an empty tier") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_tmponly").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 100), dir, nlist = 4)
+    // a crashed FIRST append: _temporary exists, no data files committed
+    new java.io.File(s"$dir/delta/_temporary/0").mkdirs()
+    val n0 = spark.read.parquet(s"$dir/cells").count()
+    assert(VectorIndex.readIvfCells(spark, dir).count() == n0)
+    assert(VectorIndex.ivfTopKIndexed(
+      emb.filter(col("vec_id") === 5), dir, k = 2, nprobe = 4).count() == 2)
+  }
+
   test("foldIvfDelta is O(delta), idempotent across its crash window, and empties the tier") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_fold").toString + "/idx"
     VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 300), dir, nlist = 8)
