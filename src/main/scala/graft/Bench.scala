@@ -188,18 +188,29 @@ object Bench {
         ((busy - busy0) * 0.010 - (selfCpu - selfCpu0) / 1e9) / wallSec)
     }
     val loadObj = f""""load":{"start_1m":$loadStart%.2f,"end_1m":$loadEnd%.2f,"other_cores":$otherCores%.2f}"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"queries_spread":$spread,$repsObj,$loadObj,"sf":"$sfDir"}"""
+    // Two lines, compact LAST (VERDICT r14 wrong #1): the r14 single-line
+    // packaging folded the per-rep arrays into the summary and outgrew the
+    // driver's tail capture, which then started mid-line — parsed=null, no
+    // round-14 medians. The consumer tails stdout for the last {...} line,
+    // so the machine contract is a SHORT final line holding only the
+    // medians/spread/load summary; the per-rep wall/gc/jit arrays (the r13
+    // variance-attribution ask) ride a separate PRECEDING detail line and
+    // the file sink, where length is harmless.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"queries_spread":$spread,$loadObj,"sf":"$sfDir"}"""
+    val detailLine = s"""{"metric":"total_reps",$repsObj,"sf":"$sfDir"}"""
     // sbt runMain wraps System.out/err with "[info] "/"[error] " prefixes,
-    // defeating a ^{-anchored parse (VERDICT r1 §wrong #2). Write the line
+    // defeating a ^{-anchored parse (VERDICT r1 §wrong #2). Write the lines
     // to the RAW process file descriptors (sbt substitutes the JVM stream
     // objects, not fd 1/2) and to a well-known file as well.
+    println(detailLine)
     println(line)
     for (fd <- Seq(java.io.FileDescriptor.out, java.io.FileDescriptor.err)) {
       val raw = new java.io.PrintStream(new java.io.FileOutputStream(fd), true, "UTF-8")
-      raw.println(line) // deliberately not closed: fd 1/2 belong to the process
+      raw.println(detailLine) // deliberately not closed: fd 1/2 belong to the process
+      raw.println(line) // summary stays the final line on both fds
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), detailLine + "\n" + line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     spark.stop()
     // hard exit, same rationale as Verify: a gate query's per-JVM service

@@ -1343,6 +1343,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DSIR through the SPEC surface with a PERSISTED model asset
+    * ([[graft.plans.DsirNodeSpec]]`.modelDir`): the FIRST compile trains
+    * the hashed-gram models (the corpus scans) and writes
+    * `$modelDir/dsir_weights`; the gate then compiles the SAME JSON a
+    * second time — the loaded-model path, zero model scans — and returns
+    * THAT selection. Hash-green against the from-scratch oracle replay
+    * proves the parquet weight round-trip is exact: a loaded model selects
+    * the identical k documents (the run-once-model discipline for batch
+    * specs — a 1M-doc spec spent ~97 s/invocation rebuilding identical
+    * compile-time models before this, SCALING.md r14).
+    */
+  private def qNDsirPinned(s: SparkSession, dir: String): DataFrame = {
+    val mdir = java.nio.file.Files.createTempDirectory("gate_dsirmodel").toString
+    val spec = PipelineSpec(Seq(
+      "docs" -> SourceSpec("parquet", "{%dir%}/documents.parquet"),
+      "base" -> MapSpec(RefSpec("docs"),
+        Seq("doc_id" -> "doc_id", "text" -> "text", "lang" -> "lang")),
+      "sel"  -> DsirNodeSpec(RefSpec("base"),
+        FilterSpec(RefSpec("base"), "lang = 'en'"),
+        "doc_id", "text", k = 128, modelDir = "{%model%}")),
+      out = "sel")
+    val json = SpecJson.toJson(spec) // the JSON round-trip is part of the gate
+    val params = Map("dir" -> dir, "model" -> mdir)
+    PipelineCompiler.compile(SpecJson.fromJson(json), s, params) // trains + persists
+    PipelineCompiler.compile(SpecJson.fromJson(json), s, params) // loads the asset
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   /** Pinned BPE tokenizer model for the encode gate: the first 24 merges
     * [[graft.functions.Bpe.trainMerges]] learns on the sf0.01 fixtures
     * (reproduce with `runMain graft.tools.BpeProbe`). Pinning the model is
@@ -2449,6 +2477,7 @@ object SparkEntry {
     "q_n_corpus_report"  -> (qNCorpusReport _),
     "q_n_lm_score"       -> (qNLmScore _),
     "q_n_dsir"           -> (qNDsir _),
+    "q_n_dsir_pinned"    -> (qNDsirPinned _),
     "q_n_quality_model"  -> (qNQualityModel _),
     "q_n_dedup_incr"     -> (qNDedupIncr _),
     "q_n_mix"            -> (qNMix _),
@@ -3214,6 +3243,34 @@ object SparkEntry {
                  CAST(sum(cr.c) AS BIGINT) AS sum_cr
           FROM g LEFT JOIN ct ON g.b = ct.b JOIN cr ON g.b = cr.b
           GROUP BY g.doc_id ORDER BY doc_id""",
+    // the pinned-model DSIR spec: the oracle replays the selection FROM
+    // SCRATCH (gram models + smoothed log-ratio + Gumbel top-k); the gate
+    // returns the LOADED-model run's selection, so hash-match proves the
+    // persisted (bucket, logw) asset round-trips exactly
+    "q_n_dsir_pinned" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          occ AS MATERIALIZED (SELECT doc_id, lang, unnest(list_concat(
+                    list_transform(toks, x -> substr(md5(x), 1, 4)),
+                    list_transform(range(1, len(toks)),
+                      i -> substr(md5(toks[i] || chr(1) || toks[i+1]), 1, 4)))) AS b
+                  FROM t),
+          tct AS MATERIALIZED (SELECT b, count(*) AS c FROM occ WHERE lang = 'en' GROUP BY 1),
+          tcr AS MATERIALIZED (SELECT b, count(*) AS c FROM occ GROUP BY 1),
+          tts AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS v FROM tct),
+          trs AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS v FROM tcr),
+          docw AS (SELECT occ.doc_id,
+                     sum(ln((coalesce(tct.c, 0) + 0.5) / (tts.v + 32768.0))
+                       - ln((tcr.c + 0.5) / (trs.v + 32768.0))) AS logw
+                   FROM occ LEFT JOIN tct USING (b) JOIN tcr USING (b), tts, trs
+                   GROUP BY occ.doc_id),
+          sel AS (SELECT doc_id FROM (
+                    SELECT doc_id, logw - ln(-ln(
+                      (CAST(concat('0x', substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       + 0.5) / 4294967296.0)) AS gk
+                    FROM docw)
+                  ORDER BY gk DESC, doc_id LIMIT 128)
+          SELECT d.doc_id, d.lang FROM documents d JOIN sel USING (doc_id)
+          ORDER BY doc_id""",
     "q_n_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           o AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),

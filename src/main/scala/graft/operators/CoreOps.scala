@@ -142,4 +142,51 @@ object CoreOps {
     */
   def spy(df: DataFrame, name: String, metrics: Seq[Column] = Nil): DataFrame =
     df.observe(name, count(lit(1)).as("rows"), metrics: _*)
+
+  /** Per-RECORD spy tap — the reference's spy callback fires on EVERY
+    * record (`jobs/job.js:202-210`); [[spy]] maps it to aggregate metrics,
+    * which covers the two observed production uses (counts, early-stop)
+    * but not record-level debugging. This tap restores that parity as a
+    * pass-through transform: `tap` runs executor-side on each row that
+    * passes the deterministic sample gate, and the stream is returned
+    * unchanged (the callback result is discarded — a spy observes, a
+    * [[mapper]] transforms). `sampleRate` bounds the cost on a 100 TB run:
+    * the gate is `xxhash64(whole row, salt) / 2⁶³ < rate` — deterministic
+    * per row content, no RNG state, evaluated as one codegen'd expression
+    * — so a debugging session sees a stable sample across retries and the
+    * tap costs one hash per row when sampled out. `sampleRate = 1.0`
+    * (default) is the reference's every-record behavior. The callback must
+    * be serializable; it sees rows as `Row` AFTER upstream transforms,
+    * like the reference's mid-chain spy.
+    */
+  def spyTap(df: DataFrame, tap: org.apache.spark.sql.Row => Unit,
+             sampleRate: Double = 1.0, salt: String = "spy"): DataFrame = {
+    require(sampleRate >= 0.0 && sampleRate <= 1.0,
+      s"spyTap sampleRate must be in [0,1], got $sampleRate")
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    if (sampleRate == 0.0) df
+    else if (sampleRate >= 1.0)
+      // a map (not foreach) so the tap rides the existing plan lazily —
+      // same pass-through position as the reference's mid-chain spy
+      df.map { row => tap(row); row }(enc)
+    else {
+      // deterministic sample gate, codegen'd BEFORE the typed boundary:
+      // xxhash64(row, salt) mapped to [0,1) — stable across task retries
+      val schema = df.schema
+      val n = df.columns.length
+      val gated = df.withColumn("__spy",
+        (xxhash64(struct(df.columns.map(col).toIndexedSeq: _*), lit(salt))
+          .cast("double") / lit(Long.MaxValue.toDouble) + lit(1.0)) / lit(2.0)
+          < lit(sampleRate))
+      val tapped = gated.map { row =>
+        // re-wrap WITHOUT the gate column, only for sampled rows — the
+        // callback sees exactly the user-visible schema
+        if (row.getBoolean(n)) tap(
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array.tabulate[Any](n)(row.get), schema))
+        row
+      }(org.apache.spark.sql.Encoders.row(gated.schema))
+      tapped.drop("__spy")
+    }
+  }
 }

@@ -1241,8 +1241,13 @@ object Dedup {
     // (`array_max(transform(literal, c => struct(cosineSim, -cid)))`,
     // cross-checked in SemDedupSpec) without its per-centroid struct
     // allocations; at k in the hundreds the HOF assignment dominated the
-    // tier (the IVF build's 709 s → 30 s lesson, SCALING.md r14)
-    val best = VectorMath.nearestCosineCellCol(col(vecCol), centroids)
+    // tier (the IVF build's 709 s → 30 s lesson, SCALING.md r14). The
+    // centroid model rides a BROADCAST (r15), not every task closure — at
+    // the 10⁴-centroid rung the embedded matrix was tens of MB per task.
+    // The returned plan holds the handle, so the broadcast lives exactly
+    // as long as any derived DataFrame (ContextCleaner reclaims it after).
+    val bc = VectorMath.broadcastCosineCells(df.sparkSession, centroids)
+    val best = VectorMath.nearestCosineCellBcastCol(col(vecCol), bc)
     df.withColumn("__best", best)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("__best.cluster").as("cluster"),

@@ -65,17 +65,21 @@ object VectorIndex {
   private def wellFormed(df: DataFrame, vecCol: String): DataFrame =
     graft.functions.VectorOps.wellFormedVectors(df, vecCol)
 
-  /** Nearest centroid's cell id — the [[graft.functions.VectorMath.nearestCellsCol]]
-    * kernel (one evaluation per row over the pinned k×dim matrix; ties
-    * break to the lower cell id, the k-means `transform` convention). The
-    * r13 form — `array_min` over a literal array of per-centroid
+  /** Nearest centroid's cell id — the
+    * [[graft.functions.VectorMath.nearestCellsBcastCol]] kernel (one
+    * evaluation per row over the k×dim matrix; ties break to the lower
+    * cell id, the k-means `transform` convention). The r13 form —
+    * `array_min` over a literal array of per-centroid
     * `aggregate(zip_with(...))` structs — interpreted k×dim lambdas PER
     * ROW: at nlist=1000 a 1M-vector build spent 709 s routing; the kernel
-    * routes the same corpus in seconds, bit-identically.
+    * routes the same corpus in seconds, bit-identically. The matrix rides
+    * a BROADCAST (r15): embedded in the expression it shipped with every
+    * task binary — ~0.5 MB at nlist=10³, tens of MB at the 10M–1B rungs
+    * (nlist 3k–30k), where per-task serialization dominated.
     */
   private def nearestCell(vec: org.apache.spark.sql.Column,
-                          centroids: Seq[(Int, Seq[Double])]) =
-    element_at(graft.functions.VectorMath.nearestCellsCol(vec, centroids, 1), 1)
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Double]])]) =
+    element_at(graft.functions.VectorMath.nearestCellsBcastCol(vec, bc, 1), 1)
 
   /** Train the coarse quantizer and materialize the index. The corpus
     * crosses exactly one exchange (repartition by cell → one file per
@@ -136,11 +140,20 @@ object VectorIndex {
       .filter(col(vecAs).isNotNull)
   }
 
-  def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+  /** `nlist <= 0` (the DEFAULT) derives ⌈√N⌉ from the well-formed corpus
+    * count — the standard IVF sizing and the measured 1M operating point
+    * (SCALING.md: nlist=√N, normalized → recall@20 0.854 at nprobe=8; the
+    * old fixed default of 16 cells gave 0.582 on the same corpus).
+    * `normalize = true` is likewise the default: routing is squared-L2 to
+    * the centroids, which only aligns with the cosine retrieval metric on
+    * unit vectors (see the class doc). Pass explicit values to override
+    * either — the toy-size gates do (nlist = 16 on 500-vector corpora).
+    */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     trainSampleCap: Long = 1000000L,
                     codec: String = "float",
-                    normalize: Boolean = false): Unit = {
+                    normalize: Boolean = true): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -152,7 +165,9 @@ object VectorIndex {
     val trainSet =
       if (n <= trainSampleCap) toVec
       else Sampling.hashSample(toVec, "id", trainSampleCap.toDouble / n)
-    val k = math.min(nlist.toLong, n).toInt
+    val wantList = if (nlist > 0) nlist.toLong
+                   else math.ceil(math.sqrt(n.toDouble)).toLong
+    val k = math.min(wantList, n).toInt
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(trainSet)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
@@ -181,10 +196,13 @@ object VectorIndex {
     if (normalize) fs.create(marker, true).close() else fs.delete(marker, false)
     val base = vecSide(corpus, idCol, vecCol, normalize)
     // assignment through the PINNED-centroid kernel (not model.transform)
-    // so build and append share one routing code path
-    payloadOf(base.withColumn("cell", nearestCell(col("vec"), centroids)), codec)
+    // so build and append share one routing code path; centroids broadcast
+    // once per build, not per task
+    val bc = graft.functions.VectorMath.broadcastCells(spark, centroids)
+    try payloadOf(base.withColumn("cell", nearestCell(col("vec"), bc)), codec)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
+    finally bc.unpersist(blocking = false) // the write was the only consumer
   }
 
   /** The pinned coarse quantizer, driver-side (nlist × dim doubles). */
@@ -210,6 +228,48 @@ object VectorIndex {
   // rate, exactly like the other stores' compaction policy.
 
   private def deltaPath(dir: String) = s"$dir/delta"
+
+  /** Committed delta data files at this instant — the snapshot unit of
+    * [[foldIvfDelta]]/[[compactIvfIndex]] isolation: maintenance folds and
+    * then deletes EXACTLY these files, so an [[appendToIvfIndex]] batch
+    * committed while the fold runs stays in the tier untouched (the r14
+    * whole-directory delete silently lost such a batch — ADVICE r14).
+    * Append filenames are committer-UUID'd, so a concurrent batch can
+    * never collide with a snapshot name.
+    */
+  private def listDeltaDataFiles(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    Dedup.recoverStore(spark, deltaPath(dir)) // heal a crashed delta rewrite
+    val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter { st =>
+      val name = st.getPath.getName
+      st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+        name.endsWith(".parquet")
+    }.map(_.getPath)
+  }
+
+  /** Remove exactly the snapshot's files; then retire the directory ONLY
+    * when nothing but committer metadata (`_SUCCESS`, checksum siblings)
+    * remains — a concurrent append's `_temporary` directory or committed
+    * batch keeps the tier alive. This is what makes fold/compact safe to
+    * run beside a live appender: the r14 recursive dir delete silently
+    * destroyed any batch committed after the snapshot listing.
+    */
+  private def removeDeltaSnapshot(spark: SparkSession, dir: String,
+                                  snapshot: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    if (snapshot.isEmpty) return
+    val fs = snapshot.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshot.foreach(f => fs.delete(f, false))
+    val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
+    val leftovers = fs.listStatus(p)
+    val metadataOnly = leftovers.forall { st =>
+      val name = st.getPath.getName
+      st.isFile && (name.startsWith("_") || name.startsWith("."))
+    }
+    if (metadataOnly) fs.delete(p, true) // quiescent tier fully retires
+  }
 
   /** The delta tier, or None when absent/empty (never built, or folded by
     * the last compaction).
@@ -266,7 +326,8 @@ object VectorIndex {
       case None => cells.select("id")
       case Some(d) => cells.select("id").unionByName(d.select("id"))
     }
-    val fresh = payloadOf(
+    val bc = graft.functions.VectorMath.broadcastCells(spark, centroids)
+    val fresh = try payloadOf(
         vecSide(delta, idCol, vecCol, isNormalized(spark, dir))
           // WITHIN-batch dedup too: an at-least-once source can re-deliver
           // an id inside one micro-batch, and the store anti-join below
@@ -274,9 +335,10 @@ object VectorIndex {
           // index and top-k returns the same neighbor at two ranks
           .dropDuplicates("id")
           .join(known, Seq("id"), "left_anti")
-          .withColumn("cell", nearestCell(col("vec"), centroids)),
+          .withColumn("cell", nearestCell(col("vec"), bc)),
         codec)
       .localCheckpoint(true) // sever from the store scan before writing to it
+    finally bc.unpersist(blocking = false) // checkpoint materialized the routing
     val n = fresh.count()
     if (n > 0)
       fresh.coalesce(8) // a batch is a few files, however many cells it touches
@@ -288,41 +350,58 @@ object VectorIndex {
     * the store: anti-join the delta against the cells ids (a crash after
     * a previous fold's append left its rows in both tiers — they drop
     * here, so the fold is idempotent), append the remainder as per-cell
-    * files, then remove the delta. O(delta + one cells-IDS scan), not
-    * O(store) — the scheduled maintenance a 100 TB index can afford;
+    * files, then remove EXACTLY the delta files the fold read
+    * ([[listDeltaDataFiles]] snapshot — an append batch committed while
+    * the fold runs survives in the tier; the r14 whole-directory delete
+    * lost it). O(delta + one cells-IDS scan), not O(store) — the
+    * scheduled maintenance a 100 TB index can afford;
     * [[compactIvfIndex]]'s full rewrite remains for RARE layout health
-    * (per-cell file counts, legacy twin purge). Returns rows folded.
+    * (per-cell file counts, legacy twin purge). Safe to run concurrently
+    * with appends; run only ONE fold/compact at a time (two concurrent
+    * folds of the same snapshot would append the same rows twice).
+    * Returns rows folded. `beforeDelete` is a test seam (the
+    * `ingestVectorIndex(beforeCommit)` pattern) firing between the fold's
+    * cells append and the snapshot-file removal — the concurrency window
+    * under test.
     */
-  def foldIvfDelta(spark: SparkSession, dir: String): Long = {
+  def foldIvfDelta(spark: SparkSession, dir: String,
+                   beforeDelete: () => Unit = () => ()): Long = {
     Dedup.recoverStore(spark, s"$dir/cells")
-    readDeltaOpt(spark, dir) match {
-      case None => 0L
-      case Some(d) =>
-        val cells = spark.read.parquet(s"$dir/cells")
-        val fresh = d.dropDuplicates("id")
-          .join(cells.select("id"), Seq("id"), "left_anti")
-          .localCheckpoint(true) // sever from both stores before mutating them
-        val n = fresh.count()
-        if (n > 0)
-          fresh.repartition(col("cell"))
-            .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
-        val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        n
+    val snapshot = listDeltaDataFiles(spark, dir)
+    if (snapshot.isEmpty) 0L
+    else {
+      val d = spark.read.parquet(snapshot.map(_.toString): _*)
+      val cells = spark.read.parquet(s"$dir/cells")
+      val fresh = d.dropDuplicates("id")
+        .join(cells.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true) // sever from both stores before mutating them
+      val n = fresh.count()
+      if (n > 0)
+        fresh.repartition(col("cell"))
+          .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+      beforeDelete()
+      removeDeltaSnapshot(spark, dir, snapshot)
+      n
     }
   }
 
   /** Full keyed-distinct rewrite of the index (delta folded in, legacy
     * twins purged, per-cell file counts reset to one), under the tmp/old
-    * rename-swap protocol; the delta directory is removed after the swap.
-    * O(store) — use [[foldIvfDelta]] for scheduled maintenance and keep
-    * this as the rare layout-health pass. A crash between the swap and
-    * the delta removal leaves folded ids visible in both tiers — readers
-    * hide the stale delta copy ([[readIvfCells]]/query anti-join) and the
-    * next fold or compaction purges it.
+    * rename-swap protocol; EXACTLY the snapshot's delta files are removed
+    * after the swap ([[listDeltaDataFiles]] — a batch appended while the
+    * rewrite ran survives in the tier; see [[foldIvfDelta]]). O(store) —
+    * use [[foldIvfDelta]] for scheduled maintenance and keep this as the
+    * rare layout-health pass. Safe concurrent with appends; one
+    * fold/compact at a time. A crash between the swap and the delta
+    * removal leaves folded ids visible in both tiers — readers hide the
+    * stale delta copy ([[readIvfCells]]/query anti-join) and the next
+    * fold or compaction purges it.
     */
   def compactIvfIndex(spark: SparkSession, dir: String): (Long, Long) = {
-    val deltaSnapshot = readDeltaOpt(spark, dir)
+    val snapshot = listDeltaDataFiles(spark, dir)
+    val deltaSnapshot =
+      if (snapshot.isEmpty) None
+      else Some(spark.read.parquet(snapshot.map(_.toString): _*))
     val res = Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
       val all = deltaSnapshot match {
         case None => df
@@ -331,10 +410,7 @@ object VectorIndex {
       all.dropDuplicates("id").repartition(col("cell"))
         .write.partitionBy("cell").parquet(out)
     }
-    if (deltaSnapshot.isDefined) {
-      val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    removeDeltaSnapshot(spark, dir, snapshot)
     res
   }
 
@@ -352,7 +428,11 @@ object VectorIndex {
     * id reappears in a delta (the store no longer holds it, so the
     * known-ids anti-join passes it) — deletion removes data, it is not a
     * tombstone. Callers needing never-again semantics filter at the
-    * ingest source.
+    * ingest source. The returned counts cover BOTH tiers — cells plus the
+    * un-folded delta (r14 reported the cells rewrite only, so a takedown
+    * landing shortly after an append undercounted); an id caught in the
+    * compaction crash window (present in both tiers) counts in both, the
+    * same duplicate the readers' anti-join hides.
     */
   def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
                          idCol: String = "vec_id"): (Long, Long) = {
@@ -362,17 +442,18 @@ object VectorIndex {
     // then leaves victims only in cells, where the retried delete still
     // finds them — the reverse order could resurrect a deleted id from a
     // surviving delta copy
-    readDeltaOpt(spark, dir).foreach { _ =>
+    val (dBefore, dAfter) = readDeltaOpt(spark, dir).map { _ =>
       Dedup.rewriteStore(spark, deltaPath(dir)) { (df, out) =>
         df.join(Joins.maybeBroadcast(del), Seq("id"), "left_anti")
           .coalesce(8).write.parquet(out)
       }
-    }
-    Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
+    }.getOrElse((0L, 0L))
+    val (cBefore, cAfter) = Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
       df.join(Joins.maybeBroadcast(del), Seq("id"), "left_anti")
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(out)
     }
+    (cBefore + dBefore, cAfter + dAfter)
   }
 
   /** Top-k cosine neighbors against the persisted index. Same output
@@ -407,17 +488,20 @@ object VectorIndex {
     // nlist×dim centroid scoring evaluates once, not per consumer
     // per-query probe set in ONE kernel evaluation: the probeN nearest
     // cells, (sqdist, cell)-ascending — no crossJoin, no window exchange
-    // on the query side (and no nlist-struct literal in the plan)
+    // on the query side (and no nlist-struct literal in the plan); the
+    // centroid matrix rides a broadcast, not every task binary
+    val bc = graft.functions.VectorMath.broadcastCells(spark, centroids)
     val exploded = qPayload
       .withColumn("cell",
-        explode(graft.functions.VectorMath.nearestCellsCol(
-          col("q_vec"), centroids, probeN)))
+        explode(graft.functions.VectorMath.nearestCellsBcastCol(
+          col("q_vec"), bc, probeN)))
     // float scoring needs q_vec downstream; int8 scored against (q_q, q_n2)
     // and carrying the float vector through the explode would be dead weight
-    val probed = (codec match {
+    val probed = try (codec match {
       case "float" => exploded
       case _       => exploded.drop("q_vec")
     }).localCheckpoint(true)
+    finally bc.unpersist(blocking = false) // checkpoint materialized the routing
     // static partition pruning: the union of probed cells is at most nlist
     // ints — collect it and push `cell IN (...)` into the partitioned scan
     val wanted = probed.select("cell").distinct().collect().map(_.getInt(0))

@@ -116,11 +116,19 @@ case class SpanDedupNodeSpec(input: OpSpec, idCol: String, textCol: String,
   * capped sample) or `"firstK"` ([[graft.operators.Dedup.firstKCentroids]]
   * — the k lowest-id vectors verbatim, fully replayable on any engine; the
   * oracle-portable choice for cross-engine-audited pipelines).
+  *
+  * `modelDir` (optional) persists the trained centroid model: the FIRST
+  * compile trains and writes `$modelDir/centroids`; later compiles load it
+  * and skip the training scan entirely — the run-once-model discipline the
+  * ingest specs already follow, brought to batch (a 1M-doc spec spent
+  * ~97 s per invocation rebuilding identical compile-time models,
+  * SCALING.md r14 stage attribution). Delete the directory to retrain.
   */
 case class SemanticDedupNodeSpec(input: OpSpec, idCol: String, vecCol: String,
                                  k: Int = 256, threshold: Double = 0.95,
                                  maxClusterSize: Int = 10000,
-                                 centroids: String = "kmeans") extends OpSpec
+                                 centroids: String = "kmeans",
+                                 modelDir: String = "") extends OpSpec
 /** Deterministic split column over md5(id) (train/val/test). */
 case class SplitNodeSpec(input: OpSpec, idCol: String,
                          splits: Seq[(String, Double)]) extends OpSpec
@@ -138,10 +146,18 @@ case class MixNodeSpec(input: OpSpec, idCol: String, stratumCol: String,
   * `target` is a `FilterSpec` over the same `input` node, both counts come
   * from ONE conditional-aggregation corpus scan. Both corpora must expose
   * `textCol`.
+  *
+  * `modelDir` (optional) persists the finished `(bucket, logw)` weight
+  * relation: the FIRST compile builds the gram models (the corpus scans)
+  * and writes `$modelDir/dsir_weights`; later compiles read it back and
+  * skip both scans — same discipline as [[SemanticDedupNodeSpec]]'s
+  * `modelDir`. Parquet round-trips the double weights exactly, so a
+  * loaded-model run is hash-identical to the training run.
   */
 case class DsirNodeSpec(input: OpSpec, target: OpSpec, idCol: String,
                         textCol: String, k: Int, hexLen: Int = 4,
-                        alpha: Double = 0.5, salt: String = "dsir") extends OpSpec
+                        alpha: Double = 0.5, salt: String = "dsir",
+                        modelDir: String = "") extends OpSpec
 /** Pinned-weight quality scoring ([[graft.operators.QualityModel.score]]):
   * adds the scaled-integer linear score and accept columns. The weights
   * ride IN the spec JSON — a pinned model asset like the BPE merge list
@@ -227,11 +243,13 @@ case class DeleteIndexSpec(indexDir: String, ids: OpSpec,
   * [[LayoutNodeSpec]] (the build is the one deliberate materialization),
   * completing the all-JSON index lifecycle: `buildIndex` →
   * (`vectorIndex` ingest keeps it fresh) → `annQuery` → `deleteIndex`.
-  * `normalize = true` is the documented cosine operating point
-  * (SCALING.md's 1M characterization).
+  * Defaults are the SCALING.md 1M operating point: `nlist <= 0` derives
+  * ⌈√N⌉ from the corpus count, `normalize = true` aligns the L2 routing
+  * with the cosine retrieval metric (recall@20 0.854 vs 0.582 on the old
+  * fixed 16-cell unnormalized defaults). Override either explicitly.
   */
-case class BuildIndexSpec(input: OpSpec, indexDir: String, nlist: Int = 16,
-                          codec: String = "float", normalize: Boolean = false,
+case class BuildIndexSpec(input: OpSpec, indexDir: String, nlist: Int = 0,
+                          codec: String = "float", normalize: Boolean = true,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding") extends OpSpec
 /** Lazy persistence barrier (`MEMORY_AND_DISK`): mark a node whose result
@@ -253,6 +271,12 @@ object PipelineCompiler {
   /** `{%name%}` template substitution (reference `utils.js:145-172`). */
   def substitute(s: String, params: Map[String, String]): String =
     params.foldLeft(s) { case (acc, (k, v)) => acc.replace(s"{%$k%}", v) }
+
+  /** Does a persisted model asset exist? (Any FS the session can see.) */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   // Relations persisted by CacheSpec nodes during compile(). Without a
   // registry every compile leaks its (possibly disk-spilled) persists for
@@ -403,23 +427,48 @@ object PipelineCompiler {
         df.join(rebuilt, df(idc) === rebuilt("__span_id"))
           .withColumn(tc, col("text_out"))
           .drop("__span_id", "text_out")
-      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs, centMode) =>
+      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs, centMode, modelDir) =>
         val df = build(in)
-        val cents = centMode match {
-          case "kmeans" =>
-            graft.operators.Dedup.trainSemanticCentroids(df, sub(id), sub(vec), k)
-          case "firstK" =>
-            graft.operators.Dedup.firstKCentroids(df, sub(id), sub(vec), k)
-          case other =>
-            throw new IllegalArgumentException(s"centroids '$other' (kmeans|firstK)")
-        }
+        val mdir = sub(modelDir)
+        val centsPath = if (mdir.isEmpty) "" else s"${mdir.stripSuffix("/")}/centroids"
+        // persisted model asset: load the pinned centroids when present,
+        // else train and (when modelDir set) persist — the first run pays
+        // the training scan, every later compile skips it
+        val cents: Seq[(Int, Seq[Float])] =
+          if (centsPath.nonEmpty && pathExists(spark, centsPath))
+            spark.read.parquet(centsPath).select("cell", "centroid").collect()
+              .map(r => (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq.sortBy(_._1)
+          else {
+            val trained = centMode match {
+              case "kmeans" =>
+                graft.operators.Dedup.trainSemanticCentroids(df, sub(id), sub(vec), k)
+              case "firstK" =>
+                graft.operators.Dedup.firstKCentroids(df, sub(id), sub(vec), k)
+              case other =>
+                throw new IllegalArgumentException(s"centroids '$other' (kmeans|firstK)")
+            }
+            if (centsPath.nonEmpty) {
+              import spark.implicits._
+              trained.toDF("cell", "centroid").coalesce(1)
+                .write.mode("overwrite").parquet(centsPath)
+            }
+            trained
+          }
         graft.operators.Dedup.semanticDrop(df, sub(id), sub(vec), cents, thr, maxCs)
       case SplitNodeSpec(in, id, splits) =>
         graft.operators.Sampling.hashSplit(build(in), sub(id), splits)
       case MixNodeSpec(in, id, stratum, weights, dw) =>
         graft.operators.Sampling.weightedMix(build(in), sub(id), sub(stratum), weights, dw)
-      case DsirNodeSpec(in, target, id, text, k, hexLen, alpha, salt) =>
+      case DsirNodeSpec(in, target, id, text, k, hexLen, alpha, salt, modelDir) =>
         val df = build(in)
+        val mdir = sub(modelDir)
+        val weightsPath = if (mdir.isEmpty) "" else s"${mdir.stripSuffix("/")}/dsir_weights"
+        if (weightsPath.nonEmpty && pathExists(spark, weightsPath)) {
+          // persisted model asset: the (bucket, logw) relation is the
+          // FINISHED model — loading it skips both gram-count corpus scans
+          graft.operators.Sampling.importanceResample(df, sub(id), sub(text),
+            spark.read.parquet(weightsPath), k, hexLen, salt)
+        } else {
         // run-once model: collect the bounded count relations to the driver
         // (≤ 16^hexLen rows each) and FINISH the log-ratio math there too —
         // `logw` is pure per-bucket arithmetic over collected counts, and
@@ -454,8 +503,12 @@ object PipelineCompiler {
             math.log((ct + alpha) / (tt + alpha * nBuckets)) -
             math.log((cr + alpha) / (tr + alpha * nBuckets)))
         }
+        val weights = spark.createDataFrame(weightRows).toDF("bucket", "logw")
+        if (weightsPath.nonEmpty)
+          weights.coalesce(1).write.mode("overwrite").parquet(weightsPath)
         graft.operators.Sampling.importanceResample(df, sub(id), sub(text),
-          spark.createDataFrame(weightRows).toDF("bucket", "logw"), k, hexLen, salt)
+          weights, k, hexLen, salt)
+        }
       case QualityScoreNodeSpec(in, text, weights) =>
         graft.operators.QualityModel.score(build(in), sub(text), weights)
       case DecontamNodeSpec(in, bench, id, text, ngram, minHits, hashKeys) =>
@@ -531,10 +584,10 @@ object PipelineCompiler {
     case UnionSpec(ins)                 => ins.flatMap(refsOf).toSet
     case DedupNodeSpec(in, _, _, _, _)  => refsOf(in)
     case SpanDedupNodeSpec(in, _, _, _) => refsOf(in)
-    case SemanticDedupNodeSpec(in, _, _, _, _, _, _) => refsOf(in)
+    case SemanticDedupNodeSpec(in, _, _, _, _, _, _, _) => refsOf(in)
     case SplitNodeSpec(in, _, _)        => refsOf(in)
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
-    case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => refsOf(in) ++ refsOf(tgt)
+    case DsirNodeSpec(in, tgt, _, _, _, _, _, _, _) => refsOf(in) ++ refsOf(tgt)
     case QualityScoreNodeSpec(in, _, _) => refsOf(in)
     case DecontamNodeSpec(in, b, _, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)

@@ -74,10 +74,11 @@ object SpecJson {
       case SpanDedupNodeSpec(in, id, text, k) =>
         pairs(n, "op" -> "spanDedup", "idCol" -> id, "textCol" -> text)
         n.put("k", k); n.set[JsonNode]("input", opNode(in))
-      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs, cents) =>
+      case SemanticDedupNodeSpec(in, id, vec, k, thr, maxCs, cents, modelDir) =>
         pairs(n, "op" -> "semanticDedup", "idCol" -> id, "vecCol" -> vec,
           "centroids" -> cents)
         n.put("k", k); n.put("threshold", thr); n.put("maxClusterSize", maxCs)
+        if (modelDir.nonEmpty) n.put("modelDir", modelDir)
         n.set[JsonNode]("input", opNode(in))
       case SplitNodeSpec(in, id, splits) =>
         pairs(n, "op" -> "split", "idCol" -> id); n.set[JsonNode]("input", opNode(in))
@@ -87,9 +88,10 @@ object SpecJson {
         pairs(n, "op" -> "mix", "idCol" -> id, "stratumCol" -> stratum)
         n.put("defaultWeight", dw); n.set[JsonNode]("input", opNode(in))
         val o = n.putObject("weights"); weights.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
-      case DsirNodeSpec(in, target, id, text, k, hexLen, alpha, salt) =>
+      case DsirNodeSpec(in, target, id, text, k, hexLen, alpha, salt, modelDir) =>
         pairs(n, "op" -> "dsir", "idCol" -> id, "textCol" -> text, "salt" -> salt)
         n.put("k", k); n.put("hexLen", hexLen); n.put("alpha", alpha)
+        if (modelDir.nonEmpty) n.put("modelDir", modelDir)
         n.set[JsonNode]("input", opNode(in)); n.set[JsonNode]("target", opNode(target))
       case QualityScoreNodeSpec(in, text, weights) =>
         pairs(n, "op" -> "qualityScore", "textCol" -> text)
@@ -209,7 +211,8 @@ object SpecJson {
                         Option(n.get("k")).map(_.asInt).getOrElse(256),
                         Option(n.get("threshold")).map(_.asDouble).getOrElse(0.95),
                         Option(n.get("maxClusterSize")).map(_.asInt).getOrElse(10000),
-                        str(n, "centroids", "kmeans"))
+                        str(n, "centroids", "kmeans"),
+                        str(n, "modelDir", ""))
     case "split"   => SplitNodeSpec(child(n, "split", "input"), str(n, "idCol"),
                         Option(n.get("splits")).map(_.elements().asScala.map(e =>
                           str(e, "name") -> req(e, "split.splits", "weight").asDouble)
@@ -223,7 +226,8 @@ object SpecJson {
                         str(n, "idCol"), str(n, "textCol"), req(n, "dsir", "k").asInt,
                         Option(n.get("hexLen")).map(_.asInt).getOrElse(4),
                         Option(n.get("alpha")).map(_.asDouble).getOrElse(0.5),
-                        str(n, "salt", "dsir"))
+                        str(n, "salt", "dsir"),
+                        str(n, "modelDir", ""))
     case "qualityScore" => QualityScoreNodeSpec(child(n, "qualityScore", "input"),
                         str(n, "textCol"),
                         Option(n.get("weights")).map(_.elements().asScala.map(_.asDouble).toSeq)
@@ -254,9 +258,11 @@ object SpecJson {
                         Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"))
     case "buildIndex" => BuildIndexSpec(child(n, "buildIndex", "input"),
                         str(n, "indexDir"),
-                        Option(n.get("nlist")).map(_.asInt).getOrElse(16),
+                        // defaults mirror BuildIndexSpec: nlist 0 = auto
+                        // ⌈√N⌉, normalize true (the cosine operating point)
+                        Option(n.get("nlist")).map(_.asInt).getOrElse(0),
                         str(n, "codec", "float"),
-                        Option(n.get("normalize")).exists(_.asBoolean),
+                        Option(n.get("normalize")).forall(_.asBoolean),
                         Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"),
                         Option(n.get("vecCol")).map(_.asText).getOrElse("embedding"))
     case "cache"   => CacheSpec(child(n, "cache", "input"))
@@ -560,10 +566,10 @@ object SpecJson {
         case UnionSpec(ins) => ins.foreach(link)
         case DedupNodeSpec(in, _, _, _, _) => link(in)
         case SpanDedupNodeSpec(in, _, _, _) => link(in)
-        case SemanticDedupNodeSpec(in, _, _, _, _, _, _) => link(in)
+        case SemanticDedupNodeSpec(in, _, _, _, _, _, _, _) => link(in)
         case SplitNodeSpec(in, _, _) => link(in)
         case MixNodeSpec(in, _, _, _, _) => link(in)
-        case DsirNodeSpec(in, tgt, _, _, _, _, _, _) => link(in); link(tgt)
+        case DsirNodeSpec(in, tgt, _, _, _, _, _, _, _) => link(in); link(tgt)
         case QualityScoreNodeSpec(in, _, _) => link(in)
         case DecontamNodeSpec(in, b, _, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)

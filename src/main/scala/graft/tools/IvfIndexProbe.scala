@@ -58,8 +58,10 @@ object IvfIndexProbe {
     def run(df: => org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // RAW tier (normalize = false EXPLICIT since r15's default flip): the
+    // misaligned-routing contrast the normalized rows are measured against
     val (_, buildF) = time(graft.operators.VectorIndex.buildIvfIndex(
-      emb, s"$root/f", nlist = nlist, trainSampleCap = 100000L))
+      emb, s"$root/f", nlist = nlist, trainSampleCap = 100000L, normalize = false))
     // int8 from the SAME pinned centroids: the codec rows differ only in codec
     val cents = graft.operators.VectorIndex.readCentroids(spark, s"$root/f")
     val (_, buildI) = time(graft.operators.VectorIndex.buildIvfIndexPinned(
@@ -73,8 +75,10 @@ object IvfIndexProbe {
       f"int8=$buildI%7.1f s (${duOf(s"$root/i/cells") / 1e6}%8.1f MB, pinned centroids)")
 
     // ~100 queries spread across the copy generations (exact twins,
-    // near dups, mixtures — mixed retrieval difficulty)
-    val queries = emb.filter(pmod(col("vec_id"), lit(10007L)) === 0)
+    // near dups, mixtures — mixed retrieval difficulty); the modulus
+    // scales with n so the brute-force baseline stays ~100 × n pairs
+    val qmod = if (n > 2000000) 100003L else 10007L
+    val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
       .localCheckpoint(true)
     val nq = queries.count()
     val (exact, exactWall) = time {
@@ -106,33 +110,37 @@ object IvfIndexProbe {
     }
     println(f"IVFBIG int8 nprobe= 8 recall@20=${recallAt(ap8, exact)}%6.4f batch_wall=$w8%6.2f s")
 
-    // NORMALIZED routing: cosine retrieval over unnormalized vectors
-    // routes L2 cells that don't align with the cosine metric (a 2x-scaled
-    // twin lands far from its direction's cell) — the FAISS recipe is
-    // normalize-then-L2. Cosine is scale-invariant, so pre-normalizing
-    // changes only the ROUTING geometry, not the scores.
-    val nrm = graft.functions.VectorOps.normalized(col("embedding"))
-    val embN = emb.select(col("vec_id"), nrm.as("embedding"))
-      .filter(col("embedding").isNotNull)
-    embN.write.mode("overwrite").parquet(s"$root/corpusN")
-    val embNr = spark.read.parquet(s"$root/corpusN")
-    val queriesN = queries.select(col("vec_id"), nrm.as("embedding"))
-      .filter(col("embedding").isNotNull).localCheckpoint(true)
+    // DEFAULT path (r15: nlist omitted → auto ⌈√N⌉, normalize = true):
+    // cosine retrieval over unnormalized vectors routes L2 cells that
+    // don't align with the cosine metric (a 2x-scaled twin lands far from
+    // its direction's cell) — the FAISS recipe is normalize-then-L2,
+    // which the index now applies INTERNALLY by default (corpus at build,
+    // queries via the self-describing marker). Cosine is scale-invariant,
+    // so the RAW exact baseline is the correct ground truth here too —
+    // this measures exactly what a user gets calling buildIvfIndex with
+    // no tuning on a raw corpus.
     val (_, buildN) = time(graft.operators.VectorIndex.buildIvfIndex(
-      embNr, s"$root/n", nlist = nlist, trainSampleCap = 100000L))
-    val exactN = graft.functions.VectorOps.bruteForceTopK(queriesN, embNr, 20)
-      .localCheckpoint(true)
-    exactN.count()
-    println(f"IVFBIG normalized build=$buildN%7.1f s")
+      emb, s"$root/n", trainSampleCap = 100000L))
+    val dNlist = graft.operators.VectorIndex.readCentroids(spark, s"$root/n").size
+    println(f"IVFBIG default-path build=$buildN%7.1f s (auto nlist=$dNlist, normalized layout)")
     for (nprobe <- Seq(1, 2, 4, 8)) {
       val (apN, wN) = time {
         val a = graft.operators.VectorIndex.ivfTopKIndexed(
-          queriesN, s"$root/n", k = 20, nprobe = nprobe).localCheckpoint(true)
+          queries, s"$root/n", k = 20, nprobe = nprobe).localCheckpoint(true)
         a.count(); a
       }
-      println(f"IVFBIG normalized nprobe=$nprobe%2d recall@20=${recallAt(apN, exactN)}%6.4f " +
-        f"tie_recall@20=${tieRecallAt(apN, exactN)}%6.4f batch_wall=$wN%6.2f s")
+      println(f"IVFBIG default-path nprobe=$nprobe%2d recall@20=${recallAt(apN, exact)}%6.4f " +
+        f"tie_recall@20=${tieRecallAt(apN, exact)}%6.4f batch_wall=$wN%6.2f s")
     }
+    // takedown at scale: delete ~0.1% of ids from the default-path index
+    // (anti-join rewrite, layout preserved) and re-check serving
+    val victims = emb.filter(pmod(col("vec_id"), lit(997L)) === 0).select("vec_id")
+    val ((delB, delA), delWall) = time(
+      graft.operators.VectorIndex.deleteFromIvfIndex(spark, s"$root/n", victims))
+    val (_, postWall) = time(run(graft.operators.VectorIndex.ivfTopKIndexed(
+      queries, s"$root/n", k = 20, nprobe = 8)))
+    println(f"IVFBIG delete ids=${delB - delA}%8d wall=$delWall%7.1f s " +
+      f"(O(store) rewrite) post_delete_batch=$postWall%6.2f s")
     spark.stop(); sys.exit(0)
   }
 

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators._
+import scala.jdk.CollectionConverters._
 
 /** Operator-level specs mirroring the reference's scenario list
   * (`/root/reference/tests/jobs.js` — map/filter/uniq/sort/join/split/
@@ -140,4 +141,43 @@ class CoreOpsSpec extends SparkSpec {
     df.write.format("noop").mode("overwrite").save()
     assert(obs.get("rows") == 3L)
   }
+
+  test("spyTap fires the callback per record, pass-through, deterministic sample") {
+    // the reference's spy invokes a callback on EVERY record
+    // (jobs/job.js:202-210); spyTap is the record-level debugging tap
+    // beside the aggregate-metric spy. Executor-side callback → observe
+    // through a JVM-global sink (local[“n”] shares the JVM).
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    CoreOpsSpecTapSink.sink = id => { seen.add(id); () }
+    val df = spark.range(0, 100).toDF("id")
+    val out = graft.operators.CoreOps.spyTap(df,
+      row => CoreOpsSpecTapSink.sink(row.getLong(row.fieldIndex("id"))))
+    // pass-through: the stream is unchanged (schema and content)
+    assert(out.columns.toSeq == Seq("id"))
+    assert(out.count() == 100)
+    assert(seen.size == 100, s"every record taps at rate 1.0, saw ${seen.size}")
+    // sampled: deterministic gate — the same subset on every execution,
+    // the callback sees the USER schema (no gate column), count in (0, n)
+    seen.clear()
+    val sampled = graft.operators.CoreOps.spyTap(df,
+      row => { assert(row.schema.fieldNames.toSeq == Seq("id"))
+        CoreOpsSpecTapSink.sink(row.getLong(0)) }, sampleRate = 0.3)
+    assert(sampled.count() == 100, "sampling gates the TAP, never the stream")
+    val first = Set.empty[Long] ++ seen.asScala
+    assert(first.nonEmpty && first.size < 100, s"expected a strict sample, got ${first.size}")
+    seen.clear()
+    sampled.write.format("noop").mode("overwrite").save()
+    assert((Set.empty[Long] ++ seen.asScala) == first, "sample must be deterministic per row")
+    // rate 0 short-circuits to the input plan itself
+    assert(graft.operators.CoreOps.spyTap(df, _ => fail("rate-0 tap fired"), 0.0) eq df)
+  }
+}
+
+/** JVM-global tap sink: the spyTap callback runs on executor threads (same
+  * JVM under local[n]); a closure-captured collection would be serialized
+  * per task and mutate a COPY on a real cluster — the object-field pattern
+  * keeps the test honest about where the callback executes.
+  */
+object CoreOpsSpecTapSink {
+  @volatile var sink: Long => Unit = _ => ()
 }

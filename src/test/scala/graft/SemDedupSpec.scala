@@ -175,6 +175,31 @@ class SemDedupSpec extends SparkSpec {
       kept.intersect(Set(4L, 5L)).size == 1, s"got $kept")
   }
 
+  test("semanticDedup node modelDir: first compile persists centroids, later compiles load them") {
+    import graft.plans._
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_model").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val spec = PipelineSpec(Seq(
+      "emb"   -> SourceSpec("parquet", s"$dir/emb.parquet"),
+      "fresh" -> SemanticDedupNodeSpec(RefSpec("emb"), "vec_id", "embedding",
+        k = 2, threshold = 0.95, modelDir = s"$dir/model")), out = "fresh")
+    val json = SpecJson.toJson(spec)
+    val first = PipelineCompiler.compile(SpecJson.fromJson(json), spark)
+      .select("vec_id").as[Long].collect().toSet
+    // the asset exists, holds k centroids, and a reload selects identically
+    val persisted = spark.read.parquet(s"$dir/model/centroids")
+    assert(persisted.count() == 2 &&
+      persisted.columns.toSet == Set("cell", "centroid"))
+    // the load path must not retrain or rewrite the asset
+    def mtimes = new java.io.File(s"$dir/model/centroids").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = mtimes
+    val second = PipelineCompiler.compile(SpecJson.fromJson(json), spark)
+      .select("vec_id").as[Long].collect().toSet
+    assert(second == first, s"loaded-model run must select identically: $second vs $first")
+    assert(mtimes == before, "a loaded-model compile must not rewrite the asset")
+  }
+
   test("trained-centroid path: planted-pair recall floors on the ORGANIC fixture; model is seed-deterministic") {
     // the production path — trainSemanticCentroids → assignSemanticClusters
     // → semanticDedupPairsAssigned — pinned on organic embeddings the way

@@ -43,10 +43,10 @@ class SpecJsonSpec extends SparkSpec {
       case _: UnionSpec   => UnionSpec(Seq(in, RefSpec("other")))
       case _: DedupNodeSpec => DedupNodeSpec(in, "id", "txt", "exact", 0.65)
       case _: SpanDedupNodeSpec => SpanDedupNodeSpec(in, "id", "txt", 24)
-      case _: SemanticDedupNodeSpec => SemanticDedupNodeSpec(in, "id", "emb", 64, 0.92, 5000, "firstK")
+      case _: SemanticDedupNodeSpec => SemanticDedupNodeSpec(in, "id", "emb", 64, 0.92, 5000, "firstK", "/m/sem")
       case _: SplitNodeSpec => SplitNodeSpec(in, "id", Seq("train" -> 0.75, "test" -> 0.25))
       case _: MixNodeSpec => MixNodeSpec(in, "id", "lang", Map("fr" -> 2.0, "en" -> 0.5), 1.5)
-      case _: DsirNodeSpec => DsirNodeSpec(in, RefSpec("tgt"), "id", "txt", 500, 3, 0.25, "s2")
+      case _: DsirNodeSpec => DsirNodeSpec(in, RefSpec("tgt"), "id", "txt", 500, 3, 0.25, "s2", "/m/dsir")
       case _: QualityScoreNodeSpec => QualityScoreNodeSpec(in, "txt", Seq(0.5, -1.25, 3.0))
       case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2,
         hashKeys = true)

@@ -237,6 +237,35 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.ivfTopKIndexed(delta.limit(3), dir, k = 2, nprobe = 8).count() == 6)
   }
 
+  test("fold deletes only its snapshot: a batch appended mid-fold survives") {
+    // the ADVICE r14 data-loss window: an appendToIvfIndex batch committed
+    // between the fold's delta listing and its tier removal was destroyed
+    // by the recursive dir delete. The beforeDelete seam lands a batch in
+    // exactly that window; it must stay in the tier and stay retrievable.
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_race").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 200), dir, nlist = 8)
+    assert(VectorIndex.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 260), dir) == 60)
+    var lateAppend = -1L
+    val folded = VectorIndex.foldIvfDelta(spark, dir, beforeDelete = () =>
+      lateAppend = VectorIndex.appendToIvfIndex(
+        emb.filter(col("vec_id") >= 260 && col("vec_id") < 300), dir))
+    assert(folded == 60 && lateAppend == 40)
+    // the mid-fold batch survives in the (still-live) delta tier...
+    assert(spark.read.parquet(s"$dir/delta").count() == 40,
+      "a batch appended during the fold must survive the snapshot removal")
+    // ...nothing lost, nothing doubled, everything retrievable
+    val view = VectorIndex.readIvfCells(spark, dir)
+    assert(view.count() == 300)
+    assert(view.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    assert(VectorIndex.ivfTopKIndexed(
+      emb.filter(col("vec_id") === 275), dir, k = 3, nprobe = 8).count() == 3)
+    // a quiescent second fold absorbs it and retires the tier
+    assert(VectorIndex.foldIvfDelta(spark, dir) == 40L)
+    assert(!new java.io.File(s"$dir/delta").exists)
+    assert(spark.read.parquet(s"$dir/cells").count() == 300)
+  }
+
   test("deleteFromIvfIndex removes exactly the ids, preserves layout, marker and re-appendability") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_del").toString + "/idx"
     VectorIndex.buildIvfIndex(emb, dir, nlist = 8, normalize = true)
@@ -262,6 +291,14 @@ class VectorIndexSpec extends SparkSpec {
     // deletion is not a tombstone: the same ids re-append organically
     val re = VectorIndex.appendToIvfIndex(victims, dir)
     assert(re > 0 && re <= 50, s"victims re-append after deletion (got $re)")
+    // r15: the returned counts cover BOTH tiers — the re-appended victims
+    // now live ONLY in the delta, and deleting them again must report it
+    // (r14 counted the cells rewrite only, undercounting a takedown that
+    // landed shortly after an append)
+    val nCells = spark.read.parquet(s"$dir/cells").count()
+    val (b2, a2) = VectorIndex.deleteFromIvfIndex(spark, dir, victims)
+    assert(b2 - a2 == re, s"delta-tier victims must count: removed ${b2 - a2}, expected $re")
+    assert(a2 == nCells, "a delta-only delete leaves the cells tier untouched")
   }
 
   test("streaming maintenance: batches index once each, crash window heals via compaction") {
