@@ -359,6 +359,13 @@ object VectorIndex {
     * (per-cell file counts, legacy twin purge). Safe to run concurrently
     * with appends; run only ONE fold/compact at a time (two concurrent
     * folds of the same snapshot would append the same rows twice).
+    * Concurrent QUERIES are a narrower contract: a query planned before
+    * the fold may hit a deleted delta file (FileNotFoundException —
+    * retry it) or, planned mid-fold, read the folding rows from the
+    * already-appended cells side; it never sees duplicates (the reader
+    * anti-join) but a retryable read error during the deletion window
+    * is possible — schedule folds accordingly or wrap retrieval in a
+    * retry at 100 TB fold walls.
     * Returns rows folded. `beforeDelete` is a test seam (the
     * `ingestVectorIndex(beforeCommit)` pattern) firing between the fold's
     * cells append and the snapshot-file removal — the concurrency window
@@ -428,7 +435,18 @@ object VectorIndex {
     * id reappears in a delta (the store no longer holds it, so the
     * known-ids anti-join passes it) — deletion removes data, it is not a
     * tombstone. Callers needing never-again semantics filter at the
-    * ingest source. The returned counts cover BOTH tiers — cells plus the
+    * ingest source.
+    *
+    * Unlike [[foldIvfDelta]]/[[compactIvfIndex]] (snapshot-scoped, safe
+    * beside a live appender), deletion is STOP-THE-WORLD maintenance:
+    * both tiers rewrite under whole-directory rename swaps, so run it
+    * with appends and queries quiesced — an append committing during
+    * the delta swap could land in the retired generation and be lost.
+    * A takedown batch is an operator action, not a steady-state path;
+    * the single-writer ingest lock already serializes it against the
+    * streaming maintenance.
+    *
+    * The returned counts cover BOTH tiers — cells plus the
     * un-folded delta (r14 reported the cells rewrite only, so a takedown
     * landing shortly after an append undercounted); an id caught in the
     * compaction crash window (present in both tiers) counts in both, the
