@@ -148,6 +148,14 @@ object VectorIndex {
     * the centroids, which only aligns with the cosine retrieval metric on
     * unit vectors (see the class doc). Pass explicit values to override
     * either — the toy-size gates do (nlist = 16 on 500-vector corpora).
+    *
+    * Training-cost boundary of the auto default: k-means is
+    * O(sample × k × dim × iters), so auto-nlist makes training grow
+    * with √N — measured fine through the 10M rung (k=3163: 378 s
+    * end-to-end build, SCALING.md), but at 100M+ (k ≥ 10⁴) the fit
+    * itself dominates; there, pass an explicit smaller nlist (recall
+    * buys back via nprobe) or train centroids offline/hierarchically
+    * and build with [[buildIvfIndexPinned]].
     */
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
