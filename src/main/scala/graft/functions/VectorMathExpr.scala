@@ -386,14 +386,18 @@ case class NearestCosineCellBcast(child: Expression,
     case _ => false
   }
 
+  // one block-manager read + min per task, not per degenerate row
+  @transient private lazy val model = bc.value
+  @transient private lazy val minCell = model._1.min
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    val (cells, centroids) = bc.value
     val res = if (v == null) null
-      else VectorMath.nearestCosineCell(v.asInstanceOf[ArrayData], isFloat, cells, centroids)
+      else VectorMath.nearestCosineCell(v.asInstanceOf[ArrayData], isFloat,
+        model._1, model._2)
     if (res == null)
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](cells.min, null))
+        Array[Any](minCell, null))
     else res
   }
 
@@ -436,9 +440,13 @@ object VectorMath {
     */
   def broadcastCells(spark: org.apache.spark.sql.SparkSession,
                      centroids: Seq[(Int, Seq[Double])])
-      : org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Double]])] =
+      : org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Double]])] = {
+    // validate at construction (like the embedded kernels' requires) —
+    // an empty model would otherwise fail per-row inside the kernel
+    require(centroids.nonEmpty, "broadcastCells: empty centroid set")
     spark.sparkContext.broadcast(
       (centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray))
+  }
 
   /** [[NearestCellsBcast]] — broadcast-resident centroid matrix. */
   def nearestCellsBcastCol(vec: Column,
@@ -449,9 +457,11 @@ object VectorMath {
   /** [[broadcastCells]]'s float-centroid counterpart for the SemDeDup model. */
   def broadcastCosineCells(spark: org.apache.spark.sql.SparkSession,
                            centroids: Seq[(Int, Seq[Float])])
-      : org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Float]])] =
+      : org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Float]])] = {
+    require(centroids.nonEmpty, "broadcastCosineCells: empty centroid set")
     spark.sparkContext.broadcast(
       (centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray))
+  }
 
   /** [[NearestCosineCellBcast]] — broadcast-resident assignment model. */
   def nearestCosineCellBcastCol(vec: Column,

@@ -171,11 +171,26 @@ object CoreOps {
       df.map { row => tap(row); row }(enc)
     else {
       // deterministic sample gate, codegen'd BEFORE the typed boundary:
-      // xxhash64(row, salt) mapped to [0,1) — stable across task retries
+      // xxhash64(hashable columns, salt) mapped to [0,1) — stable across
+      // task retries. MapType is unhashable in Spark SQL, so map-bearing
+      // columns are excluded from the gate input (they still pass through
+      // untouched); a pathological all-map schema degrades to a constant
+      // gate — all rows tap or none, by rate. The gate column name dodges
+      // any user column literally named __spy.
       val schema = df.schema
       val n = df.columns.length
-      val gated = df.withColumn("__spy",
-        (xxhash64(struct(df.columns.map(col).toIndexedSeq: _*), lit(salt))
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+      val gateInput = schema.fields.filter(f => hashable(f.dataType))
+        .map(f => col(f.name)).toIndexedSeq
+      val gate = Iterator.from(0).map(i => s"__spy$i")
+        .find(g => !df.columns.contains(g)).get
+      val gated = df.withColumn(gate,
+        (xxhash64((if (gateInput.nonEmpty) gateInput else Seq(lit(1))) :+ lit(salt): _*)
           .cast("double") / lit(Long.MaxValue.toDouble) + lit(1.0)) / lit(2.0)
           < lit(sampleRate))
       val tapped = gated.map { row =>
@@ -186,7 +201,7 @@ object CoreOps {
             Array.tabulate[Any](n)(row.get), schema))
         row
       }(org.apache.spark.sql.Encoders.row(gated.schema))
-      tapped.drop("__spy")
+      tapped.drop(gate)
     }
   }
 }

@@ -276,7 +276,18 @@ object VectorIndex {
       val name = st.getPath.getName
       st.isFile && (name.startsWith("_") || name.startsWith("."))
     }
-    if (metadataOnly) fs.delete(p, true) // quiescent tier fully retires
+    if (metadataOnly) {
+      // retire the quiescent tier WITHOUT a recursive delete: remove the
+      // metadata files we just listed, then a NON-recursive dir delete —
+      // anything a concurrent appender created after the listing
+      // (_temporary, a committed batch) makes the dir non-empty, the
+      // delete fails harmlessly, and the tier stays alive. A recursive
+      // delete here would re-open the r14 data-loss race in a narrower
+      // window (list → delete TOCTOU).
+      leftovers.foreach(st => fs.delete(st.getPath, false))
+      try fs.delete(p, false)
+      catch { case _: java.io.IOException => () } // concurrent arrival keeps the tier
+    }
   }
 
   /** The delta tier, or None when absent/empty (never built, or folded by
@@ -367,13 +378,12 @@ object VectorIndex {
     * (per-cell file counts, legacy twin purge). Safe to run concurrently
     * with appends; run only ONE fold/compact at a time (two concurrent
     * folds of the same snapshot would append the same rows twice).
-    * Concurrent QUERIES are a narrower contract: a query planned before
-    * the fold may hit a deleted delta file (FileNotFoundException —
-    * retry it) or, planned mid-fold, read the folding rows from the
-    * already-appended cells side; it never sees duplicates (the reader
-    * anti-join) but a retryable read error during the deletion window
-    * is possible — schedule folds accordingly or wrap retrieval in a
-    * retry at 100 TB fold walls.
+    * "Safe" beside an appender means NO DATA LOSS, not no retries:
+    * concurrent QUERIES — and a concurrent append's own known-ids read
+    * of the delta tier — may hit a deleted snapshot file during the
+    * deletion window (FileNotFoundException; the streaming engine
+    * retries the batch, ad-hoc callers retry the read). Schedule folds
+    * accordingly or wrap retrieval in a retry at 100 TB fold walls.
     * Returns rows folded. `beforeDelete` is a test seam (the
     * `ingestVectorIndex(beforeCommit)` pattern) firing between the fold's
     * cells append and the snapshot-file removal — the concurrency window

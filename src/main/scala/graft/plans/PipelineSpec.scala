@@ -272,10 +272,22 @@ object PipelineCompiler {
   def substitute(s: String, params: Map[String, String]): String =
     params.foldLeft(s) { case (acc, (k, v)) => acc.replace(s"{%$k%}", v) }
 
-  /** Does a persisted model asset exist? (Any FS the session can see.) */
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
+  /** Does a persisted model asset hold COMMITTED data? Bare directory
+    * existence is not enough: a first persist that crashed mid-write
+    * leaves a dir holding only `_temporary`, and gating the load branch
+    * on it would wedge every later compile on an unreadable asset (the
+    * [[graft.operators.Dedup]] stores guard the same way). Such a
+    * partial asset reads as absent, so the next compile retrains and
+    * overwrites it.
+    */
+  private def assetExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val name = st.getPath.getName
+      st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+        name.endsWith(".parquet")
+    }
   }
 
   // Relations persisted by CacheSpec nodes during compile(). Without a
@@ -435,7 +447,7 @@ object PipelineCompiler {
         // else train and (when modelDir set) persist — the first run pays
         // the training scan, every later compile skips it
         val cents: Seq[(Int, Seq[Float])] =
-          if (centsPath.nonEmpty && pathExists(spark, centsPath))
+          if (centsPath.nonEmpty && assetExists(spark, centsPath))
             spark.read.parquet(centsPath).select("cell", "centroid").collect()
               .map(r => (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq.sortBy(_._1)
           else {
@@ -463,11 +475,20 @@ object PipelineCompiler {
         val df = build(in)
         val mdir = sub(modelDir)
         val weightsPath = if (mdir.isEmpty) "" else s"${mdir.stripSuffix("/")}/dsir_weights"
-        if (weightsPath.nonEmpty && pathExists(spark, weightsPath)) {
+        if (weightsPath.nonEmpty && assetExists(spark, weightsPath)) {
           // persisted model asset: the (bucket, logw) relation is the
           // FINISHED model — loading it skips both gram-count corpus scans
+          val loaded = spark.read.parquet(weightsPath)
+          // the scoring join keys hex buckets of EXACTLY hexLen chars; a
+          // spec whose hexLen changed after the persist would inner-join
+          // zero rows and silently select nothing — fail loudly instead
+          val sampleBucket = loaded.select("bucket").head().getString(0)
+          require(sampleBucket.length == hexLen,
+            s"dsir modelDir '$weightsPath' holds hexLen=${sampleBucket.length} " +
+              s"weights but the spec says hexLen=$hexLen — delete the asset to " +
+              "retrain, or restore the original hexLen")
           graft.operators.Sampling.importanceResample(df, sub(id), sub(text),
-            spark.read.parquet(weightsPath), k, hexLen, salt)
+            loaded, k, hexLen, salt)
         } else {
         // run-once model: collect the bounded count relations to the driver
         // (≤ 16^hexLen rows each) and FINISH the log-ratio math there too —

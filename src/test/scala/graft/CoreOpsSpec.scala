@@ -170,6 +170,16 @@ class CoreOpsSpec extends SparkSpec {
     assert((Set.empty[Long] ++ seen.asScala) == first, "sample must be deterministic per row")
     // rate 0 short-circuits to the input plan itself
     assert(graft.operators.CoreOps.spyTap(df, _ => fail("rate-0 tap fired"), 0.0) eq df)
+    // edge inputs (r15 review): a user column literally named __spy must
+    // survive pass-through (the gate picks a fresh name), and MapType
+    // columns — unhashable in Spark SQL — must not break the sampled gate
+    val tricky = spark.range(0, 20)
+      .withColumn("__spy", col("id") % 2 === 0)
+      .withColumn("m", map(lit("k"), col("id").cast("string")))
+    val out2 = graft.operators.CoreOps.spyTap(tricky, _ => (), sampleRate = 0.5)
+    assert(out2.columns.toSeq == Seq("id", "__spy", "m"),
+      "pass-through must keep a user __spy column and map columns intact")
+    assert(out2.filter(col("__spy")).count() == 10)
   }
 }
 

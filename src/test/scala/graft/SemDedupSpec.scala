@@ -184,6 +184,10 @@ class SemDedupSpec extends SparkSpec {
       "fresh" -> SemanticDedupNodeSpec(RefSpec("emb"), "vec_id", "embedding",
         k = 2, threshold = 0.95, modelDir = s"$dir/model")), out = "fresh")
     val json = SpecJson.toJson(spec)
+    // a crashed FIRST persist leaves a dir holding only committer
+    // metadata — it must read as ABSENT (train + overwrite), not wedge
+    // every later compile on an unreadable asset (r15 review)
+    new java.io.File(s"$dir/model/centroids/_temporary/0").mkdirs()
     val first = PipelineCompiler.compile(SpecJson.fromJson(json), spark)
       .select("vec_id").as[Long].collect().toSet
     // the asset exists, holds k centroids, and a reload selects identically
