@@ -158,6 +158,14 @@ object CoreOps {
     * (default) is the reference's every-record behavior. The callback must
     * be serializable; it sees rows as `Row` AFTER upstream transforms,
     * like the reference's mid-chain spy.
+    *
+    * Re-fire semantics: the tap rides the PLAN, so it fires once per Spark
+    * EXECUTION — a DataFrame consumed by multiple actions re-invokes the
+    * tap for the same rows, and a retried task replays its partition's
+    * taps. The determinism claim covers WHICH rows are sampled (stable
+    * across retries), not how many times each fires: side-effect tallies
+    * are per-execution observations, not record-lifetime counts — use
+    * [[spy]]'s observed metrics when an exact per-action count is the ask.
     */
   def spyTap(df: DataFrame, tap: org.apache.spark.sql.Row => Unit,
              sampleRate: Double = 1.0, salt: String = "spy"): DataFrame = {
@@ -187,8 +195,11 @@ object CoreOps {
       }
       val gateInput = schema.fields.filter(f => hashable(f.dataType))
         .map(f => col(f.name)).toIndexedSeq
+      // case-INSENSITIVE freshness check: withColumn resolves names
+      // case-insensitively by default, so a user column differing only in
+      // case (e.g. __SPY0) would otherwise be silently replaced and dropped
       val gate = Iterator.from(0).map(i => s"__spy$i")
-        .find(g => !df.columns.contains(g)).get
+        .find(g => !df.columns.exists(_.equalsIgnoreCase(g))).get
       val gated = df.withColumn(gate,
         (xxhash64((if (gateInput.nonEmpty) gateInput else Seq(lit(1))) :+ lit(salt): _*)
           .cast("double") / lit(Long.MaxValue.toDouble) + lit(1.0)) / lit(2.0)

@@ -1233,7 +1233,21 @@ object Dedup {
     * it is never dropped — nulls stay inert end to end).
     */
   def assignSemanticClusters(df: DataFrame, idCol: String, vecCol: String,
-                             centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+                             centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    assignSemanticClustersHandle(df, idCol, vecCol, centroids)._1
+
+  /** [[assignSemanticClusters]] returning the centroid BROADCAST handle
+    * alongside the plan, for eager consumers ([[semanticDrop]]) that can
+    * `unpersist` the executor copies once their result is materialized —
+    * without the handle a long-lived session compiling many semantic-dedup
+    * specs accumulates executor broadcast blocks until the ContextCleaner
+    * happens to GC the dropped plans (unpersist, not destroy: a re-executed
+    * plan lazily re-ships the driver-side value).
+    */
+  private[graft] def assignSemanticClustersHandle(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])])
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Float]])]) = {
     require(centroids.nonEmpty, "assignSemanticClusters: empty centroid set")
     import graft.functions.VectorMath
     // ONE kernel evaluation per row (functions/VectorMathExpr
@@ -1248,10 +1262,10 @@ object Dedup {
     // as long as any derived DataFrame (ContextCleaner reclaims it after).
     val bc = VectorMath.broadcastCosineCells(df.sparkSession, centroids)
     val best = VectorMath.nearestCosineCellBcastCol(col(vecCol), bc)
-    df.withColumn("__best", best)
+    (df.withColumn("__best", best)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         col("__best.cluster").as("cluster"),
-        col("__best.centroid_sim").as("centroid_sim"))
+        col("__best.centroid_sim").as("centroid_sim")), bc)
   }
 
   /** SemDeDup pairs: exact cosine ≥ `threshold`, computed ONLY within a
@@ -1447,8 +1461,15 @@ object Dedup {
   def semanticDrop(df: DataFrame, idCol: String, vecCol: String,
                    centroids: Seq[(Int, Seq[Float])], threshold: Double,
                    maxClusterSize: Int = 10000): DataFrame = {
-    val losers = withCacheScope {
-      val assigned = cached(assignSemanticClusters(spread(df), idCol, vecCol, centroids))
+    // this consumer is EAGER (losers ends in a localCheckpoint), so the
+    // centroid broadcast's executor copies are released as soon as the
+    // result materializes instead of lingering until the ContextCleaner
+    // notices the dropped plan (unbounded in a service compiling many
+    // semantic-dedup specs — ADVICE r15)
+    val (assignedRaw, bc) =
+      assignSemanticClustersHandle(spread(df), idCol, vecCol, centroids)
+    val losers = try withCacheScope {
+      val assigned = cached(assignedRaw)
       val prs = semanticPairsOfAssigned(assigned, cached, threshold, maxClusterSize,
         "semanticDrop")
       val memb = clusters(prs).withColumnRenamed("cluster", "grp")
@@ -1457,7 +1478,7 @@ object Dedup {
         .agg(min_by(col("id"), struct(col("centroid_sim"), col("id"))).as("keep_id"))
       ranked.join(keep, Seq("grp")).filter(col("id") =!= col("keep_id"))
         .select("id").localCheckpoint(true)
-    }
+    } finally bc.unpersist(blocking = false)
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 }

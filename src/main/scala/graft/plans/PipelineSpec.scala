@@ -445,12 +445,28 @@ object PipelineCompiler {
         val centsPath = if (mdir.isEmpty) "" else s"${mdir.stripSuffix("/")}/centroids"
         // persisted model asset: load the pinned centroids when present,
         // else train and (when modelDir set) persist — the first run pays
-        // the training scan, every later compile skips it
-        val cents: Seq[(Int, Seq[Float])] =
-          if (centsPath.nonEmpty && assetExists(spark, centsPath))
-            spark.read.parquet(centsPath).select("cell", "centroid").collect()
-              .map(r => (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq.sortBy(_._1)
+        // the training scan, every later compile skips it. The asset
+        // carries the spec knobs it was trained under (`k`, `mode`) so a
+        // spec whose k or centroids mode changed after the persist FAILS
+        // LOUDLY instead of silently loading a stale model whose results
+        // diverge from a fresh-trained run (the DSIR hexLen-guard policy);
+        // a zero-row asset reads as absent, like assetExists partial writes.
+        val loadedCents: Option[Seq[(Int, Seq[Float])]] =
+          if (centsPath.isEmpty || !assetExists(spark, centsPath)) None
           else {
+            val asset = spark.read.parquet(centsPath)
+            val hasMeta = asset.columns.contains("k") && asset.columns.contains("mode")
+            if (hasMeta) asset.select("k", "mode").take(1).foreach { r =>
+              require(r.getInt(0) == k && r.getString(1) == centMode,
+                s"semanticDedup modelDir '$centsPath' holds a k=${r.getInt(0)}/" +
+                  s"${r.getString(1)} model but the spec says k=$k/$centMode — " +
+                  "delete the asset to retrain, or restore the original knobs")
+            }
+            val rows = asset.select("cell", "centroid").collect()
+              .map(r => (r.getInt(0), r.getSeq[Float](1))).toIndexedSeq.sortBy(_._1)
+            if (rows.isEmpty) None else Some(rows)
+          }
+        val cents: Seq[(Int, Seq[Float])] = loadedCents.getOrElse {
             val trained = centMode match {
               case "kmeans" =>
                 graft.operators.Dedup.trainSemanticCentroids(df, sub(id), sub(vec), k)
@@ -461,7 +477,9 @@ object PipelineCompiler {
             }
             if (centsPath.nonEmpty) {
               import spark.implicits._
-              trained.toDF("cell", "centroid").coalesce(1)
+              trained.toDF("cell", "centroid")
+                .withColumn("k", lit(k)).withColumn("mode", lit(centMode))
+                .coalesce(1)
                 .write.mode("overwrite").parquet(centsPath)
             }
             trained
@@ -475,21 +493,34 @@ object PipelineCompiler {
         val df = build(in)
         val mdir = sub(modelDir)
         val weightsPath = if (mdir.isEmpty) "" else s"${mdir.stripSuffix("/")}/dsir_weights"
-        if (weightsPath.nonEmpty && assetExists(spark, weightsPath)) {
-          // persisted model asset: the (bucket, logw) relation is the
-          // FINISHED model — loading it skips both gram-count corpus scans
-          val loaded = spark.read.parquet(weightsPath)
-          // the scoring join keys hex buckets of EXACTLY hexLen chars; a
-          // spec whose hexLen changed after the persist would inner-join
-          // zero rows and silently select nothing — fail loudly instead
-          val sampleBucket = loaded.select("bucket").head().getString(0)
-          require(sampleBucket.length == hexLen,
-            s"dsir modelDir '$weightsPath' holds hexLen=${sampleBucket.length} " +
-              s"weights but the spec says hexLen=$hexLen — delete the asset to " +
-              "retrain, or restore the original hexLen")
+        // persisted model asset: the (bucket, logw) relation is the
+        // FINISHED model — loading it skips both gram-count corpus scans.
+        // An asset holding ZERO rows (a degenerate/empty corpus persisted
+        // no buckets) reads as ABSENT, mirroring the assetExists
+        // partial-write policy: fall through to retrain/overwrite rather
+        // than head()-crash or silently select nothing.
+        val loadedWeights: Option[DataFrame] =
+          if (weightsPath.isEmpty || !assetExists(spark, weightsPath)) None
+          else {
+            val loaded = spark.read.parquet(weightsPath)
+            loaded.select("bucket").take(1).headOption.map { r =>
+              // the scoring join keys hex buckets of EXACTLY hexLen chars; a
+              // spec whose hexLen changed after the persist would inner-join
+              // zero rows and silently select nothing — fail loudly instead
+              val sampleBucket = r.getString(0)
+              require(sampleBucket.length == hexLen,
+                s"dsir modelDir '$weightsPath' holds hexLen=${sampleBucket.length} " +
+                  s"weights but the spec says hexLen=$hexLen — delete the asset to " +
+                  "retrain, or restore the original hexLen")
+              loaded
+            }
+          }
+        loadedWeights match {
+          case Some(loaded) =>
           graft.operators.Sampling.importanceResample(df, sub(id), sub(text),
             loaded, k, hexLen, salt)
-        } else {
+          case None =>
+          {
         // run-once model: collect the bounded count relations to the driver
         // (≤ 16^hexLen rows each) and FINISH the log-ratio math there too —
         // `logw` is pure per-bucket arithmetic over collected counts, and
@@ -529,6 +560,7 @@ object PipelineCompiler {
           weights.coalesce(1).write.mode("overwrite").parquet(weightsPath)
         graft.operators.Sampling.importanceResample(df, sub(id), sub(text),
           weights, k, hexLen, salt)
+          }
         }
       case QualityScoreNodeSpec(in, text, weights) =>
         graft.operators.QualityModel.score(build(in), sub(text), weights)

@@ -180,6 +180,15 @@ class CoreOpsSpec extends SparkSpec {
     assert(out2.columns.toSeq == Seq("id", "__spy", "m"),
       "pass-through must keep a user __spy column and map columns intact")
     assert(out2.filter(col("__spy")).count() == 10)
+    // case-INSENSITIVE gate freshness (ADVICE r15): withColumn resolves
+    // names case-insensitively, so a user column differing only in case
+    // (__SPY0) was silently replaced, then dropped, then the boolean read
+    // indexed out of bounds
+    val cased = spark.range(0, 20).withColumn("__SPY0", col("id") % 2 === 0)
+    val out3 = graft.operators.CoreOps.spyTap(cased, _ => (), sampleRate = 0.5)
+    assert(out3.columns.toSeq == Seq("id", "__SPY0"),
+      "a user column differing only in case must survive pass-through")
+    assert(out3.filter(col("__SPY0")).count() == 10)
   }
 }
 

@@ -170,4 +170,28 @@ class DsirSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(sel == rawDocs.take(5).map(_._1).toSet, s"got $sel")
   }
+
+  test("dsir node modelDir: an EMPTY weights asset reads as absent (retrain), not a head() crash") {
+    // ADVICE r15: the hexLen guard called head() on the persisted weights
+    // relation — a zero-row asset (degenerate/empty corpus persisted no
+    // buckets) threw NoSuchElementException instead of retraining
+    import graft.plans._
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    rawDocs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val spec = PipelineSpec(Seq(
+      "docs" -> SourceSpec("parquet", s"$dir/docs.parquet"),
+      "sel"  -> DsirNodeSpec(RefSpec("docs"), FilterSpec(RefSpec("docs"), "doc_id < 20"),
+        "doc_id", "text", k = 10, hexLen = HexLen, modelDir = s"$dir/model")),
+      out = "sel")
+    // plant the empty asset where the load path looks
+    spark.emptyDataFrame.select(lit("ab").as("bucket"), lit(0.0).as("logw")).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/model/dsir_weights")
+    val sel = PipelineCompiler.compile(spec, spark).select("doc_id").as[Long].collect().toSet
+    assert(sel.size == 10, s"empty asset must retrain and select, got $sel")
+    assert(spark.read.parquet(s"$dir/model/dsir_weights").count() > 0,
+      "the retrain must overwrite the empty asset")
+    // the rewritten asset loads on the next compile and selects identically
+    val again = PipelineCompiler.compile(spec, spark).select("doc_id").as[Long].collect().toSet
+    assert(again == sel, "loaded-model run must select identically after the retrain")
+  }
 }

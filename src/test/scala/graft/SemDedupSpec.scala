@@ -190,10 +190,12 @@ class SemDedupSpec extends SparkSpec {
     new java.io.File(s"$dir/model/centroids/_temporary/0").mkdirs()
     val first = PipelineCompiler.compile(SpecJson.fromJson(json), spark)
       .select("vec_id").as[Long].collect().toSet
-    // the asset exists, holds k centroids, and a reload selects identically
+    // the asset exists, holds k centroids plus the knobs it was trained
+    // under (the stale-model guard's metadata), and a reload selects
+    // identically
     val persisted = spark.read.parquet(s"$dir/model/centroids")
     assert(persisted.count() == 2 &&
-      persisted.columns.toSet == Set("cell", "centroid"))
+      persisted.columns.toSet == Set("cell", "centroid", "k", "mode"))
     // the load path must not retrain or rewrite the asset
     def mtimes = new java.io.File(s"$dir/model/centroids").listFiles()
       .map(f => f.getName -> f.lastModified).toMap
@@ -202,6 +204,37 @@ class SemDedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(second == first, s"loaded-model run must select identically: $second vs $first")
     assert(mtimes == before, "a loaded-model compile must not rewrite the asset")
+  }
+
+  test("semanticDedup node modelDir: a stale asset (k or mode changed) fails loudly, not silently") {
+    // ADVICE r15: without the guard, a spec whose k/centroids mode changed
+    // after the persist silently loaded the stale centroid asset and
+    // diverged from a fresh-trained run with no error
+    import graft.plans._
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_stale").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    def spec(k: Int, mode: String) = PipelineSpec(Seq(
+      "emb"   -> SourceSpec("parquet", s"$dir/emb.parquet"),
+      "fresh" -> SemanticDedupNodeSpec(RefSpec("emb"), "vec_id", "embedding",
+        k = k, threshold = 0.95, centroids = mode, modelDir = s"$dir/model")),
+      out = "fresh")
+    PipelineCompiler.compile(spec(2, "kmeans"), spark).count()
+    val eK = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spec(3, "kmeans"), spark) }
+    assert(eK.getMessage.contains("delete the asset to retrain"), eK.getMessage)
+    val eMode = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(spec(2, "firstK"), spark) }
+    assert(eMode.getMessage.contains("k=2/kmeans"), eMode.getMessage)
+    // a zero-row asset reads as ABSENT: retrain + overwrite, like the
+    // committed-files partial-write policy
+    vecs.limit(0).select(lit(0).as("cell"),
+        col("embedding").as("centroid"), lit(2).as("k"), lit("kmeans").as("mode"))
+      .write.mode("overwrite").parquet(s"$dir/model/centroids")
+    val retrained = PipelineCompiler.compile(spec(2, "kmeans"), spark)
+      .select("vec_id").as[Long].collect().toSet
+    assert(retrained.size == 2, s"empty asset must retrain, got $retrained")
+    assert(spark.read.parquet(s"$dir/model/centroids").count() == 2,
+      "the retrain must overwrite the empty asset")
   }
 
   test("trained-centroid path: planted-pair recall floors on the ORGANIC fixture; model is seed-deterministic") {
