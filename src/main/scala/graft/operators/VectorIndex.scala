@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   * {{{
   *   $dir/centroids/   (cell int, centroid array<double>)   — the model, tiny
   *   $dir/cells/       (id, vec) partitioned BY cell        — the corpus
+  *   $dir/delta/       (id, vec, cell) unpartitioned        — LSM append tier
+  *   $dir/tombstones/  (id) append-only                     — pending takedowns
   * }}}
   *
   * Scale shape. Build: one k-means fit on a capped sample, then ONE
@@ -236,19 +238,22 @@ object VectorIndex {
   // rate, exactly like the other stores' compaction policy.
 
   private def deltaPath(dir: String) = s"$dir/delta"
+  private def tombstonesPath(dir: String) = s"$dir/tombstones"
 
-  /** Committed delta data files at this instant — the snapshot unit of
-    * [[foldIvfDelta]]/[[compactIvfIndex]] isolation: maintenance folds and
-    * then deletes EXACTLY these files, so an [[appendToIvfIndex]] batch
-    * committed while the fold runs stays in the tier untouched (the r14
-    * whole-directory delete silently lost such a batch — ADVICE r14).
-    * Append filenames are committer-UUID'd, so a concurrent batch can
-    * never collide with a snapshot name.
+  /** Committed data files of an append-only tier (`delta/`, `tombstones/`)
+    * at this instant — the snapshot unit of
+    * [[foldIvfDelta]]/[[compactIvfIndex]]/[[purgeTombstones]] isolation:
+    * maintenance folds/purges and then deletes EXACTLY these files, so an
+    * [[appendToIvfIndex]] batch (or a [[deleteFromIvfIndex]] tombstone
+    * batch) committed while the maintenance runs stays in the tier
+    * untouched (the r14 whole-directory delete silently lost such a batch
+    * — ADVICE r14). Append filenames are committer-UUID'd, so a concurrent
+    * batch can never collide with a snapshot name.
     */
-  private def listDeltaDataFiles(spark: SparkSession, dir: String)
+  private def listTierDataFiles(spark: SparkSession, tierPath: String)
       : Seq[org.apache.hadoop.fs.Path] = {
-    Dedup.recoverStore(spark, deltaPath(dir)) // heal a crashed delta rewrite
-    val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
+    Dedup.recoverStore(spark, tierPath) // heal a crashed tier rewrite
+    val p = new org.apache.hadoop.fs.Path(tierPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.filter { st =>
@@ -258,6 +263,9 @@ object VectorIndex {
     }.map(_.getPath)
   }
 
+  private def listDeltaDataFiles(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.Path] = listTierDataFiles(spark, deltaPath(dir))
+
   /** Remove exactly the snapshot's files; then retire the directory ONLY
     * when nothing but committer metadata (`_SUCCESS`, checksum siblings)
     * remains — a concurrent append's `_temporary` directory or committed
@@ -265,12 +273,12 @@ object VectorIndex {
     * run beside a live appender: the r14 recursive dir delete silently
     * destroyed any batch committed after the snapshot listing.
     */
-  private def removeDeltaSnapshot(spark: SparkSession, dir: String,
-                                  snapshot: Seq[org.apache.hadoop.fs.Path]): Unit = {
+  private def removeTierSnapshot(spark: SparkSession, tierPath: String,
+                                 snapshot: Seq[org.apache.hadoop.fs.Path]): Unit = {
     if (snapshot.isEmpty) return
     val fs = snapshot.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
     snapshot.foreach(f => fs.delete(f, false))
-    val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
+    val p = new org.apache.hadoop.fs.Path(tierPath)
     val leftovers = fs.listStatus(p)
     val metadataOnly = leftovers.forall { st =>
       val name = st.getPath.getName
@@ -290,33 +298,185 @@ object VectorIndex {
     }
   }
 
-  /** The delta tier, or None when absent/empty (never built, or folded by
-    * the last compaction).
+  /** An append-only tier's relation, or None when absent/empty (never
+    * written, or retired by the last maintenance pass).
     */
-  private def readDeltaOpt(spark: SparkSession, dir: String)
+  private def readTierOpt(spark: SparkSession, tierPath: String)
       : Option[DataFrame] = {
-    Dedup.recoverStore(spark, deltaPath(dir)) // heal a crashed delta rewrite
-    val p = new org.apache.hadoop.fs.Path(deltaPath(dir))
+    Dedup.recoverStore(spark, tierPath) // heal a crashed tier rewrite
+    val p = new org.apache.hadoop.fs.Path(tierPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crashed FIRST append can leave only _temporary under delta/ —
+    // a crashed FIRST append can leave only _temporary under the tier —
     // committer metadata is not data, and reading it would throw
     val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
       val name = st.getPath.getName
       !name.startsWith("_") && !name.startsWith(".") &&
         (st.isDirectory || name.endsWith(".parquet"))
     }
-    if (hasData) Some(spark.read.parquet(deltaPath(dir))) else None
+    if (hasData) Some(spark.read.parquet(tierPath)) else None
+  }
+
+  private def readDeltaOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    readTierOpt(spark, deltaPath(dir))
+
+  // ---- Tombstone tier --------------------------------------------------
+  //
+  // Takedowns do NOT rewrite the cells store: an anti-join rewrite of the
+  // partitioned layout is O(store) PER DELETE BATCH (measured 120.5 s at
+  // 10M vectors — hours at 1B, with a doubled storage footprint during the
+  // swap; VERDICT r15). Instead, [[deleteFromIvfIndex]] APPENDS the victim
+  // ids to `$dir/tombstones/` — plain ids-only parquet, the same
+  // append-only shape as the delta tier — and every reader anti-joins the
+  // (small, size-gate-broadcast) tombstone set against the CELLS tier.
+  // [[purgeTombstones]] (run by fold and compaction) removes the rows
+  // physically by rewriting ONLY the touched cells and then retires
+  // exactly the tombstone files it read, under the same snapshot-isolation
+  // discipline as the delta fold.
+  //
+  // Tombstones name CELLS-tier copies only. Victims still in the delta
+  // tier are physically rewritten at delete time (the delta is
+  // compactEvery×batch bounded — that rewrite is O(delta), not O(store)),
+  // which keeps the id-level semantics unambiguous: a tombstoned id
+  // RE-APPENDED later lands in the delta tier, is NOT hidden (readers
+  // apply tombstones to cells only), and folds into the cells tier after
+  // the purge retires its tombstone — deletion removes data; it does not
+  // blacklist the id.
+
+  /** The tombstoned ids (`id` column), or None when no takedown is
+    * pending. Duplicate ids across tombstone batches are harmless
+    * (anti-join semantics); [[purgeTombstones]] retires them together.
+    */
+  private def readTombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    readTierOpt(spark, tombstonesPath(dir)).map(_.select("id"))
+
+  /** `cells` minus the tombstoned ids — the takedown-aware view of the
+    * cells tier every reader goes through. The tombstone set is a
+    * takedown batch (small by nature), so it rides a size-gated broadcast.
+    */
+  private def minusTombstones(spark: SparkSession, dir: String,
+                              cells: DataFrame): DataFrame =
+    readTombstonesOpt(spark, dir) match {
+      case None => cells
+      case Some(t) =>
+        cells.join(Joins.maybeBroadcast(t.distinct()), Seq("id"), "left_anti")
+    }
+
+  private def purgeTmpRoot(dir: String) = s"$dir/cells/.purge.tmp"
+  private def purgeOldRoot(dir: String) = s"$dir/cells/.purge.old"
+
+  /** Heal a [[purgeTombstones]] interrupted mid-swap. The purge stages
+    * survivor files under `cells/.purge.tmp/cell=N` (dot-prefixed —
+    * invisible to readers), then per touched cell renames the canonical
+    * dir into `cells/.purge.old/` and the staged dir into place. For each
+    * cell left in `.purge.old`: a present canonical dir means that cell's
+    * swap finished (drop the old copy); an absent canonical with a staged
+    * twin means the crash hit between the two renames (finish the swap);
+    * an absent canonical with NO staged twin is either a legitimately
+    * emptied cell or the same crash window — ROLL BACK (restore the old
+    * copy): the tombstone snapshot is only retired after a completed
+    * purge, so the restored victims are re-purged by the retry. Idempotent
+    * and called by every reader/maintenance entry, like
+    * [[Dedup.recoverStore]].
+    */
+  private def recoverPurge(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val oldRoot = new org.apache.hadoop.fs.Path(purgeOldRoot(dir))
+    val fs = oldRoot.getFileSystem(conf)
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName // "cell=N"
+        val canonical = new org.apache.hadoop.fs.Path(s"$dir/cells/$name")
+        val tmp = new org.apache.hadoop.fs.Path(s"${purgeTmpRoot(dir)}/$name")
+        if (fs.exists(canonical)) () // this cell's swap completed
+        else if (fs.exists(tmp)) {
+          if (!fs.rename(tmp, canonical)) throw new java.io.IOException(
+            s"recoverPurge: rename $tmp -> $canonical failed")
+        } else {
+          if (!fs.rename(st.getPath, canonical)) throw new java.io.IOException(
+            s"recoverPurge: rollback of $canonical failed")
+        }
+      }
+      fs.delete(oldRoot, true)
+    }
+    val tmpRoot = new org.apache.hadoop.fs.Path(purgeTmpRoot(dir))
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+  }
+
+  /** Physically remove tombstoned rows from the cells tier and retire the
+    * tombstone snapshot — the maintenance half of the takedown path, run
+    * by [[foldIvfDelta]] and [[compactIvfIndex]]. O(touched cells), not
+    * O(store): one ids+cell column-pruned scan locates the victims' cells,
+    * only those cell directories rewrite (staged under hidden roots, then
+    * per-cell rename swaps — [[recoverPurge]] heals a crash at any point),
+    * and EXACTLY the tombstone files read by this purge are removed — a
+    * [[deleteFromIvfIndex]] batch committed while the purge runs survives
+    * in the tier for the next pass. Run one maintenance pass at a time
+    * (the fold/compact rule); concurrent QUERIES may hit a mid-swap cell
+    * (FileNotFoundException → retry), the existing fold caveat. Returns
+    * rows physically removed. `beforeRetire` is a test seam firing between
+    * the cell swaps and the tombstone-snapshot removal.
+    */
+  def purgeTombstones(spark: SparkSession, dir: String,
+                      beforeRetire: () => Unit = () => ()): Long = {
+    Dedup.recoverStore(spark, s"$dir/cells")
+    recoverPurge(spark, dir)
+    val snapshot = listTierDataFiles(spark, tombstonesPath(dir))
+    if (snapshot.isEmpty) return 0L
+    val victims = spark.read.parquet(snapshot.map(_.toString): _*)
+      .select("id").distinct().localCheckpoint(true)
+    val cells = spark.read.parquet(s"$dir/cells")
+    // ONE ids+cell column-pruned scan: which cells hold victims, and how
+    // many rows leave (the purge count)
+    val victimCells = cells.join(Joins.maybeBroadcast(victims), Seq("id"), "left_semi")
+      .groupBy("cell").agg(count(lit(1)).as("__n")).collect()
+    val touched = victimCells.map(_.getInt(0))
+    val purged = victimCells.map(_.getLong(1)).sum
+    if (touched.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/cells")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmpRoot = new org.apache.hadoop.fs.Path(purgeTmpRoot(dir))
+      val oldRoot = new org.apache.hadoop.fs.Path(purgeOldRoot(dir))
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      if (fs.exists(oldRoot)) fs.delete(oldRoot, true)
+      // survivors of ONLY the touched cells, staged under a hidden root in
+      // the same partitioned shape (a cell whose every row is a victim
+      // stages nothing — its swap simply retires the canonical dir)
+      cells.filter(col("cell").isin(touched.toIndexedSeq: _*))
+        .join(Joins.maybeBroadcast(victims), Seq("id"), "left_anti")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmpRoot.toString)
+      fs.mkdirs(oldRoot)
+      touched.foreach { c =>
+        val name = s"cell=$c"
+        val canonical = new org.apache.hadoop.fs.Path(s"$dir/cells/$name")
+        if (fs.exists(canonical) &&
+            !fs.rename(canonical, new org.apache.hadoop.fs.Path(oldRoot, name)))
+          throw new java.io.IOException(s"purgeTombstones: retire of $canonical failed")
+        val staged = new org.apache.hadoop.fs.Path(tmpRoot, name)
+        if (fs.exists(staged) && !fs.rename(staged, canonical))
+          throw new java.io.IOException(s"purgeTombstones: swap of $canonical failed")
+      }
+      fs.delete(tmpRoot, true)
+      fs.delete(oldRoot, true)
+    }
+    beforeRetire()
+    removeTierSnapshot(spark, tombstonesPath(dir), snapshot)
+    purged
   }
 
   /** The canonical full view of the index content: the partitioned cells
-    * store plus the un-folded delta tier, duplicate-safe (a crash between
-    * compaction's cells swap and its delta removal can leave an id in
-    * both — the delta-side anti-join hides the stale copy; payloads are
-    * identical either way). Columns: `(id, <codec payload>, cell)`.
+    * store minus the pending tombstones, plus the un-folded delta tier,
+    * duplicate-safe (a crash between compaction's cells swap and its delta
+    * removal can leave an id in both — the delta-side anti-join hides the
+    * stale copy; payloads are identical either way). The tombstone
+    * anti-join applies to the CELLS tier only: a tombstoned id re-appended
+    * into the delta tier is live data and must stay visible. Columns:
+    * `(id, <codec payload>, cell)`.
     */
   def readIvfCells(spark: SparkSession, dir: String): DataFrame = {
     Dedup.recoverStore(spark, s"$dir/cells")
-    val cells = spark.read.parquet(s"$dir/cells")
+    recoverPurge(spark, dir)
+    val cells = minusTombstones(spark, dir, spark.read.parquet(s"$dir/cells"))
     readDeltaOpt(spark, dir) match {
       case None => cells
       case Some(delta) =>
@@ -338,12 +498,17 @@ object VectorIndex {
                        idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     val spark = delta.sparkSession
     Dedup.recoverStore(spark, s"$dir/cells")
+    recoverPurge(spark, dir)
     val centroids = readCentroids(spark, dir)
     val cells = spark.read.parquet(s"$dir/cells")
     val codec = codecOf(cells) // self-describing store — append matches it
+    // known ids = the VISIBLE store: a tombstoned cells copy no longer
+    // counts, so a deleted id re-appends organically (lands in the delta
+    // tier, untouched by the cells-scoped tombstone anti-join)
+    val visible = minusTombstones(spark, dir, cells.select("id"))
     val known = readDeltaOpt(spark, dir) match {
-      case None => cells.select("id")
-      case Some(d) => cells.select("id").unionByName(d.select("id"))
+      case None => visible
+      case Some(d) => visible.unionByName(d.select("id"))
     }
     val bc = graft.functions.VectorMath.broadcastCells(spark, centroids)
     val fresh = try payloadOf(
@@ -392,6 +557,11 @@ object VectorIndex {
   def foldIvfDelta(spark: SparkSession, dir: String,
                    beforeDelete: () => Unit = () => ()): Long = {
     Dedup.recoverStore(spark, s"$dir/cells")
+    // purge FIRST: tombstoned rows leave the cells tier and their
+    // tombstones retire BEFORE delta rows fold in, so a re-appended
+    // victim's fresh delta copy folds into cells with no stale tombstone
+    // left to hide (or re-purge) it
+    purgeTombstones(spark, dir)
     val snapshot = listDeltaDataFiles(spark, dir)
     if (snapshot.isEmpty) 0L
     else {
@@ -405,7 +575,7 @@ object VectorIndex {
         fresh.repartition(col("cell"))
           .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
       beforeDelete()
-      removeDeltaSnapshot(spark, dir, snapshot)
+      removeTierSnapshot(spark, deltaPath(dir), snapshot)
       n
     }
   }
@@ -423,6 +593,12 @@ object VectorIndex {
     * fold or compaction purges it.
     */
   def compactIvfIndex(spark: SparkSession, dir: String): (Long, Long) = {
+    // tombstones purge-and-retire BEFORE the rewrite (the foldIvfDelta
+    // ordering rationale): handling them inside the rewrite would retire
+    // the tombstone snapshot only after the swap, leaving a window where a
+    // lingering tombstone names a re-appended id the rewrite just folded
+    // from the delta tier into cells
+    purgeTombstones(spark, dir)
     val snapshot = listDeltaDataFiles(spark, dir)
     val deltaSnapshot =
       if (snapshot.isEmpty) None
@@ -435,61 +611,76 @@ object VectorIndex {
       all.dropDuplicates("id").repartition(col("cell"))
         .write.partitionBy("cell").parquet(out)
     }
-    removeDeltaSnapshot(spark, dir, snapshot)
+    removeTierSnapshot(spark, deltaPath(dir), snapshot)
     res
   }
 
   /** Remove vectors by id — the takedown/opt-out maintenance path a
     * production index needs (a source document is deleted upstream; its
-    * embedding must stop being retrievable). An anti-join rewrite under
-    * the same tmp/old rename-swap protocol as compaction, so a crash
-    * mid-delete heals through `recoverStore` like every other store, and
-    * the partitioned layout (and codec, and normalization marker) are
-    * preserved. The delete set is size-gate broadcast — a takedown batch
-    * is small by nature, but a mis-sized one degrades to a shuffle join
-    * instead of OOMing. Returns (rows before, rows after).
+    * embedding must stop being retrievable). O(delete-set + one ids scan),
+    * NOT O(store): victims still in the delta tier rewrite out physically
+    * (the delta is compactEvery×batch bounded), and victims in the cells
+    * tier are appended to the TOMBSTONE tier — every reader anti-joins the
+    * (size-gate broadcast) tombstone set, so the ids stop being
+    * retrievable the moment this returns, while the bytes leave the store
+    * at the next [[foldIvfDelta]]/[[compactIvfIndex]] via
+    * [[purgeTombstones]]. The r15 form rewrote the whole store per
+    * takedown batch (120.5 s at 10M vectors, hours at 1B, doubled storage
+    * during the swap); the tombstone append is delete-set-sized. Layout,
+    * codec and the normalization marker are untouched.
     *
-    * Deleted ids may be RE-indexed by a later [[appendToIvfIndex]] if the
-    * id reappears in a delta (the store no longer holds it, so the
-    * known-ids anti-join passes it) — deletion removes data, it is not a
-    * tombstone. Callers needing never-again semantics filter at the
-    * ingest source.
+    * Deleted ids RE-index organically through a later
+    * [[appendToIvfIndex]]: the known-ids check sees the VISIBLE store, so
+    * a tombstoned id's re-append lands in the delta tier (live — the
+    * tombstone anti-join is cells-scoped) and folds back into cells after
+    * the purge retires its tombstone. Deletion removes data; it does not
+    * blacklist the id. Callers needing never-again semantics filter at
+    * the ingest source.
     *
-    * Unlike [[foldIvfDelta]]/[[compactIvfIndex]] (snapshot-scoped, safe
-    * beside a live appender), deletion is STOP-THE-WORLD maintenance:
-    * both tiers rewrite under whole-directory rename swaps, so run it
-    * with appends and queries quiesced — an append committing during
-    * the delta swap could land in the retired generation and be lost.
-    * A takedown batch is an operator action, not a steady-state path;
-    * the single-writer ingest lock already serializes it against the
+    * Concurrency: the tombstone append is as safe beside readers as any
+    * tier append, but the delta-tier victim rewrite is a whole-directory
+    * rename swap — run takedowns with APPENDS quiesced (an append
+    * committing during that swap could land in the retired generation).
+    * A takedown batch is an operator action, not a steady-state path; the
+    * single-writer ingest lock already serializes it against the
     * streaming maintenance.
     *
-    * The returned counts cover BOTH tiers — cells plus the
-    * un-folded delta (r14 reported the cells rewrite only, so a takedown
-    * landing shortly after an append undercounted); an id caught in the
-    * compaction crash window (present in both tiers) counts in both, the
-    * same duplicate the readers' anti-join hides.
+    * Returns (visible rows before, visible rows after) across BOTH data
+    * tiers — the r14/r15 counting contract, now over the takedown-aware
+    * view (an id caught in the compaction crash window — present in cells
+    * AND delta — still counts once per tier copy, the duplicate readers
+    * hide).
     */
   def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
                          idCol: String = "vec_id"): (Long, Long) = {
     val del = ids.select(col(idCol).as("id")).distinct()
-      .localCheckpoint(true) // both rewrites scan it; sever from its source
-    // the delta tier FIRST (small, fast): a crash between the two rewrites
-    // then leaves victims only in cells, where the retried delete still
-    // finds them — the reverse order could resurrect a deleted id from a
-    // surviving delta copy
+      .localCheckpoint(true) // the scans below reuse it; sever from its source
+    Dedup.recoverStore(spark, s"$dir/cells")
+    recoverPurge(spark, dir)
+    // the delta tier FIRST (small, fast, physical): a crash between the
+    // delta rewrite and the tombstone append leaves victims only in cells,
+    // where the retried delete still tombstones them — the reverse order
+    // could resurrect a deleted id from a surviving delta copy
     val (dBefore, dAfter) = readDeltaOpt(spark, dir).map { _ =>
       Dedup.rewriteStore(spark, deltaPath(dir)) { (df, out) =>
         df.join(Joins.maybeBroadcast(del), Seq("id"), "left_anti")
           .coalesce(8).write.parquet(out)
       }
     }.getOrElse((0L, 0L))
-    val (cBefore, cAfter) = Dedup.rewriteStore(spark, s"$dir/cells") { (df, out) =>
-      df.join(Joins.maybeBroadcast(del), Seq("id"), "left_anti")
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(out)
-    }
-    (cBefore + dBefore, cAfter + dAfter)
+    // cells tier: tombstone exactly the victims PRESENT in cells (an id
+    // absent from cells must not linger as a tombstone — it could hide a
+    // later fold of that id). One ids-only column-pruned scan covers the
+    // visible count and the present-victims projection.
+    val cellIds = minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/cells").select("id"))
+      .localCheckpoint(true)
+    val cBefore = cellIds.count()
+    val victims = cellIds.join(Joins.maybeBroadcast(del), Seq("id"), "left_semi")
+    val newTombs = victims.distinct().localCheckpoint(true)
+    val victimRows = victims.count() // crash-window twins count per copy
+    if (newTombs.count() > 0)
+      newTombs.coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
+    (cBefore + dBefore, (cBefore - victimRows) + dAfter)
   }
 
   /** Top-k cosine neighbors against the persisted index. Same output
@@ -500,6 +691,7 @@ object VectorIndex {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     Dedup.recoverStore(spark, s"$dir/cells")
+    recoverPurge(spark, dir)
     val centroids = readCentroids(spark, dir)
     val probeN = math.min(nprobe, centroids.size)
     val raw = spark.read.parquet(s"$dir/cells")
@@ -541,7 +733,11 @@ object VectorIndex {
     // static partition pruning: the union of probed cells is at most nlist
     // ints — collect it and push `cell IN (...)` into the partitioned scan
     val wanted = probed.select("cell").distinct().collect().map(_.getInt(0))
-    val pruned = raw.filter(col("cell").isin(wanted.toIndexedSeq: _*))
+    // pending-takedown ids are hidden at the candidate level (cells tier
+    // only — a tombstoned id re-appended into the delta tier is live); the
+    // tombstone set is takedown-batch-sized and rides a gated broadcast
+    val pruned = minusTombstones(spark, dir,
+      raw.filter(col("cell").isin(wanted.toIndexedSeq: _*)))
     // the un-folded delta tier joins the candidate set, pruned on the same
     // cells (a data-column filter with footer-stat pruning — the delta is
     // compactEvery×batch bounded); the ids-only anti-join hides a stale

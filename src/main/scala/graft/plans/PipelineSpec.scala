@@ -595,7 +595,10 @@ object PipelineCompiler {
       case DeleteIndexSpec(dir0, ids, idCol) =>
         val p = sub(dir0)
         graft.operators.VectorIndex.deleteFromIvfIndex(spark, p, build(ids), sub(idCol))
-        spark.read.parquet(s"$p/cells")
+        // the takedown-aware view: deletion tombstones the cells tier, so
+        // a bare cells read would still show the victims until the next
+        // fold/compaction purges them physically
+        graft.operators.VectorIndex.readIvfCells(spark, p)
       case BuildIndexSpec(in, dir0, nlist, codec, normalize, idCol, vecCol) =>
         val p = sub(dir0)
         graft.operators.VectorIndex.buildIvfIndex(build(in), p, nlist,

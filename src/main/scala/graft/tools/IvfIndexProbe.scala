@@ -132,15 +132,24 @@ object IvfIndexProbe {
       println(f"IVFBIG default-path nprobe=$nprobe%2d recall@20=${recallAt(apN, exact)}%6.4f " +
         f"tie_recall@20=${tieRecallAt(apN, exact)}%6.4f batch_wall=$wN%6.2f s")
     }
-    // takedown at scale: delete ~0.1% of ids from the default-path index
-    // (anti-join rewrite, layout preserved) and re-check serving
+    // takedown at scale: delete ~0.1% of ids from the default-path index.
+    // r16: the delete is a TOMBSTONE append (O(delete-set + one ids scan),
+    // vs the r15 O(store) rewrite measured at 120.5 s here at 10M);
+    // serving hides the victims immediately; the bytes leave at the next
+    // fold's purge (touched-cells rewrite), measured separately below.
     val victims = emb.filter(pmod(col("vec_id"), lit(997L)) === 0).select("vec_id")
     val ((delB, delA), delWall) = time(
       graft.operators.VectorIndex.deleteFromIvfIndex(spark, s"$root/n", victims))
     val (_, postWall) = time(run(graft.operators.VectorIndex.ivfTopKIndexed(
       queries, s"$root/n", k = 20, nprobe = 8)))
     println(f"IVFBIG delete ids=${delB - delA}%8d wall=$delWall%7.1f s " +
-      f"(O(store) rewrite) post_delete_batch=$postWall%6.2f s")
+      f"(tombstone append) post_delete_batch=$postWall%6.2f s (victims hidden)")
+    val (purged, purgeWall) = time(
+      graft.operators.VectorIndex.purgeTombstones(spark, s"$root/n"))
+    val (_, postPurgeWall) = time(run(graft.operators.VectorIndex.ivfTopKIndexed(
+      queries, s"$root/n", k = 20, nprobe = 8)))
+    println(f"IVFBIG purge rows=$purged%8d wall=$purgeWall%7.1f s " +
+      f"(touched-cells rewrite, rides fold) post_purge_batch=$postPurgeWall%6.2f s")
     spark.stop(); sys.exit(0)
   }
 

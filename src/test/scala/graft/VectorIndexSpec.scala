@@ -286,21 +286,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/cells").count() == 300)
   }
 
-  test("deleteFromIvfIndex removes exactly the ids, preserves layout, marker and re-appendability") {
+  test("deleteFromIvfIndex tombstones in O(delete-set); fold purges physically; ids re-append") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_del").toString + "/idx"
     VectorIndex.buildIvfIndex(emb, dir, nlist = 8, normalize = true)
     val n0 = spark.read.parquet(s"$dir/cells").count()
     val victims = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
     // normalize = true may have excluded zero-norm victims from the index;
-    // deletion removes exactly the victims that were IN the store
+    // deletion hides exactly the victims that were IN the store
     val indexedVictims = spark.read.parquet(s"$dir/cells")
       .filter(col("id") >= 100 && col("id") < 150).count()
     val (before, after) = VectorIndex.deleteFromIvfIndex(spark, dir, victims)
     assert(before == n0)
     assert(before - after == indexedVictims && indexedVictims > 0)
-    val left = spark.read.parquet(s"$dir/cells")
-      .filter(col("id") >= 100 && col("id") < 150).count()
-    assert(left == 0, "no victim id survives deletion")
+    // r16: O(delete-set), not O(store) — the cells tier is NOT rewritten;
+    // the victims' bytes stay until maintenance purges, hidden by the
+    // tombstone tier from every reader
+    assert(spark.read.parquet(s"$dir/cells").count() == n0,
+      "a takedown must not rewrite the cells store")
+    assert(new java.io.File(s"$dir/tombstones").exists, "tombstone tier missing")
+    val view = VectorIndex.readIvfCells(spark, dir)
+    assert(view.count() == n0 - indexedVictims)
+    assert(view.filter(col("id").between(100, 149)).count() == 0,
+      "no victim id is visible after deletion")
     // layout, partition pruning and the normalization marker all survive
     assert(spark.read.parquet(s"$dir/cells").columns.contains("cell"))
     val queries = emb.filter(col("vec_id") < 5)
@@ -308,17 +315,86 @@ class VectorIndexSpec extends SparkSpec {
     assert(res.filter(col("neighbor_id").between(100, 149)).count() == 0,
       "deleted vectors must not be retrievable")
     assert(res.groupBy("query_id").count().filter(col("count") =!= 3).count() == 0)
-    // deletion is not a tombstone: the same ids re-append organically
+    // deletion is not an id blacklist: the same ids re-append organically
+    // (they land in the delta tier, which the cells-scoped tombstones
+    // cannot hide) — live again BEFORE any purge ran
     val re = VectorIndex.appendToIvfIndex(victims, dir)
     assert(re > 0 && re <= 50, s"victims re-append after deletion (got $re)")
-    // r15: the returned counts cover BOTH tiers — the re-appended victims
-    // now live ONLY in the delta, and deleting them again must report it
-    // (r14 counted the cells rewrite only, undercounting a takedown that
-    // landed shortly after an append)
-    val nCells = spark.read.parquet(s"$dir/cells").count()
+    assert(VectorIndex.readIvfCells(spark, dir)
+      .filter(col("id").between(100, 149)).count() == re,
+      "re-appended victims must be visible despite their pending tombstones")
+    // the counts cover BOTH tiers (r15 contract): the re-appended victims
+    // live ONLY in the delta, and deleting them again must report it —
+    // physically this time (the delta rewrite), with no new tombstones
     val (b2, a2) = VectorIndex.deleteFromIvfIndex(spark, dir, victims)
     assert(b2 - a2 == re, s"delta-tier victims must count: removed ${b2 - a2}, expected $re")
-    assert(a2 == nCells, "a delta-only delete leaves the cells tier untouched")
+    assert(a2 == n0 - indexedVictims, s"visible rows after the second delete: $a2")
+    // fold = purge: bytes leave the cells tier, the tombstone tier retires
+    VectorIndex.foldIvfDelta(spark, dir)
+    assert(spark.read.parquet(s"$dir/cells").count() == n0 - indexedVictims,
+      "the fold must purge tombstoned rows physically")
+    assert(spark.read.parquet(s"$dir/cells")
+      .filter(col("id").between(100, 149)).count() == 0)
+    assert(!new java.io.File(s"$dir/tombstones").exists,
+      "a completed purge must retire the tombstone tier")
+    // post-purge the ids are fully gone — and re-append + fold normally
+    val re2 = VectorIndex.appendToIvfIndex(victims, dir)
+    assert(re2 == re, s"post-purge re-append: $re2 vs $re")
+    assert(VectorIndex.foldIvfDelta(spark, dir) == re)
+    assert(spark.read.parquet(s"$dir/cells").count() == n0)
+  }
+
+  test("purge honors its tombstone snapshot and heals mid-swap crashes at any point") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_purge").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 300), dir, nlist = 8,
+      normalize = false)
+    val n0 = spark.read.parquet(s"$dir/cells").count()
+    assert(n0 == 300)
+    // snapshot isolation: a takedown committed between the purge's cell
+    // swaps and its tombstone retirement must survive for the NEXT pass
+    // (the delta-tier beforeDelete discipline, applied to tombstones)
+    VectorIndex.deleteFromIvfIndex(spark, dir,
+      emb.filter(col("vec_id") >= 0 && col("vec_id") < 20))
+    var purged = -1L
+    val n1 = VectorIndex.purgeTombstones(spark, dir, beforeRetire = () =>
+      purged = VectorIndex.deleteFromIvfIndex(spark, dir,
+        emb.filter(col("vec_id") >= 20 && col("vec_id") < 30))._1)
+    assert(n1 == 20 && purged >= 0)
+    assert(new java.io.File(s"$dir/tombstones").exists,
+      "a tombstone batch committed mid-purge must survive the snapshot removal")
+    assert(VectorIndex.readIvfCells(spark, dir).count() == 270,
+      "the mid-purge takedown is hidden even before its physical purge")
+    assert(VectorIndex.purgeTombstones(spark, dir) == 10)
+    assert(spark.read.parquet(s"$dir/cells").count() == 270)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    // crash healing: simulate the two mid-swap states recoverPurge handles.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cellsDir = new java.io.File(s"$dir/cells")
+    val someCell = cellsDir.listFiles().filter(_.getName.startsWith("cell=")).head
+    def mv(a: String, b: String) = assert(fs.rename(
+      new org.apache.hadoop.fs.Path(a), new org.apache.hadoop.fs.Path(b)))
+    // (a) canonical retired, NO staged twin (crash between the renames, or
+    // an emptied cell): roll back — rows return, nothing lost
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cells/.purge.old"))
+    mv(someCell.getPath, s"$dir/cells/.purge.old/${someCell.getName}")
+    assert(VectorIndex.readIvfCells(spark, dir).count() == 270,
+      "rollback recovery must restore a cell caught mid-swap")
+    // (b) canonical retired, staged twin PRESENT: the swap completes with
+    // the staged (post-purge) content
+    val cell2 = cellsDir.listFiles().filter(_.getName.startsWith("cell=")).head
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cells/.purge.old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cells/.purge.tmp"))
+    val stagedRows = spark.read.parquet(cell2.getPath).count()
+    // stage a COPY as the post-purge generation, then retire the canonical
+    spark.read.parquet(cell2.getPath)
+      .write.parquet(s"$dir/cells/.purge.tmp/${cell2.getName}")
+    mv(cell2.getPath, s"$dir/cells/.purge.old/${cell2.getName}")
+    assert(VectorIndex.readIvfCells(spark, dir).count() == 270,
+      "completion recovery must install the staged generation")
+    assert(spark.read.parquet(cell2.getPath).count() == stagedRows)
+    assert(!new java.io.File(s"$dir/cells/.purge.old").exists)
+    assert(!new java.io.File(s"$dir/cells/.purge.tmp").exists)
   }
 
   test("streaming maintenance: batches index once each, crash window heals via compaction") {
