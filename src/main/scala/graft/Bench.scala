@@ -4,6 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON line out.
   * Each query's full plan is forced with a noop write (no driver collect).
+  *
+  * Load guard (VERDICT r15 wrong #1): a capture taken on a co-tenant-loaded
+  * host overstates medians 25–40% and, archived as the round's number,
+  * poisons cross-round comparisons. The bench therefore (a) PRE-FLIGHTS the
+  * 1-minute loadavg — above `SPARK_GRAFT_BENCH_MAX_LOAD` (default 1.5) it
+  * spin-waits 30 s up to `SPARK_GRAFT_BENCH_LOAD_RETRIES` (default 6) times
+  * for the host to settle — and (b) stamps `"degraded": true` in the final
+  * JSON line when the pre-flight never cleared OR the measured co-tenant
+  * pressure over the run (`other_cores`) exceeded
+  * `SPARK_GRAFT_BENCH_MAX_OTHER_CORES` (default 0.25 — the r15 bad capture
+  * measured 0.36 while a clean board reads ~0.0). CONSUMER CONTRACT: a
+  * `degraded: true` line is diagnostic output, not a result — re-run on an
+  * idle host instead of recording it; cross-round deltas must only compare
+  * non-degraded captures (per-rep arrays on the detail line adjudicate the
+  * rest).
   */
 object Bench {
   // Representative of each cost class: scan+agg, broadcast join, shuffle
@@ -66,6 +81,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // pre-flight load gate (see the class doc): wait for a settling host
+    // rather than record a loaded board; a host that never settles flags
+    // the capture as degraded instead of letting it read as the number
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5").toDouble
+    val maxOtherCores =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_OTHER_CORES", "0.25").toDouble
+    val loadRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_RETRIES", "6").toInt
+    var waits = 0
+    while (load1m() > maxLoad && waits < loadRetries) {
+      System.err.println(f"[bench] pre-flight: load1m=${load1m()}%.2f > " +
+        f"$maxLoad%.2f — waiting 30 s (${waits + 1}/$loadRetries)")
+      Thread.sleep(30000L)
+      waits += 1
+    }
+    val degradedStart = load1m() > maxLoad
+    if (degradedStart)
+      System.err.println(f"[bench] pre-flight NEVER cleared (load1m=${load1m()}%.2f) " +
+        "— this capture will carry degraded: true")
     // host-load accounting (VERDICT r12 §next #6): loaded-vs-idle
     // adjudication of round-over-round drift should be automatic, not a
     // SCALING.md narrative. other_cores = co-tenant busy-core average over
@@ -187,7 +221,11 @@ object Bench {
       else math.max(0.0,
         ((busy - busy0) * 0.010 - (selfCpu - selfCpu0) / 1e9) / wallSec)
     }
-    val loadObj = f""""load":{"start_1m":$loadStart%.2f,"end_1m":$loadEnd%.2f,"other_cores":$otherCores%.2f}"""
+    // degraded = pre-flight never cleared, or measured co-tenant pressure
+    // over the run exceeded the gate (a negative other_cores means the
+    // /proc accounting was unavailable — not evidence of co-tenancy)
+    val degraded = degradedStart || otherCores > maxOtherCores
+    val loadObj = f""""load":{"start_1m":$loadStart%.2f,"end_1m":$loadEnd%.2f,"other_cores":$otherCores%.2f},"degraded":$degraded"""
     // Two lines, compact LAST (VERDICT r14 wrong #1): the r14 single-line
     // packaging folded the per-rep arrays into the summary and outgrew the
     // driver's tail capture, which then started mid-line — parsed=null, no
