@@ -17,7 +17,9 @@ package graft
   * `SpecJson.dag`'s logical export); with `--stages` every node's row
   * count prints in spec order (which stage ate my rows? — executes each
   * stage once, reusing `cache` barriers); otherwise the first `--show`
-  * rows (default 20) print to stdout. Exits nonzero on a broken spec.
+  * rows (default 20) print to stdout. Any `spy` nodes' observed metrics
+  * print after the action (the reference's persisted-job spy read-out).
+  * Exits nonzero on a broken spec.
   *
   * A spec whose root carries an `ingest` field is a STREAMING-ingest spec
   * ([[graft.plans.IngestSpec]]): the runner performs ONE incremental
@@ -204,6 +206,21 @@ object RunSpec {
               System.err.println(s"--report failed (ingest succeeded): ${e.getMessage}")
             }
         case Left(spec) => plans.PipelineCompiler.withCompiledCacheScope {
+          // spy-node delivery: collect every named observed metric the
+          // run's actions produce and print them after — the reference's
+          // spy output riding a persisted job (`jobs/job.js:99-116`). The
+          // listener bus is async, so it drains before the read-out.
+          val observed =
+            new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+          val spyListener = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (k, v) => observed.put(k, v) }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+          }
+          spark.listenerManager.register(spyListener)
+          try {
           if (stages) {
             // per-node row counts in spec order — the debugging question a
             // pipeline author asks first ("which stage ate my rows?").
@@ -224,6 +241,20 @@ object RunSpec {
                 df.write.mode("overwrite").parquet(dir)
                 println(s"wrote ${spark.read.parquet(dir).count()} rows to $dir")
               case None => df.show(show.getOrElse(20), truncate = false)
+            }
+          }
+          } finally {
+            org.apache.spark.sql.graft.Bridge.flushListenerBus(spark)
+            spark.listenerManager.unregister(spyListener)
+            import scala.jdk.CollectionConverters._
+            val metrics = observed.asScala.toSeq.sortBy(_._1)
+            if (metrics.nonEmpty) {
+              println("observed metrics (spy nodes):")
+              metrics.foreach { case (name, row) =>
+                val kv = row.schema.fieldNames.zip(row.toSeq)
+                  .map { case (f, v) => s"$f=$v" }.mkString(", ")
+                println(s"  $name: $kv")
+              }
             }
           }
         }

@@ -1111,6 +1111,27 @@ object SparkEntry {
     PipelineCompiler.compile(SpecJson.fromJson(SpecJson.toJson(spec)), s, Map("dir" -> dir))
   }
 
+  /** Spy node through the persisted-spec surface (`jobs/job.js:99-116` —
+    * the reference attaches spies to STORED jobs; round 16 closes the last
+    * spec-surface parity gap): the spy wraps the filtered stream, reports
+    * `rows` plus a named metric as observed metrics on every action
+    * (values pinned in PipelineSpecSpec; RunSpec prints them), and must
+    * return the stream UNCHANGED — pass-through fidelity is the
+    * oracle-checkable contract, so the oracle is the spy-less query.
+    */
+  private def qXSpyNode(s: SparkSession, dir: String): DataFrame = {
+    val spec = PipelineSpec(Seq(
+      "orders" -> SourceSpec("parquet", "{%dir%}/orders.parquet"),
+      "spied"  -> SpyNodeSpec(FilterSpec(RefSpec("orders"), "o_custkey <= 200"),
+                    "gate_spy", Seq("n_open" -> "count_if(o_orderstatus = 'O')")),
+      "out"    -> MapSpec(RefSpec("spied"), Seq(
+                    "o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+                    "cents" -> "cast(floor(o_totalprice * 100 + 0.5) as bigint)")),
+      "sorted" -> SortSpec(RefSpec("out"), Seq("o_orderkey"))),
+      out = "sorted")
+    PipelineCompiler.compile(SpecJson.fromJson(SpecJson.toJson(spec)), s, Map("dir" -> dir))
+  }
+
   /** The composed streaming ingest as a persisted, parameterized spec
     * asset — the STREAMING sibling of [[llmPipelineV3Spec]], carrying the
     * same pinned models inline (trained quality weights + trained k-means
@@ -2439,6 +2460,7 @@ object SparkEntry {
     "q_x_topn_agg"       -> (qXTopNAgg _),
     "q_x_window_topn_spec" -> (qXWindowTopNSpec _),
     "q_x_running_spec"   -> (qXRunningSpec _),
+    "q_x_spy_node"       -> (qXSpyNode _),
     "q_x_anti_join"      -> (qXAntiJoin _),
     "q_x_semi_join"      -> (qXSemiJoin _),
     "q_x_rollup"         -> (qXRollup _),
@@ -3407,6 +3429,12 @@ object SparkEntry {
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
          FROM orders WHERE o_custkey <= 200
          ORDER BY o_custkey, o_orderkey""",
+    // the spy node is pass-through — the oracle is the spy-less query
+    "q_x_spy_node" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY o_orderkey""",
     "q_x_ntile" ->
       """SELECT c_custkey,
                 CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)

@@ -172,10 +172,22 @@ case class QualityScoreNodeSpec(input: OpSpec, textCol: String,
   * instead of the text; xxhash64 collisions can only ADD a hit, and a
   * doc one accidental gram away from `minHits` was contaminated-adjacent
   * anyway). Default false: exact grams, byte-replayable oracles.
+  *
+  * `warnBelow` (0 = off) is the corpus-calibration guardrail: a decontam
+  * whose `n`/`minHits` are too aggressive for a dense corpus silently
+  * hollows it out (the composed-1M stress saw `n=3, minHits=1` keep 876
+  * of 5 000 base docs — as specified, but surprising; SCALING.md r14).
+  * When set, compiling the node becomes EAGER for the hit set only (the
+  * hit ids are computed once, checkpointed, and REUSED by the selection
+  * anti-join — no second pass): the node prints its survivor rate and
+  * WARNS loudly when it falls below the floor. Opt-in, because an eager
+  * count at compile time is a deliberate calibration run, not the lazy
+  * default.
   */
 case class DecontamNodeSpec(input: OpSpec, bench: OpSpec, idCol: String,
                             textCol: String, n: Int = 8, minHits: Int = 1,
-                            hashKeys: Boolean = false) extends OpSpec
+                            hashKeys: Boolean = false,
+                            warnBelow: Double = 0.0) extends OpSpec
 /** Pack documents into ≈budgetTokens sequences (EOS-joined token arrays). */
 case class PackNodeSpec(input: OpSpec, idCol: String, textCol: String,
                         budgetTokens: Long, shards: Int = 256) extends OpSpec
@@ -252,6 +264,24 @@ case class BuildIndexSpec(input: OpSpec, indexDir: String, nlist: Int = 0,
                           codec: String = "float", normalize: Boolean = true,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding") extends OpSpec
+/** Spy/observe node — the reference's attach-a-spy-to-a-PERSISTED-job
+  * parity (`jobs/job.js:99-116`: a spy rides the stored job document and
+  * fires on every run), which until now existed only on the Scala API
+  * ([[graft.operators.CoreOps.spy]]/`spyTap`). Pass-through: the stream is
+  * unchanged. Every action on the compiled plan reports `rows` plus the
+  * named `metrics` (aggregate SQL expressions over the node's input —
+  * `"bad" -> "count_if(score < 0)"`) as Spark OBSERVED METRICS under
+  * `name`; `graft.RunSpec` prints them after the action, and programmatic
+  * callers read them from a `QueryExecutionListener`. `sampleRate > 0`
+  * additionally taps that fraction of rows (deterministic per-row gate) to
+  * the executor log via [[graft.operators.CoreOps.spyTap]] — a debugging
+  * tap with per-execution/retry re-fire semantics, not accounting. Free at
+  * 100 TB when `sampleRate = 0`: observe compiles to one narrow
+  * CollectMetrics accumulator riding the existing plan, no extra pass.
+  */
+case class SpyNodeSpec(input: OpSpec, name: String,
+                       metrics: Seq[(String, String)] = Nil,
+                       sampleRate: Double = 0.0) extends OpSpec
 /** Lazy persistence barrier (`MEMORY_AND_DISK`): mark a node whose result
   * several downstream branches (or an eager model build PLUS the final
   * plan — the [[DsirNodeSpec]] shape) will scan, so the upstream chain
@@ -564,9 +594,31 @@ object PipelineCompiler {
         }
       case QualityScoreNodeSpec(in, text, weights) =>
         graft.operators.QualityModel.score(build(in), sub(text), weights)
-      case DecontamNodeSpec(in, bench, id, text, ngram, minHits, hashKeys) =>
-        graft.operators.Dedup.decontaminate(build(in), build(bench), sub(id), sub(text),
-          ngram, minHits, hashKeys)
+      case DecontamNodeSpec(in, bench, id, text, ngram, minHits, hashKeys, warnBelow) =>
+        val df = build(in)
+        if (warnBelow <= 0.0)
+          graft.operators.Dedup.decontaminate(df, build(bench), sub(id), sub(text),
+            ngram, minHits, hashKeys)
+        else {
+          // calibration mode: the hit set computes ONCE (checkpointed) and
+          // feeds both the survivor-rate report and the selection anti-join
+          val hitIds = graft.operators.Dedup
+            .contaminationHits(df, build(bench), sub(id), sub(text), ngram, hashKeys)
+            .filter(col("n_hits") >= minHits).select("id")
+            .localCheckpoint(true)
+          val nIn = df.count()
+          val nHit = hitIds.count()
+          val rate = if (nIn == 0) 1.0 else (nIn - nHit).toDouble / nIn
+          System.err.println(
+            f"[decontam] n=$ngram minHits=$minHits: $nIn%d docs in, $nHit%d " +
+              f"contaminated, survivor rate $rate%.4f")
+          if (rate < warnBelow) System.err.println(
+            f"[decontam] WARNING: survivor rate $rate%.4f is below the " +
+              f"configured floor $warnBelow%.4f — the n-gram/minHits setting " +
+              "is likely too aggressive for this corpus density; consider a " +
+              "larger n, a higher minHits, or hashKeys with a curated bench")
+          df.join(hitIds, df(sub(id)) === hitIds("id"), "left_anti")
+        }
       case PackNodeSpec(in, id, text, budget, shards) =>
         graft.operators.Packing.packSequences(build(in), sub(id), sub(text), budget, shards)
       case ReportNodeSpec(in, text, group, exact) =>
@@ -604,6 +656,15 @@ object PipelineCompiler {
         graft.operators.VectorIndex.buildIvfIndex(build(in), p, nlist,
           sub(idCol), sub(vecCol), codec = sub(codec), normalize = normalize)
         spark.read.parquet(s"$p/cells")
+      case SpyNodeSpec(in, name0, metrics, rate) =>
+        val df = build(in)
+        val nm = sub(name0)
+        val tapped =
+          if (rate <= 0.0) df
+          else graft.operators.CoreOps.spyTap(df,
+            row => System.err.println(s"[spy:$nm] $row"), rate, salt = nm)
+        graft.operators.CoreOps.spy(tapped, nm,
+          metrics.map { case (mName, e) => expr(sub(e)).as(mName) })
       case CacheSpec(in) =>
         val df = build(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         compiledCaches.synchronized { compiledCaches += df }
@@ -645,7 +706,7 @@ object PipelineCompiler {
     case MixNodeSpec(in, _, _, _, _)    => refsOf(in)
     case DsirNodeSpec(in, tgt, _, _, _, _, _, _, _) => refsOf(in) ++ refsOf(tgt)
     case QualityScoreNodeSpec(in, _, _) => refsOf(in)
-    case DecontamNodeSpec(in, b, _, _, _, _, _) => refsOf(in) ++ refsOf(b)
+    case DecontamNodeSpec(in, b, _, _, _, _, _, _) => refsOf(in) ++ refsOf(b)
     case PackNodeSpec(in, _, _, _, _)   => refsOf(in)
     case ReportNodeSpec(in, _, _, _)    => refsOf(in)
     case AnnQuerySpec(in, _, _, _, _, _) => refsOf(in)
@@ -653,6 +714,7 @@ object PipelineCompiler {
     case CompactStoreSpec(_, _)            => Set.empty
     case DeleteIndexSpec(_, ids, _)        => refsOf(ids)
     case BuildIndexSpec(in, _, _, _, _, _, _) => refsOf(in)
+    case SpyNodeSpec(in, _, _, _)       => refsOf(in)
     case CacheSpec(in)                  => refsOf(in)
   }
 

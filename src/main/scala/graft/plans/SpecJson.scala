@@ -97,9 +97,12 @@ object SpecJson {
         pairs(n, "op" -> "qualityScore", "textCol" -> text)
         val arr = n.putArray("weights"); weights.foreach(arr.add)
         n.set[JsonNode]("input", opNode(in))
-      case DecontamNodeSpec(in, bench, id, text, ngram, minHits, hashKeys) =>
+      case DecontamNodeSpec(in, bench, id, text, ngram, minHits, hashKeys, warnBelow) =>
         pairs(n, "op" -> "decontaminate", "idCol" -> id, "textCol" -> text)
         n.put("n", ngram); n.put("minHits", minHits); n.put("hashKeys", hashKeys)
+        // the calibration floor is opt-in — encode by omission at the
+        // default so checked-in spec assets stay byte-identical
+        if (warnBelow > 0.0) n.put("warnBelow", warnBelow)
         n.set[JsonNode]("input", opNode(in)); n.set[JsonNode]("bench", opNode(bench))
       case PackNodeSpec(in, id, text, budget, shards) =>
         pairs(n, "op" -> "pack", "idCol" -> id, "textCol" -> text)
@@ -129,6 +132,13 @@ object SpecJson {
         pairs(n, "op" -> "buildIndex", "indexDir" -> dir, "codec" -> codec,
           "idCol" -> idCol, "vecCol" -> vecCol)
         n.put("nlist", nlist); n.put("normalize", normalize)
+        n.set[JsonNode]("input", opNode(in))
+      case SpyNodeSpec(in, name, metrics, rate) =>
+        pairs(n, "op" -> "spy", "name" -> name)
+        if (rate > 0.0) n.put("sampleRate", rate)
+        val a = n.putArray("metrics")
+        metrics.foreach { case (nm, e) =>
+          val o = a.addObject(); o.put("name", nm); o.put("expr", e) }
         n.set[JsonNode]("input", opNode(in))
       case CacheSpec(in) =>
         n.put("op", "cache"); n.set[JsonNode]("input", opNode(in))
@@ -237,7 +247,8 @@ object SpecJson {
                         str(n, "idCol"), str(n, "textCol"),
                         Option(n.get("n")).map(_.asInt).getOrElse(8),
                         Option(n.get("minHits")).map(_.asInt).getOrElse(1),
-                        Option(n.get("hashKeys")).exists(_.asBoolean))
+                        Option(n.get("hashKeys")).exists(_.asBoolean),
+                        Option(n.get("warnBelow")).map(_.asDouble).getOrElse(0.0))
     case "pack"    => PackNodeSpec(child(n, "pack", "input"), str(n, "idCol"), str(n, "textCol"),
                         req(n, "pack", "budgetTokens").asLong,
                         Option(n.get("shards")).map(_.asInt).getOrElse(256))
@@ -265,6 +276,9 @@ object SpecJson {
                         Option(n.get("normalize")).forall(_.asBoolean),
                         Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"),
                         Option(n.get("vecCol")).map(_.asText).getOrElse("embedding"))
+    case "spy"     => SpyNodeSpec(child(n, "spy", "input"), str(n, "name"),
+                        namedExprs(n, "metrics"),
+                        Option(n.get("sampleRate")).map(_.asDouble).getOrElse(0.0))
     case "cache"   => CacheSpec(child(n, "cache", "input"))
     case other     => throw new IllegalArgumentException(s"unknown op discriminator: '$other'")
   }
@@ -571,7 +585,7 @@ object SpecJson {
         case MixNodeSpec(in, _, _, _, _) => link(in)
         case DsirNodeSpec(in, tgt, _, _, _, _, _, _, _) => link(in); link(tgt)
         case QualityScoreNodeSpec(in, _, _) => link(in)
-        case DecontamNodeSpec(in, b, _, _, _, _, _) => link(in); link(b)
+        case DecontamNodeSpec(in, b, _, _, _, _, _, _) => link(in); link(b)
         case PackNodeSpec(in, _, _, _, _) => link(in)
         case ReportNodeSpec(in, _, _, _) => link(in)
         case AnnQuerySpec(in, _, _, _, _, _) => link(in)
@@ -579,6 +593,7 @@ object SpecJson {
         case DeleteIndexSpec(_, ids, _) => link(ids)
         case BuildIndexSpec(in, _, _, _, _, _, _) => link(in)
         case CompactStoreSpec(_, _) =>
+        case SpyNodeSpec(in, _, _, _) => link(in)
         case CacheSpec(in) => link(in)
       }
     }

@@ -20,7 +20,7 @@ class SpecDocSpec extends SparkSpec {
 
   test("every json example in docs/SPECS.md parses and round-trips") {
     val blocks = docBlocks
-    assert(blocks.size == 3, s"expected 3 json examples, found ${blocks.size}")
+    assert(blocks.size == 4, s"expected 4 json examples, found ${blocks.size}")
     blocks.foreach { json =>
       if (SpecJson.isIngestJson(json)) {
         val spec = SpecJson.ingestFromJson(json)
@@ -65,6 +65,36 @@ class SpecDocSpec extends SparkSpec {
       .orderBy("user_id", "rn")
       .select("user_id", "event_type").as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "buy"), (1L, "cart"), (2L, "buy"), (2L, "view")))
+  }
+
+  test("the spy example passes the stream through and reports its metrics") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spec_doc_spy").toString
+    Seq((1L, "view", 5.0), (1L, "buy", 20.0), (2L, "buy", 15.0), (2L, "view", -1.0))
+      .toDF("user_id", "event_type", "value")
+      .write.parquet(s"$root/events")
+    val spec = SpecJson.fromJson(docBlocks.filterNot(SpecJson.isIngestJson)
+      .find(_.contains("\"spy\"")).get)
+    val observed =
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => observed.put(k, v) }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val out = PipelineCompiler.compile(spec, spark, Map("root" -> root))
+        .orderBy("user_id").select("user_id", "n").as[(Long, Long)].collect().toSeq
+      assert(out == Seq((1L, 2L), (2L, 1L)), s"got $out")
+      org.apache.spark.sql.graft.Bridge.flushListenerBus(spark)
+      val m = observed.get("after_filter")
+      assert(m != null, s"spy metrics not observed (saw ${observed.keySet()})")
+      assert(m.getAs[Long]("rows") == 3 && m.getAs[Long]("big") == 2)
+      assert(math.abs(m.getAs[Double]("mean_value") - 40.0 / 3) < 1e-9)
+    } finally spark.listenerManager.unregister(l)
   }
 
   test("the ingest example drains a round against a fixture") {

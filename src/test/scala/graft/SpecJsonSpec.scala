@@ -49,7 +49,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: DsirNodeSpec => DsirNodeSpec(in, RefSpec("tgt"), "id", "txt", 500, 3, 0.25, "s2", "/m/dsir")
       case _: QualityScoreNodeSpec => QualityScoreNodeSpec(in, "txt", Seq(0.5, -1.25, 3.0))
       case _: DecontamNodeSpec => DecontamNodeSpec(in, RefSpec("bench"), "id", "txt", 5, 2,
-        hashKeys = true)
+        hashKeys = true, warnBelow = 0.5)
       case _: PackNodeSpec => PackNodeSpec(in, "id", "txt", 2048L, 64)
       case _: ReportNodeSpec => ReportNodeSpec(in, "txt", "src", exactDistinct = false)
       case _: AnnQuerySpec => AnnQuerySpec(in, "{%root%}/idx", 12, 6, "doc_id", "vec")
@@ -58,6 +58,8 @@ class SpecJsonSpec extends SparkSpec {
       case _: DeleteIndexSpec => DeleteIndexSpec("{%root%}/idx", RefSpec("victims"), "doc_id")
       case _: BuildIndexSpec => BuildIndexSpec(in, "{%root%}/idx", 64, "int8",
         normalize = true, "doc_id", "vec")
+      case _: SpyNodeSpec => SpyNodeSpec(in, "tap1",
+        Seq("bad" -> "count_if(a < 0)", "mx" -> "max(a)"), 0.25)
       case _: CacheSpec => CacheSpec(FilterSpec(in, "x > 0"))
     }
     val shapes: Seq[OpSpec] = Seq(
@@ -76,7 +78,7 @@ class SpecJsonSpec extends SparkSpec {
       AnnQuerySpec(in, "p", 5),
       LayoutNodeSpec(in, "sorted", "p", Nil),
       CompactStoreSpec("p", Seq("fp")), DeleteIndexSpec("p", in),
-      BuildIndexSpec(in, "p"), CacheSpec(in))
+      BuildIndexSpec(in, "p"), SpyNodeSpec(in, "s"), CacheSpec(in))
     shapes.foreach { shape =>
       val op = exemplar(shape)
       val ps = PipelineSpec(Seq("n" -> op), "n")
