@@ -133,6 +133,66 @@ object Writers {
     def clear(): Unit = data.clear()
   }
 
+  /** A [[StoreClientFactory]] for real MongoDB deployments, shipped IN the
+    * box: it drives the standard sync driver
+    * (`org.mongodb:mongodb-driver-sync`) via REFLECTION, activating when
+    * the driver jar is on the application classpath — `mongodb:` sinks
+    * then work by passing this one value (`stores =
+    * Writers.ReflectiveMongoStore`), no user class to write (the
+    * reference's native `mongodb:` dispatch, `utils.js:52-57`). This
+    * library builds zero-dependency/offline, so it cannot LINK against the
+    * driver; reflection is the bridge that keeps the build dependency-free
+    * while production users add one jar.
+    *
+    * All lookups go through the driver's public INTERFACES
+    * (`MongoClient`/`MongoDatabase`/`MongoCollection`), never impl
+    * classes, so JDK module access rules can't bite. A missing driver
+    * fails `open()` (executor-side, where the factory runs) with an
+    * exception NAMING the artifact — never a silent no-op that drops a
+    * production write. Write semantics: `Document.parse` each JSON record,
+    * `insertMany(ordered = false)` per batch — the reference's
+    * append-stream semantics; a deployment needing upsert-on-`_id`
+    * supplies its own factory (worked example in docs/SPECS.md).
+    */
+  object ReflectiveMongoStore extends StoreClientFactory {
+    override def open(dbUrl: String): StoreClient = new StoreClient {
+      private val (client, closeClient, collOf, insertMany, parse) =
+        try {
+          val clientsCls = Class.forName("com.mongodb.client.MongoClients")
+          val clientIf   = Class.forName("com.mongodb.client.MongoClient")
+          val dbIf       = Class.forName("com.mongodb.client.MongoDatabase")
+          val collIf     = Class.forName("com.mongodb.client.MongoCollection")
+          val docCls     = Class.forName("org.bson.Document")
+          val csCls      = Class.forName("com.mongodb.ConnectionString")
+          val cs = csCls.getConstructor(classOf[String])
+            .newInstance(dbUrl).asInstanceOf[AnyRef]
+          val dbName = csCls.getMethod("getDatabase").invoke(cs).asInstanceOf[String]
+          require(dbName != null && dbName.nonEmpty,
+            s"store URL '$dbUrl' names no database")
+          val c = clientsCls.getMethod("create", classOf[String])
+            .invoke(null, dbUrl)
+          val db = clientIf.getMethod("getDatabase", classOf[String])
+            .invoke(c, dbName)
+          val getColl = dbIf.getMethod("getCollection", classOf[String])
+          val ins = collIf.getMethod("insertMany", classOf[java.util.List[_]])
+          val p = docCls.getMethod("parse", classOf[String])
+          (c, clientIf.getMethod("close"),
+            (name: String) => getColl.invoke(db, name), ins, p)
+        } catch {
+          case e: ClassNotFoundException => throw new IllegalStateException(
+            "ReflectiveMongoStore needs the MongoDB sync driver on the " +
+              "classpath (org.mongodb:mongodb-driver-sync) — add the jar to " +
+              s"your application; missing class: ${e.getMessage}", e)
+        }
+      override def upsert(collection: String, batch: Seq[String]): Unit = {
+        val docs = new java.util.ArrayList[AnyRef](batch.length)
+        batch.foreach(j => docs.add(parse.invoke(null, j)))
+        insertMany.invoke(collOf(collection), docs)
+      }
+      override def close(): Unit = closeClient.invoke(client)
+    }
+  }
+
   /** Store-addressed sink: `mongodb://host/db/collection` URLs route JSON
     * record batches to an injected [[StoreClientFactory]] — the last path
     * segment is the collection, the rest the database address, exactly the
@@ -140,6 +200,9 @@ object Writers {
     * like every other URL surface. Each partition opens one client and
     * pushes `batchSize`-bounded upserts, so memory stays flat and a
     * 1000-executor run fans out to 1000 independent connections.
+    * [[InMemoryStore]] (the default) is the offline test fake;
+    * [[ReflectiveMongoStore]] drives a real deployment when the driver jar
+    * is present.
     */
   def store(df: DataFrame, url: String, batchSize: Int = 500,
             clients: StoreClientFactory = InMemoryStore,

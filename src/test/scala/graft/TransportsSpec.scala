@@ -216,6 +216,31 @@ class TransportsSpec extends SparkSpec {
       Writers.store(df, "mongodb://h:27017")) // no collection path
   }
 
+  test("ReflectiveMongoStore drives the sync-driver surface via reflection (stubbed jar)") {
+    // the stand-in driver lives on the TEST classpath only
+    // (src/test/scala/com/mongodb/MongoDriverStubs.scala) — same FQCNs and
+    // signatures Writers.ReflectiveMongoStore resolves, recording writes
+    // into a JVM-global sink; this proves the zero-code production wiring
+    // (add the real jar → mongodb: URLs work) without the jar
+    import graft.sinks.Writers
+    com.mongodb.client.MongoStubSink.clear()
+    val df = spark.read.parquet(s"$sf/nation.parquet").repartition(3)
+    Writers.store(df, "mongodb://h:27017/etl/nations", batchSize = 4,
+      clients = Writers.ReflectiveMongoStore)
+    val got = com.mongodb.client.MongoStubSink
+      .collection("mongodb://h:27017/etl", "etl", "nations")
+    assert(got.size == 25, s"expected 25 inserted docs, got ${got.size}")
+    assert(got.forall(_.contains("n_nationkey")))
+    // one client per partition, each closed when its partition drained
+    assert(com.mongodb.client.MongoStubSink.closed.get() == 3)
+    // a database-less URL fails loudly at open() (the ConnectionString path)
+    val e = intercept[Exception] {
+      Writers.store(df.limit(1), "mongodb://h:27017//nations",
+        clients = Writers.ReflectiveMongoStore)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("runToSinks routes mongodb: URLs through the store sink (utils.js:52-57)") {
     import graft.plans._
     import graft.sinks.Writers
