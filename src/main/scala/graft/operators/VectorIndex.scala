@@ -152,18 +152,26 @@ object VectorIndex {
     * either — the toy-size gates do (nlist = 16 on 500-vector corpora).
     *
     * Training-cost boundary of the auto default: k-means is
-    * O(sample × k × dim × iters), so auto-nlist makes training grow
-    * with √N — measured fine through the 10M rung (k=3163: 378 s
-    * end-to-end build, SCALING.md), but at 100M+ (k ≥ 10⁴) the fit
-    * itself dominates; there, pass an explicit smaller nlist (recall
-    * buys back via nprobe) or train centroids offline/hierarchically
-    * and build with [[buildIvfIndexPinned]].
+    * O(sample × k × dim × iters) and measured SUPERLINEAR in k on the
+    * capped 1M sample (`tools.KMeansCostProbe`, dim 64, maxIter 10:
+    * k=1000 → 33 s, k=3163 → 157 s, k=10000 → 767 s; exponent ≈ 1.36
+    * from init rounds growing with k), so an UNCAPPED ⌈√N⌉ would spend
+    * ~an hour fitting k ≈ 32k at the 1B rung before touching the corpus.
+    * `autoNlistCap` (default 10⁴ ≈ √100M) therefore bounds the AUTO
+    * path's k — beyond 100M rows the capped index trades cell
+    * granularity for a bounded fit, and recall buys back via `nprobe`
+    * (at fixed sizing, bigger corpora put more near-neighbors inside
+    * each probed cell — the 10M-rung finding, SCALING.md). The cap
+    * applies ONLY when nlist is derived: pass an explicit `nlist` to
+    * override, or train centroids offline/hierarchically and build with
+    * [[buildIvfIndexPinned]].
     */
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     trainSampleCap: Long = 1000000L,
                     codec: String = "float",
-                    normalize: Boolean = true): Unit = {
+                    normalize: Boolean = true,
+                    autoNlistCap: Int = 10000): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -175,14 +183,20 @@ object VectorIndex {
     val trainSet =
       if (n <= trainSampleCap) toVec
       else Sampling.hashSample(toVec, "id", trainSampleCap.toDouble / n)
-    val wantList = if (nlist > 0) nlist.toLong
-                   else math.ceil(math.sqrt(n.toDouble)).toLong
-    val k = math.min(wantList, n).toInt
+    val k = if (nlist > 0) math.min(nlist.toLong, n).toInt // explicit: caller owns the cost
+            else autoNlist(n, autoNlistCap)
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(trainSet)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     buildIvfIndexPinned(corpus, dir, centroids, idCol, vecCol, codec, normalize)
   }
+
+  /** The AUTO-path coarse-quantizer size for `n` well-formed vectors:
+    * ⌈√N⌉ (the standard IVF sizing and the measured 1M/10M operating
+    * point), bounded by the training-cost cap and by `n` itself.
+    */
+  private[graft] def autoNlist(n: Long, cap: Int = 10000): Int =
+    math.min(math.min(math.ceil(math.sqrt(n.toDouble)).toLong, cap.toLong), n).toInt
 
   /** Build from a PINNED centroid set — the run-once-model discipline
     * (train offline or derive deterministically, pin, route anywhere).

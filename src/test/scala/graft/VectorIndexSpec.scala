@@ -344,6 +344,21 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/cells").count() == n0)
   }
 
+  test("auto-nlist sizing: sqrt-N, training-cost-capped, corpus-bounded") {
+    // the measured curve (tools.KMeansCostProbe, 1M sample, dim 64):
+    // k=1000 → 33 s, 3163 → 157 s, 10000 → 767 s; superlinear (exp≈1.36),
+    // so an uncapped sqrt-N spends ~an hour fitting k≈32k at the 1B rung —
+    // the cap bounds the AUTO path there, recall buys back via nprobe
+    assert(VectorIndex.autoNlist(500) == 23)
+    assert(VectorIndex.autoNlist(1000000L) == 1000)
+    assert(VectorIndex.autoNlist(10000000L) == 3163)   // the measured 10M rung
+    assert(VectorIndex.autoNlist(100000000L) == 10000) // cap boundary = sqrt(100M)
+    assert(VectorIndex.autoNlist(1000000000L) == 10000, "1B must cap, not fit k=32k")
+    assert(VectorIndex.autoNlist(4) == 2, "k never exceeds the corpus")
+    assert(VectorIndex.autoNlist(1000000000L, cap = 32768) == 31623,
+      "an explicit larger cap re-opens the sqrt-N path")
+  }
+
   test("purge honors its tombstone snapshot and heals mid-swap crashes at any point") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_purge").toString + "/idx"
     VectorIndex.buildIvfIndex(emb.filter(col("vec_id") < 300), dir, nlist = 8,
