@@ -1704,6 +1704,12 @@ object SparkEntry {
     * neighbor sits in the exact top-20 over what is still indexed, (c)
     * result width is still k. Replays in DuckDB as constants over the
     * query ids, like the other containment gates.
+    *
+    * r16 path split: this gate queries AFTER a fold — the tombstones have
+    * been physically PURGED (the delete's maintenance half) — while
+    * `q_n_ann_index_delete_spec` queries the PENDING-tombstone state
+    * (delete → query, no fold), so both halves of the takedown lifecycle
+    * stay oracle-anchored.
     */
   private def qNAnnIndexDelete(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -1711,6 +1717,7 @@ object SparkEntry {
     graft.operators.VectorIndex.buildIvfIndex(emb, idx, nlist = 16)
     graft.operators.VectorIndex.deleteFromIvfIndex(s, idx,
       emb.filter(col("vec_id") >= 20 && col("vec_id") < 40))
+    graft.operators.VectorIndex.foldIvfDelta(s, idx) // purge the tombstones
     val queries = emb.filter(col("vec_id") < 20)
     val ivf = graft.operators.VectorIndex.ivfTopKIndexed(queries, idx, k = 5, nprobe = 8)
     val remaining = emb.filter(col("vec_id") < 20 || col("vec_id") >= 40)

@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   * the partitioned layout under [[Dedup.rewriteStore]]'s tmp/old
   * rename-swap protocol.
   *
+  * Takedown: [[deleteFromIvfIndex]] is O(delete-set) — victims in the
+  * delta tier rewrite out physically, victims in the cells tier append
+  * to the `tombstones/` tier that every reader anti-joins; the bytes
+  * leave at the next fold/compaction ([[purgeTombstones]], a
+  * touched-cells-only rewrite under per-cell rename swaps). See the
+  * tombstone-tier section below.
+  *
   * Degenerate vectors follow the ANN-tier policy (EdgeCaseSpec): null and
   * empty embeddings are excluded from the index and from query routing;
   * zero-NORM vectors are indexed (dimensionally well-formed) and surface
@@ -89,7 +96,7 @@ object VectorIndex {
     * region) would otherwise become one giant file = one read task per
     * query: set the SESSION conf `spark.sql.files.maxRecordsPerFile`
     * before building — it applies to this write, to appends, and to the
-    * compaction/deletion rewrites alike, splitting hot cells into
+    * compaction/purge rewrites alike, splitting hot cells into
     * parallel-readable files without touching the pruning layout.
     */
   /** Payload columns per codec. `float` stores the raw vector; `int8`

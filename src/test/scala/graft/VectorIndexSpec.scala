@@ -153,6 +153,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(selected < total, s"pruning selected $selected of $total cells")
   }
 
+  test("pending tombstones keep the pruned scan; the takedown set anti-joins via broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_tombplan").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb, dir, nlist = 16)
+    VectorIndex.deleteFromIvfIndex(spark, dir,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 60))
+    val df = VectorIndex.ivfTopKIndexed(
+      emb.filter(col("vec_id") < 3), dir, k = 3, nprobe = 2)
+    val scans = cellScansOf(df)
+    assert(scans.nonEmpty && scans.head.partitionFilters.exists(_.toString.contains("cell")),
+      "static partition pruning must survive a pending-takedown read")
+    // the tombstone set is takedown-batch-sized: it must ride a BROADCAST
+    // anti-join (maybeBroadcast size gate), never a shuffle of the cells
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    val hasBcastAnti = try {
+      spark.conf.set(aqe, "false")
+      df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }.nonEmpty
+    } finally spark.conf.set(aqe, prev)
+    assert(hasBcastAnti, "the tombstone anti-join must broadcast the takedown set")
+  }
+
   test("append routes through the pinned centroids and is id-idempotent; compaction heals replay twins") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_app").toString + "/idx"
     val base = emb.filter(col("vec_id") < 400)
