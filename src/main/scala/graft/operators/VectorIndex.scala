@@ -242,6 +242,188 @@ object VectorIndex {
       .select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
+  // ---- Hierarchical (two-level) trainer --------------------------------
+  //
+  // The flat trainer's wall is SUPERLINEAR in k (tools.KMeansCostProbe:
+  // 33 s at k=1000, 767 s at k=10⁴, ~63 min extrapolated at k≈32k on the
+  // capped 1M sample), which is why buildIvfIndex's AUTO path caps k at
+  // 10⁴. The two-level trainer breaks that wall: level 1 fits ⌈√k⌉ coarse
+  // centers (an O(sample × √k) spark.ml fit), level 2 routes the sample
+  // through the SAME pinned kernel builds use and fits ⌈k/√k⌉ sub-centers
+  // INSIDE each coarse region — every region's fit is local to one
+  // executor task over its (capped) share of the sample, so the level-2
+  // cost is O(sample × √k) TOTAL and the regions train in parallel. This
+  // is the vocabulary-tree construction (Nistér & Stewénius, CVPR 2006)
+  // flattened back to one IVF level: the tree only sizes the training,
+  // routing stays single-level argmin over all k leaves — query behavior,
+  // layout, append, fold, purge are exactly buildIvfIndexPinned's.
+
+  /** Train a k-leaf coarse quantizer in two levels — the scale path past
+    * the flat trainer's `autoNlistCap` (see the section comment). `nlist
+    * <= 0` derives ⌈√N⌉ from the well-formed corpus count UNCAPPED: the
+    * two-level wall grows with √k, so √N sizing stays affordable at the
+    * 100M–1B rungs where the flat fit would dominate the build. Quality:
+    * leaves quantize their own coarse region only, a strictly coarser fit
+    * than global Lloyd — measured within noise of flat recall at the 1M
+    * rung (SCALING.md r16). Feed the result to [[buildIvfIndexPinned]] or
+    * use [[buildIvfIndexHierarchical]].
+    *
+    * Determinism: level 2 is bit-deterministic given the level-1 model
+    * (hash-ordered points, seeded spread init, fixed iteration count
+    * bound); level 1 carries spark.ml k-means' usual run-to-run caveat.
+    * Returned cell ids are dense 0..K-1 in (coarse region, sub-center)
+    * order; K ≤ `nlist` (leaf budgets are apportioned to regions by
+    * sample mass — largest-remainder, summing to exactly `nlist` — and
+    * regions drop empty sub-clusters rather than emit duplicate leaves).
+    *
+    * `perRegionCap` bounds any one region's in-memory fit (hash-ranked,
+    * so the cap keeps a deterministic uniform subsample even when a
+    * degenerate corpus routes everything into one coarse region).
+    */
+  def trainIvfCentroidsHierarchical(corpus: DataFrame, nlist: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSampleCap: Long = 1000000L, normalize: Boolean = true,
+      coarseK: Int = 0, maxIter: Int = 10, seed: Long = 42L,
+      perRegionCap: Int = 200000): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = vecSide(corpus, idCol, vecCol, normalize)
+    val n = base.count()
+    require(n > 0, "trainIvfCentroidsHierarchical: no well-formed vectors")
+    val sampled =
+      (if (n <= trainSampleCap) base
+       else Sampling.hashSample(base, "id", trainSampleCap.toDouble / n))
+        .localCheckpoint(true) // two passes (level-1 fit, level-2 routing)
+    try {
+      val k = if (nlist > 0) math.min(nlist.toLong, n).toInt
+              else math.min(math.ceil(math.sqrt(n.toDouble)).toLong, n).toInt
+      val k1 = math.min(
+        (if (coarseK > 0) coarseK else math.ceil(math.sqrt(k.toDouble)).toInt)
+          .max(1).toLong, k.toLong).toInt
+      val toVec = sampled.withColumn("features",
+        array_to_vector(transform(col("vec"), x => x.cast("double"))))
+      val coarse = new KMeans().setK(k1).setSeed(seed).setMaxIter(maxIter)
+        .fit(toVec).clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      val bc = graft.functions.VectorMath.broadcastCells(spark, coarse)
+      val subs: Array[(Int, Int, Seq[Double])] = try {
+        val routed = sampled.withColumn("coarse", nearestCell(col("vec"), bc))
+        // proportional leaf budgets by largest remainder: dense regions
+        // earn more leaves and the leaf total is exactly k (a flat
+        // ceil(k/k1) per region overshot it); a sliver region rounding to
+        // zero leaves is fine — routing is a GLOBAL argmin over all
+        // leaves, so its points land in neighboring regions' cells
+        val regionN = routed.groupBy("coarse").count().collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = regionN.map(_._2).sum.toDouble
+        val quotas = regionN.map { case (rg, c) => (rg, k * c / total) }
+        val floors = quotas.map { case (rg, q) => (rg, math.floor(q).toInt) }
+        val rem = k - floors.map(_._2).sum
+        val bonus = quotas.zip(floors)
+          .map { case ((rg, q), (_, f)) => (rg, q - f) }
+          .sortBy { case (rg, fr) => (-fr, rg) }.take(rem).map(_._1).toSet
+        val budgets = floors
+          .map { case (rg, f) => (rg, f + (if (bonus(rg)) 1 else 0)) }.toMap
+        routed
+          .withColumn("__h", xxhash64(col("id")))
+          .withColumn("__r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("coarse")).orderBy(col("__h"))))
+          .filter(col("__r") <= perRegionCap)
+          .select(col("coarse"),
+            col("__h"), transform(col("vec"), x => x.cast("double")).as("v"))
+          .as[(Int, Long, Seq[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups { (region: Int, it: Iterator[(Int, Long, Seq[Double])]) =>
+            val b = budgets.getOrElse(region, 0)
+            if (b <= 0) Iterator.empty
+            else {
+              val pts = it.toArray.sortBy(_._2).map(_._3.toArray)
+              localKMeans(pts, b, maxIter, seed ^ (region.toLong * 0x9E3779B97F4A7C15L))
+                .iterator.zipWithIndex
+                .map { case (c, i) => (region, i, c.toSeq) }
+            }
+          }.collect()
+      } finally bc.unpersist(blocking = false)
+      subs.sortBy(t => (t._1, t._2)).zipWithIndex
+        .map { case ((_, _, c), id) => (id, c) }.toIndexedSeq
+    } finally sampled.unpersist()
+  }
+
+  /** [[buildIvfIndex]] with the two-level trainer — identical layout and
+    * serving; only how the centroid model is FIT changes (see
+    * [[trainIvfCentroidsHierarchical]]). Use past ~100M rows, where the
+    * flat trainer's k would hit `autoNlistCap`.
+    */
+  def buildIvfIndexHierarchical(corpus: DataFrame, dir: String, nlist: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSampleCap: Long = 1000000L, codec: String = "float",
+      normalize: Boolean = true, coarseK: Int = 0): Unit = {
+    val cents = trainIvfCentroidsHierarchical(corpus, nlist, idCol, vecCol,
+      trainSampleCap, normalize, coarseK)
+    buildIvfIndexPinned(corpus, dir, cents, idCol, vecCol, codec, normalize)
+  }
+
+  /** Plain Lloyd over an in-memory point set — the level-2 regional fit.
+    * Deterministic: spread init (every ⌈m/k⌉-th point of the caller's
+    * hash-ordered array), fixed-point iteration capped at `maxIter`,
+    * sequential summation. Empty clusters retain their previous center
+    * during iteration and are DROPPED from the result (never emit a leaf
+    * no point voted for). `seed` reserved for future randomized init —
+    * the spread init is seed-free but the signature keeps call sites
+    * stable.
+    */
+  private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
+                                 maxIter: Int, seed: Long): Array[Array[Double]] = {
+    if (points.isEmpty) return Array.empty
+    if (points.length <= k) return points.map(_.clone())
+    val dim = points(0).length
+    val cents = Array.tabulate(k)(i =>
+      points(((i.toLong * points.length) / k).toInt).clone())
+    val assign = new Array[Int](points.length)
+    val cnt = new Array[Long](k)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = iter == 0 // the first pass must compute means even if all-0
+      var p = 0
+      while (p < points.length) {
+        val pt = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ct = cents(c)
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = pt(j) - ct(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; moved = true }
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      java.util.Arrays.fill(cnt, 0L)
+      p = 0
+      while (p < points.length) {
+        val s = sums(assign(p)); val pt = points(p)
+        var j = 0; while (j < dim) { s(j) += pt(j); j += 1 }
+        cnt(assign(p)) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var j = 0; while (j < dim) { cents(c)(j) = sums(c)(j) / cnt(c); j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cents.indices.iterator.filter(cnt(_) > 0L).map(cents(_)).toArray
+  }
+
   // ---- LSM delta tier ------------------------------------------------
   //
   // Appends do NOT write into the partitioned cells layout: an append

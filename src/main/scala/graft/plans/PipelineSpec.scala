@@ -259,11 +259,16 @@ case class DeleteIndexSpec(indexDir: String, ids: OpSpec,
   * ⌈√N⌉ from the corpus count, `normalize = true` aligns the L2 routing
   * with the cosine retrieval metric (recall@20 0.854 vs 0.582 on the old
   * fixed 16-cell unnormalized defaults). Override either explicitly.
+  * `trainer = "hier"` fits the centroid model with the two-level trainer
+  * ([[graft.operators.VectorIndex.trainIvfCentroidsHierarchical]]) — the
+  * 100M+ path whose √k-bounded fit wall lets ⌈√N⌉ sizing run UNCAPPED;
+  * layout and serving are identical either way.
   */
 case class BuildIndexSpec(input: OpSpec, indexDir: String, nlist: Int = 0,
                           codec: String = "float", normalize: Boolean = true,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding") extends OpSpec
+                          vecCol: String = "embedding",
+                          trainer: String = "flat") extends OpSpec
 /** Spy/observe node — the reference's attach-a-spy-to-a-PERSISTED-job
   * parity (`jobs/job.js:99-116`: a spy rides the stored job document and
   * fires on every run), which until now existed only on the Scala API
@@ -651,10 +656,21 @@ object PipelineCompiler {
         // a bare cells read would still show the victims until the next
         // fold/compaction purges them physically
         graft.operators.VectorIndex.readIvfCells(spark, p)
-      case BuildIndexSpec(in, dir0, nlist, codec, normalize, idCol, vecCol) =>
+      case BuildIndexSpec(in, dir0, nlist, codec, normalize, idCol, vecCol, trainer) =>
         val p = sub(dir0)
-        graft.operators.VectorIndex.buildIvfIndex(build(in), p, nlist,
-          sub(idCol), sub(vecCol), codec = sub(codec), normalize = normalize)
+        sub(trainer) match {
+          case "flat" =>
+            graft.operators.VectorIndex.buildIvfIndex(build(in), p, nlist,
+              sub(idCol), sub(vecCol), codec = sub(codec), normalize = normalize)
+          case "hier" =>
+            // the two-level trainer: same layout/serving, √k-bounded fit —
+            // the 100M+ path where flat k-means would hit autoNlistCap
+            graft.operators.VectorIndex.buildIvfIndexHierarchical(build(in), p,
+              nlist, sub(idCol), sub(vecCol), codec = sub(codec),
+              normalize = normalize)
+          case other => throw new IllegalArgumentException(
+            s"buildIndex trainer must be flat or hier, got '$other'")
+        }
         spark.read.parquet(s"$p/cells")
       case SpyNodeSpec(in, name0, metrics, rate) =>
         val df = build(in)
@@ -713,7 +729,7 @@ object PipelineCompiler {
     case LayoutNodeSpec(in, _, _, _, _, _) => refsOf(in)
     case CompactStoreSpec(_, _)            => Set.empty
     case DeleteIndexSpec(_, ids, _)        => refsOf(ids)
-    case BuildIndexSpec(in, _, _, _, _, _, _) => refsOf(in)
+    case BuildIndexSpec(in, _, _, _, _, _, _, _) => refsOf(in)
     case SpyNodeSpec(in, _, _, _)       => refsOf(in)
     case CacheSpec(in)                  => refsOf(in)
   }

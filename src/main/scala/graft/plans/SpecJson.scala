@@ -128,10 +128,13 @@ object SpecJson {
       case DeleteIndexSpec(dir, ids, idCol) =>
         pairs(n, "op" -> "deleteIndex", "indexDir" -> dir, "idCol" -> idCol)
         n.set[JsonNode]("ids", opNode(ids))
-      case BuildIndexSpec(in, dir, nlist, codec, normalize, idCol, vecCol) =>
+      case BuildIndexSpec(in, dir, nlist, codec, normalize, idCol, vecCol, trainer) =>
         pairs(n, "op" -> "buildIndex", "indexDir" -> dir, "codec" -> codec,
           "idCol" -> idCol, "vecCol" -> vecCol)
         n.put("nlist", nlist); n.put("normalize", normalize)
+        // encode by omission at the default so checked-in specs stay
+        // byte-identical (the warnBelow/sampleRate policy)
+        if (trainer != "flat") n.put("trainer", trainer)
         n.set[JsonNode]("input", opNode(in))
       case SpyNodeSpec(in, name, metrics, rate) =>
         pairs(n, "op" -> "spy", "name" -> name)
@@ -275,7 +278,8 @@ object SpecJson {
                         str(n, "codec", "float"),
                         Option(n.get("normalize")).forall(_.asBoolean),
                         Option(n.get("idCol")).map(_.asText).getOrElse("vec_id"),
-                        Option(n.get("vecCol")).map(_.asText).getOrElse("embedding"))
+                        Option(n.get("vecCol")).map(_.asText).getOrElse("embedding"),
+                        str(n, "trainer", "flat"))
     case "spy"     => SpyNodeSpec(child(n, "spy", "input"), str(n, "name"),
                         namedExprs(n, "metrics"),
                         Option(n.get("sampleRate")).map(_.asDouble).getOrElse(0.0))
@@ -591,7 +595,7 @@ object SpecJson {
         case AnnQuerySpec(in, _, _, _, _, _) => link(in)
         case LayoutNodeSpec(in, _, _, _, _, _) => link(in)
         case DeleteIndexSpec(_, ids, _) => link(ids)
-        case BuildIndexSpec(in, _, _, _, _, _, _) => link(in)
+        case BuildIndexSpec(in, _, _, _, _, _, _, _) => link(in)
         case CompactStoreSpec(_, _) =>
         case SpyNodeSpec(in, _, _, _) => link(in)
         case CacheSpec(in) => link(in)

@@ -57,7 +57,7 @@ class SpecJsonSpec extends SparkSpec {
       case _: CompactStoreSpec => CompactStoreSpec("/data/store", Seq("fp", "id"))
       case _: DeleteIndexSpec => DeleteIndexSpec("{%root%}/idx", RefSpec("victims"), "doc_id")
       case _: BuildIndexSpec => BuildIndexSpec(in, "{%root%}/idx", 64, "int8",
-        normalize = true, "doc_id", "vec")
+        normalize = true, "doc_id", "vec", trainer = "hier")
       case _: SpyNodeSpec => SpyNodeSpec(in, "tap1",
         Seq("bad" -> "count_if(a < 0)", "mx" -> "max(a)"), 0.25)
       case _: CacheSpec => CacheSpec(FilterSpec(in, "x > 0"))

@@ -90,6 +90,56 @@ class VectorIndexSpec extends SparkSpec {
     assert(top1 == top5, "scaled query must retrieve identically on a normalized index")
   }
 
+  test("localKMeans: deterministic, k-bounded, and degenerate-safe") {
+    val rnd = new scala.util.Random(7)
+    val pts = Array.fill(500)(Array.fill(8)(rnd.nextGaussian()))
+    val a = VectorIndex.localKMeans(pts, 16, 10, 42L)
+    val b = VectorIndex.localKMeans(pts.map(_.clone()), 16, 10, 42L)
+    assert(a.length > 0 && a.length <= 16)
+    assert(a.forall(_.length == 8))
+    // bit-deterministic on identical input (sequential summation, spread init)
+    assert(a.corresponds(b)((x, y) => x.sameElements(y)))
+    // fewer points than k: every point is its own center
+    val tiny = VectorIndex.localKMeans(pts.take(3), 16, 10, 42L)
+    assert(tiny.length == 3)
+    assert(VectorIndex.localKMeans(Array.empty, 4, 10, 42L).isEmpty)
+    // all-identical points collapse to one voted-for center, never k dupes
+    val same = Array.fill(100)(Array(1.0, 2.0, 3.0))
+    val collapsed = VectorIndex.localKMeans(same, 8, 10, 42L)
+    assert(collapsed.forall(_.sameElements(Array(1.0, 2.0, 3.0))))
+  }
+
+  test("hierarchical trainer: dense leaf ids, k-bounded; build serves with flat-parity recall") {
+    // the two-level trainer (level 1: sqrt-k spark.ml fit; level 2:
+    // per-region local Lloyd inside flatMapGroups) exists to break the
+    // flat fit's superlinear-in-k wall (KMeansCostProbe: 767 s at k=10^4)
+    // — this pins its CONTRACT at CI scale: leaf ids dense 0..K-1, K <= k,
+    // and an index built from it serves the same operating point as the
+    // flat-trained one within a small recall delta
+    val (embRaw, _) = graft.tools.SemanticStressCorpus.build(spark, 10000)
+    val corpus = embRaw.localCheckpoint(true)
+    val n = corpus.count()
+    val k = math.sqrt(n.toDouble).toInt
+    val cents = VectorIndex.trainIvfCentroidsHierarchical(corpus, nlist = k)
+    assert(cents.size <= k && cents.size > k / 2,
+      s"got ${cents.size} leaves for k=$k")
+    assert(cents.map(_._1) == cents.indices, "leaf ids must be dense 0..K-1")
+    assert(cents.forall(_._2.size == 64))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_hier").toString + "/idx"
+    VectorIndex.buildIvfIndexHierarchical(corpus, dir, nlist = k)
+    val queries = corpus.filter(pmod(col("vec_id"), lit(211L)) === 0)
+      .localCheckpoint(true)
+    val exact = VectorOps.bruteForceTopK(queries, corpus, 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = VectorIndex.ivfTopKIndexed(queries, dir, k = 20, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val recall = got.count(exact.contains).toDouble / exact.size
+    // flat trainer measures 0.764 at this scale (floor 0.70); the
+    // two-level fit is a strictly coarser optimization, so it gets the
+    // same floor minus a small quality allowance (measured 0.72-0.78)
+    assert(recall >= 0.65, f"hierarchical recall@20 $recall%.4f below 0.65")
+  }
+
   test("untuned default build: auto sqrt-N cells, normalized layout, end-to-end retrieval") {
     // r15 defaults (VERDICT r14 wrong #2): nlist omitted derives ceil(sqrt(N))
     // from the WELL-FORMED corpus count, normalize=true writes the marker —
