@@ -46,6 +46,20 @@ object GraftSession {
       // flagship-v3 action). 64 KB keeps explain() useful and bounds the
       // cost; real clusters set exactly this knob for the same reason.
       .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
+      // whole-stage-codegen compile cache (STATIC conf — first session in
+      // the JVM wins): the default 100 entries thrashes under any workload
+      // with more than ~100 distinct codegen units — the spec-compiled
+      // composites alone compile ~50 mini-job plans, and a 20-query driver
+      // sweep several hundred — so Janino recompiles and C2 re-JITs code
+      // the JVM already compiled, every single execution. Measured on the
+      // flagship v3 composite at sf0.1 (r16): per-rep JIT seconds NEVER
+      // declined across identical reps (8.4–13.5 s each) at the default,
+      // and the median read 15.0 s; at 4096 entries JIT falls to a
+      // declining 5.9 s and the median to 9.1 s (−39%). Scale-safe by
+      // construction: the cache holds compiled classes (not data, not
+      // results), is per-JVM, and on a 100 TB cluster the same eviction
+      // churn costs every executor JVM CPU that should be running tasks.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

@@ -1,0 +1,45 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dump `.explain("formatted")` for declared queries to files.
+  *
+  * Usage: runMain graft.tools.PlanDump <outDir> [sfDir] [q1,q2,...]
+  * Defaults: sfDir=/root/testdata/sf0.1, queries=Bench.headline.
+  * Uses the bench variant of each query (the unbounded organic config —
+  * the thing the bench times) and the same session tuning as Bench, so the
+  * dumped plan is the plan the numbers come from. Plan-string truncation is
+  * raised so deep composite plans dump whole.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/root/repo/plans/r16")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val names =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else graft.Bench.headline
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
+    val spark = graft.GraftSession.builder(master = "local[32]", shufflePartitions = 32)
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    for (name <- names) {
+      try {
+        val fn = graft.SparkEntry.benchQueries.getOrElse(name, graft.SparkEntry.queries(name))
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt)
+        println(s"[plandump] wrote $name (${txt.length} chars)")
+      } catch { case e: Throwable =>
+        println(s"[plandump] $name FAILED: ${e.getMessage}")
+      } finally {
+        graft.operators.Dedup.unpersistCaches()
+        graft.plans.PipelineCompiler.unpersistCompiledCaches()
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+    spark.stop(); sys.exit(0)
+  }
+}
