@@ -30,6 +30,20 @@ object GraftSession {
       // ~ms tasks whose fixed overhead dominated the dedup bench queries)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // joins (optimization guide §3.1): let the planner pick a shuffled
+      // HASH join when one side is much smaller and its per-partition build
+      // fits (size-gated by canBuildLocalHashMapBySize) instead of always
+      // sorting both sides for SMJ — the un-broadcastable joins here are
+      // the dedup-drop LEFT ANTI id joins and the BPE word join, where the
+      // build side is ids/words: hashing one partition of ids beats sorting
+      // BOTH corpus and ids. The AQE threshold additionally converts an
+      // SMJ to SHJ at runtime when the real post-shuffle build partitions
+      // are small (default 0 = off); 64 MB matches the broadcast gate. SMJ
+      // remains the fallback whenever the size conditions fail, so the
+      // spill-graceful path is still there at scale.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // declared once here (not as a read side effect): TIMESTAMP(NANOS)

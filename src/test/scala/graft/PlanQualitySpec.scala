@@ -101,9 +101,14 @@ class PlanQualitySpec extends SparkSpec {
   test("bucketed tables join with ZERO exchange") {
     import org.apache.spark.sql.functions.col
     val key = "spark.sql.autoBroadcastJoinThreshold"
+    val smjKey = "spark.sql.join.preferSortMergeJoin"
     val prev = spark.conf.get(key)
+    val prevSmj = spark.conf.get(smjKey)
     try {
       spark.conf.set(key, "-1") // force SMJ so bucket co-location is observable
+      // the session prefers shuffled-hash joins (GraftSession r16); pin the
+      // forced-SMJ observation this test is about
+      spark.conf.set(smjKey, "true")
       graft.sinks.Writers.bucketedTable(
         spark.read.parquet(s"$sf/orders.parquet"), "b_orders", "o_orderkey", 4)
       graft.sinks.Writers.bucketedTable(
@@ -121,6 +126,7 @@ class PlanQualitySpec extends SparkSpec {
         s"bucketed join still shuffles:\n${p.take(2000)}")
     } finally {
       spark.conf.set(key, prev)
+      spark.conf.set(smjKey, prevSmj)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
@@ -151,6 +157,39 @@ class PlanQualitySpec extends SparkSpec {
     // left outer stays supported and keeps unmatched LEFT rows exactly once
     val lo = graft.operators.Joins.saltedJoin(l, r, "k", "dk", salts = 4, joinType = "left")
     assert(lo.count() == 1L)
+  }
+
+  test("above the broadcast gate, an eligible join runs shuffled-HASH, not sort-merge (r16)") {
+    // The r16 session prefers shuffled hash joins (optimization guide §3.1):
+    // when a side is too big (or here, forbidden) to broadcast but its
+    // post-shuffle partitions fit a local hash map, the join must build a
+    // hash table on the small side instead of sorting BOTH sides. At 100 TB
+    // this is the corpus⟕dup-ids anti-join band between the 64 MB broadcast
+    // gate and per-partition build capacity; broadcast wins below it (the
+    // composites' runtime plans stay BHJ — asserted elsewhere), SMJ remains
+    // the graceful fallback above it.
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevB = spark.conf.get(bKey)
+    try {
+      spark.conf.set(bKey, "-1") // simulate "small side exceeds the broadcast gate"
+      val corpus = spark.range(0, 200000).selectExpr("id AS doc_id", "id % 97 AS x")
+      val dupIds = spark.range(0, 5000).selectExpr("id * 3 AS id")
+      val kept = corpus.join(dupIds, corpus("doc_id") === dupIds("id"), "left_anti")
+      // run THIS dataset's QueryExecution (a write would plan its own) so
+      // AQE finalizes: the conversion is runtime — DynamicJoinSelection
+      // sees the real post-shuffle partition sizes under
+      // maxShuffledHashJoinLocalMapThreshold and hints SHUFFLE_HASH; the
+      // static pick can't fire here because it keys off the (disabled)
+      // broadcast threshold
+      kept.collect()
+      // judge the FINAL plan only — the printed string appends the initial
+      // (pre-AQE) plan, which legitimately still says SortMergeJoin
+      val p = kept.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("ShuffledHashJoin"),
+        s"anti-join above the broadcast gate did not pick shuffled-hash:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"still sort-merge:\n${p.take(2000)}")
+      assert(!p.contains("+- Sort"), s"hash join still sorting an input:\n${p.take(2000)}")
+    } finally spark.conf.set(bKey, prevB)
   }
 
   test("binned range join plans an equi-join, never a nested loop") {
