@@ -682,14 +682,37 @@ object PipelineCompiler {
         graft.operators.CoreOps.spy(tapped, nm,
           metrics.map { case (mName, e) => expr(sub(e)).as(mName) })
       case CacheSpec(in) =>
-        val df = build(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Lineage-stub the segment BEFORE persisting (r16): persist truncates
+        // execution and the InMemoryRelation leaf (below) truncates
+        // downstream analysis, but plan RENDERING — listener-event
+        // explainString + SparkPlanInfo per SQL execution AND per AQE stage
+        // update, on the driver main thread even with the UI off — expands
+        // InMemoryRelation.innerChildren NESTED through referenced caches.
+        // With composite stages each referencing their input ≥ 2× (dedup
+        // anti-joins, decontam, DSIR), the rendered string grows
+        // EXPONENTIALLY in stage count: the flagship-v3 final action alone
+        // rendered 13.5M chars × 7 events, ~112M chars and 2.5–3.5 s of
+        // main-thread time per run (tools.RenderProbe). Backing the cache
+        // with a LogicalRDD leaf (Dataset.checkpoint's plan-truncation
+        // technique — stats/partitioning/constraints preserved, RDD lineage
+        // retained so lost cached partitions still recompute from source)
+        // makes rendering and re-analysis LINEAR in spec size. The stubbed
+        // segment's physical plan stays auditable through
+        // Bridge.stubbedPlan (PlanQualitySpec fixpoint, PlanDump appendix).
+        // `spark.graft.cacheLineageStub=false` restores the pre-r16 direct
+        // persist (escape hatch; also the A/B lever for the measurements in
+        // OPTIMIZATION_r16.md).
+        val stubOn = spark.conf.getOption("spark.graft.cacheLineageStub")
+          .forall(_.toBoolean)
+        val pre = build(in)
+        val df = (if (stubOn) org.apache.spark.sql.graft.Bridge.lineageStub(pre) else pre)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         compiledCaches.synchronized { compiledCaches += df }
         // Root downstream nodes at the InMemoryRelation leaf: persist alone
         // truncates execution but NOT analysis — each downstream op
         // re-analyzes the full upstream tree (and a DAG's shared nodes are
         // walked once per referencing path, so a composed pipeline's driver
-        // cost compounds). The cached subtree stays plan-auditable through
-        // `InMemoryTableScanExec.relation.cachedPlan`.
+        // cost compounds).
         org.apache.spark.sql.graft.Bridge.cachedRelation(df).getOrElse(df)
     }
 

@@ -30,8 +30,29 @@ object PlanDump {
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt)
-        println(s"[plandump] wrote $name (${txt.length} chars)")
+        // Spec-compiled composites back their cache nodes with
+        // lineage-stubbed LogicalRDD leaves (the r16 exponential-render
+        // fix), so the outer plan shows `Scan ExistingRDD` where a cached
+        // segment begins — append each cached/stubbed segment's compiled
+        // plan (Bridge.auditPlans walks them to a fixpoint, through AQE
+        // wrappers, identity-deduped) so the dumped file still pins the
+        // full composite structure. Bare RDD-scan pass-throughs (a stub's
+        // own cached plan) are dropped from the appendix as noise.
+        def passThrough(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.collect {
+            case n if !n.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec] &&
+              !n.isInstanceOf[org.apache.spark.sql.execution.InputAdapter] &&
+              !n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec] => n
+          }.isEmpty
+        val segs = org.apache.spark.sql.graft.Bridge.auditPlans(df).tail
+          .filterNot(passThrough)
+        val appendix = segs.zipWithIndex.map { case (p, i) =>
+          s"\n\n== Lineage-stubbed cache segment ${i + 1} (Bridge.stubbedPlan) ==\n" +
+            p.toString
+        }.mkString
+        Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt + appendix)
+        println(s"[plandump] wrote $name (${txt.length} chars" +
+          (if (segs.nonEmpty) s" + ${segs.size} cache segments)" else ")"))
       } catch { case e: Throwable =>
         println(s"[plandump] $name FAILED: ${e.getMessage}")
       } finally {

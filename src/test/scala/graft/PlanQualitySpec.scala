@@ -533,16 +533,21 @@ class PlanQualitySpec extends SparkSpec {
         .queryExecution.executedPlan
     } finally { spark.conf.set(aqe, prevAqe); spark.conf.set(abt, prevAbt) }
     // the composite nests caches (train → cleaned → passed/qvecs):
-    // InMemoryTableScan is a LEAF whose cached plan hangs off a field, so
-    // walk cached plans to a fixpoint. Node-type collects, not toString —
-    // the full tree renders ~1.9M chars and the session's
-    // maxPlanStringLength bound truncates it mid-plan.
+    // InMemoryTableScan is a LEAF whose cached plan hangs off a field, and
+    // since r16 the spec compiler backs each cache with a lineage-stubbed
+    // LogicalRDD (the exponential-render fix), so the cached plan is an
+    // RDDScanExec whose compiled segment plan hangs off Bridge.stubbedPlan
+    // — walk both to a fixpoint. Node-type collects, not toString — the
+    // full tree renders megabytes and the session's maxPlanStringLength
+    // bound truncates it mid-plan.
     def allPlans(roots: Seq[org.apache.spark.sql.execution.SparkPlan]
                 ): Seq[org.apache.spark.sql.execution.SparkPlan] = {
       val nested = roots.flatMap(_.collect {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          s.relation.cachedPlan
-      })
+          Seq(s.relation.cachedPlan)
+        case r: org.apache.spark.sql.execution.RDDScanExec =>
+          org.apache.spark.sql.graft.Bridge.stubbedPlan(r.rdd).toSeq
+      }.flatten)
       if (nested.isEmpty) roots else roots ++ allPlans(nested)
     }
     val all = allPlans(Seq(plan))

@@ -367,6 +367,10 @@ class SpecJsonSpec extends SparkSpec {
 
   test("CacheSpec returns a cache-leaf-rooted relation and registers an unpersist handle") {
     import graft.plans._
+    // the registry/emptiness asserts below are global to the session —
+    // start from a clean cache manager so test order cannot skew them
+    PipelineCompiler.unpersistCompiledCaches()
+    spark.sharedState.cacheManager.clearCache()
     val spec = PipelineSpec(nodes = Seq(
       "docs" -> SourceSpec("parquet", s"$sf/documents.parquet"),
       "big"  -> CacheSpec(FilterSpec(RefSpec("docs"), "doc_id % 2 = 0"))),
@@ -384,14 +388,56 @@ class SpecJsonSpec extends SparkSpec {
       .filter("doc_id % 2 = 0").count())
     // the compiler-scoped registry releases the persist deterministically
     // (the r12 leak: every compile left session-lifetime cached relations).
-    // The cache entry is keyed by the ORIGINAL child plan, so probe with a
-    // structurally equivalent query, not the leaf-rooted result
-    def probe = spark.read.parquet(s"$sf/documents.parquet")
-      .filter("doc_id % 2 = 0").asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    assert(spark.sharedState.cacheManager.lookupCachedData(probe).isDefined,
+    // Since r16 the cache entry is keyed by the lineage-stubbed LogicalRDD
+    // leaf (the exponential-render fix), so a structurally equivalent but
+    // independently built query no longer plan-matches it — in-compiler
+    // reuse is by REFERENCE through the rooted relation, and the cached
+    // child must be that stub leaf, not the upstream tree
+    val imr = df.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]
+    assert(imr.cachedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]),
+      s"CacheSpec must persist the lineage-stubbed leaf, got:\n${imr.cachedPlan}")
+    // ... and the compiled segment stays plan-auditable through the stub
+    val segPlans = imr.cachedPlan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        org.apache.spark.sql.graft.Bridge.stubbedPlan(r.rdd)
+    }.flatten
+    assert(segPlans.nonEmpty && segPlans.forall(_.toString.contains("doc_id")),
+      s"Bridge.stubbedPlan must return the stubbed segment's physical plan")
+    assert(!spark.sharedState.cacheManager.isEmpty,
       "CacheSpec must register its persist with the cache manager")
     PipelineCompiler.unpersistCompiledCaches()
-    assert(spark.sharedState.cacheManager.lookupCachedData(probe).isEmpty,
+    assert(spark.sharedState.cacheManager.isEmpty,
       "unpersistCompiledCaches must release CacheSpec persists")
+  }
+
+  test("a SORTED cached segment self-joined (diamond) plans and runs — stub ordering hygiene") {
+    // Regression pin for the r16 lineage stub: LogicalRDD.fromDataset
+    // copies the EXECUTED plan's outputOrdering (a sorted segment always
+    // has one), InMemoryRelation inherits it, and the analyzer's
+    // newInstance() — how a self-join's second reference is deduplicated —
+    // re-mints output exprIds WITHOUT remapping the ordering, so strict
+    // canonicalization (cache lookup, sameResult) later throws
+    // NoSuchElementException. The stub therefore drops the ordering; this
+    // test is the diamond-over-a-sorted-cache shape that crashed.
+    import graft.plans._
+    val spec = PipelineSpec(nodes = Seq(
+      "docs"   -> SourceSpec("parquet", s"$sf/documents.parquet"),
+      "sorted" -> CacheSpec(SortSpec(
+        MapSpec(RefSpec("docs"), Seq("doc_id" -> "doc_id", "lang" -> "lang")),
+        Seq("doc_id"))),
+      // diamond: both join sides reference the SAME sorted cache node
+      "evens"  -> FilterSpec(RefSpec("sorted"), "doc_id % 2 = 0"),
+      "pairs"  -> JoinSpec(RefSpec("sorted"), RefSpec("evens"),
+        "doc_id", "doc_id", joinType = "inner", broadcastVocab = false)),
+      out = "pairs")
+    val df = PipelineCompiler.compile(spec, spark, Map.empty)
+    // a second cache-manager lookup canonicalizes every live entry — the
+    // crash site — and the result must still be the plain join semantics
+    val n = df.count()
+    val expect = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id % 2 = 0").count()
+    assert(n == expect, s"diamond over sorted cache returned $n, expected $expect")
+    PipelineCompiler.unpersistCompiledCaches()
   }
 }
